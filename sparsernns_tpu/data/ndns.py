@@ -1,0 +1,238 @@
+"""NDNS (Intel N-DNS audio denoising) input pipeline — torch-free.
+
+Reference parity: `dataloaders/dataloading.py` (create_ndns_dataset, task
+constants) and `dataloaders/NDNS/ndns.py` (DNSAudio: glob noisy/**.wav,
+regex-pair clean files, 30 s @ 16 kHz pad/trim). The reference uses torch
+DataLoader worker processes; this implementation is a host-side numpy
+pipeline with a background prefetch thread and per-host file-list sharding
+for multi-host TPU training (each JAX process reads only its shard — data
+parallelism over DCN is file-level, no cross-host shuffling needed).
+
+WAV decoding uses the stdlib ``wave`` module + numpy (PCM16) — no
+soundfile/torchaudio dependency.
+
+A synthetic dataset with the exact NDNS shapes is provided for development,
+benchmarking and CI (the real corpus is pointed to by the same env vars the
+reference uses: NDNS_TRAIN_SET / NDNS_VALIDATION_SET / NDNS_TEST_SET).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import re
+import threading
+import wave
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+SAMPLE_RATE = 16000
+AUDIO_SECONDS = 30
+AUDIO_LEN = SAMPLE_RATE * AUDIO_SECONDS
+N_CLASSES = 257  # output freq bins (reference dataloading.py:132)
+SEQ_LENGTH = 3751  # STFT frames at nfft=512 hop=128 (dataloading.py:133)
+IN_DIM = 257
+
+_FILE_ID_RE = re.compile(r"fileid_(\d+)")
+
+
+def read_wav(path: str) -> np.ndarray:
+    """Minimal PCM WAV reader -> float32 in [-1, 1]."""
+    with wave.open(path, "rb") as f:
+        n = f.getnframes()
+        width = f.getsampwidth()
+        raw = f.readframes(n)
+        channels = f.getnchannels()
+    if width == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif width == 1:
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width} in {path}")
+    if channels > 1:
+        data = data.reshape(-1, channels).mean(axis=1)
+    return data
+
+
+def _pad_or_trim(audio: np.ndarray, length: int = AUDIO_LEN) -> np.ndarray:
+    if audio.shape[0] >= length:
+        return audio[:length]
+    return np.pad(audio, (0, length - audio.shape[0]))
+
+
+class DNSAudioDataset:
+    """Paired (noisy, clean) 30 s clips from an N-DNS directory layout:
+    <root>/noisy/**.wav with matching <root>/clean/clean_fileid_<id>.wav.
+    Reference: DNSAudio ndns.py:18-109."""
+
+    def __init__(self, root: str, length: int = AUDIO_LEN):
+        self.root = root
+        self.length = length
+        self.noisy_files = sorted(
+            glob.glob(os.path.join(root, "noisy", "**", "*.wav"),
+                      recursive=True))
+        if not self.noisy_files:
+            raise FileNotFoundError(f"no wav files under {root}/noisy")
+
+    def __len__(self) -> int:
+        return len(self.noisy_files)
+
+    def _clean_path(self, noisy_path: str) -> str:
+        m = _FILE_ID_RE.search(os.path.basename(noisy_path))
+        if not m:
+            raise ValueError(f"cannot parse fileid from {noisy_path}")
+        return os.path.join(self.root, "clean", f"clean_fileid_{m.group(1)}.wav")
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        noisy = _pad_or_trim(read_wav(self.noisy_files[idx]), self.length)
+        clean = _pad_or_trim(read_wav(self._clean_path(self.noisy_files[idx])),
+                             self.length)
+        return noisy, clean
+
+
+class SyntheticNDNS:
+    """Deterministic synthetic denoising pairs with the NDNS shapes.
+
+    clean = a sparse mixture of sinusoids with slow amplitude modulation
+    (speech-ish spectral concentration); noisy = clean + colored noise at a
+    per-clip SNR in [0, 10] dB. Fully reproducible from (seed, idx).
+    """
+
+    def __init__(self, size: int = 64, length: int = AUDIO_LEN,
+                 seed: int = 42):
+        self.size = size
+        self.length = length
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.size
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        rng = np.random.RandomState((self.seed * 1_000_003 + idx) % 2**31)
+        t = np.arange(self.length, dtype=np.float32) / SAMPLE_RATE
+        clean = np.zeros(self.length, dtype=np.float32)
+        for _ in range(4):
+            f0 = rng.uniform(80, 1200)
+            amp = rng.uniform(0.05, 0.3)
+            mod = 0.5 * (1 + np.sin(2 * np.pi * rng.uniform(0.3, 3.0) * t
+                                    + rng.uniform(0, 6.28)))
+            clean += (amp * mod * np.sin(2 * np.pi * f0 * t
+                                         + rng.uniform(0, 6.28))).astype(np.float32)
+        noise = rng.randn(self.length).astype(np.float32)
+        # cheap coloring: one-pole lowpass
+        alpha = rng.uniform(0.6, 0.95)
+        for _ in range(1):
+            noise = np.asarray(
+                np.concatenate([[noise[0]],
+                                alpha * noise[:-1] + (1 - alpha) * noise[1:]]),
+                dtype=np.float32)
+        snr_db = rng.uniform(0.0, 10.0)
+        p_clean = np.mean(clean ** 2) + 1e-9
+        p_noise = np.mean(noise ** 2) + 1e-9
+        noise *= np.sqrt(p_clean / (p_noise * 10 ** (snr_db / 10)))
+        return clean + noise, clean
+
+
+class NDNSLoader:
+    """Batched iterator with shuffling, per-host sharding, and background
+    prefetch. Yields (noisy, clean) float32 arrays of shape (B, T)."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, drop_last: bool = True,
+                 num_shards: int = 1, shard_index: int = 0,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.num_shards
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(idx)
+        return idx[self.shard_index::self.num_shards]
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        indices = self._indices()
+        self.epoch += 1
+        n_batches = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+
+        def produce():
+            for b in range(n_batches):
+                batch_idx = indices[b * self.batch_size:(b + 1) * self.batch_size]
+                noisy = np.empty((len(batch_idx), self.dataset.length
+                                  if hasattr(self.dataset, "length")
+                                  else AUDIO_LEN), dtype=np.float32)
+                clean = np.empty_like(noisy)
+                for i, j in enumerate(batch_idx):
+                    noisy[i], clean[i] = self.dataset[int(j)]
+                q.put((noisy, clean))
+            q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+
+
+def create_ndns_dataset(
+    batch_size: int,
+    seed: int = 0,
+    synthetic: Optional[bool] = None,
+    synthetic_size: int = 64,
+    synthetic_length: int = AUDIO_LEN,
+    num_shards: int = 1,
+    shard_index: int = 0,
+):
+    """Build (train, val, test) loaders + task constants.
+
+    Uses the real corpus when the reference's env vars are set
+    (NDNS_TRAIN_SET etc., reference dataloading.py:64-146); otherwise falls
+    back to synthetic data of identical shape.
+    Returns (trainloader, valloader, testloader, n_classes, seq_len, in_dim,
+    train_size).
+    """
+    roots = {k: os.environ.get(f"NDNS_{k}_SET")
+             for k in ("TRAIN", "VALIDATION", "TEST")}
+    use_real = synthetic is False or (
+        synthetic is None and all(roots.values()))
+
+    if use_real:
+        sets = {k: DNSAudioDataset(v) for k, v in roots.items()}
+    else:
+        sets = {
+            "TRAIN": SyntheticNDNS(synthetic_size, synthetic_length, seed),
+            "VALIDATION": SyntheticNDNS(max(synthetic_size // 4, 1),
+                                        synthetic_length, seed + 1),
+            "TEST": SyntheticNDNS(max(synthetic_size // 4, 1),
+                                  synthetic_length, seed + 2),
+        }
+
+    mk = lambda ds, shuf: NDNSLoader(
+        ds, batch_size, shuffle=shuf, seed=seed,
+        num_shards=num_shards, shard_index=shard_index)
+    # STFT framing: n_frames = T // hop + 1 (= 3751 for the real 30 s clips).
+    seq_len = (SEQ_LENGTH if use_real else synthetic_length // 128 + 1)
+    return (mk(sets["TRAIN"], True), mk(sets["VALIDATION"], False),
+            mk(sets["TEST"], False), N_CLASSES, seq_len, IN_DIM,
+            len(sets["TRAIN"]))

@@ -1,0 +1,314 @@
+"""Fixed-point integer tensor emulation — the bit-exact verification
+substrate.
+
+Capability parity with the reference `sparseRNNs/fxparray.py` (FxpArray /
+ComplexFxpArray: int32 data + static (bits, exp, signed) config, shift-round
+in FLOOR/CEIL/ROUND modes, add/sub/mul/matmul/change_exp/change_cfg with
+overflow clipping, int64 escalation when products would overflow).
+
+Design differences:
+- (bits, exp, signed) are static Python ints — every op is jit-compatible
+  and the integer arithmetic lowers to XLA int ops (these run on TPU too,
+  though the fxp engine's role in this framework is *bit-exact golden
+  verification* of the real int8/int16 Pallas kernels, not the serving
+  path — see SURVEY.md §7 design stance).
+- Overflow handling is always clip-to-range (the reference warns via host
+  logging inside jit-incompatible code paths; here `fxp_overflow_count`
+  offers the same diagnostic as a traced value).
+- Product dtype escalation to int64 is decided statically from the operand
+  bit-widths instead of from runtime data (reference fxparray.py:611-616
+  inspects values; static is both safer and traceable). x64 must be enabled
+  (JAX_ENABLE_X64) for widths requiring it; otherwise we clamp to int32 and
+  rely on the operand bit-configs to prevent overflow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Callable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class RoundingMode(enum.Enum):
+    FLOOR = 0
+    CEIL = 1
+    ROUND = 2
+    STOCHASTIC = 3
+
+
+def round_array(x: Array, round_mode: RoundingMode = RoundingMode.FLOOR,
+                dtype=jnp.int32) -> Array:
+    if round_mode == RoundingMode.ROUND:
+        return jnp.round(x).astype(dtype)
+    if round_mode == RoundingMode.CEIL:
+        return jnp.ceil(x).astype(dtype)
+    if round_mode == RoundingMode.FLOOR:
+        return jnp.floor(x).astype(dtype)
+    raise NotImplementedError(f"rounding mode {round_mode}")
+
+
+def fxp_rshift_round(x: Array, rshift: int,
+                     round_mode: RoundingMode = RoundingMode.FLOOR) -> Array:
+    """Arithmetic right shift with rounding (reference fxparray.py:274-284)."""
+    if rshift == 0:
+        return x
+    if round_mode == RoundingMode.FLOOR:
+        return x >> rshift
+    if round_mode == RoundingMode.CEIL:
+        return (x + (1 << rshift) - 1) >> rshift
+    if round_mode == RoundingMode.ROUND:
+        return (x + (1 << (rshift - 1))) >> rshift
+    raise NotImplementedError(f"rounding mode {round_mode}")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FxpArray:
+    """Integer tensor with fixed-point interpretation value = data / 2^exp."""
+
+    data: Array
+    bits: int = dataclasses.field(metadata=dict(static=True), default=16)
+    exp: int = dataclasses.field(metadata=dict(static=True), default=8)
+    signed: bool = dataclasses.field(metadata=dict(static=True), default=True)
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def ndim(self):
+        return self.data.ndim
+
+    def minval(self) -> int:
+        return -(1 << (self.bits - 1)) if self.signed else 0
+
+    def maxval(self) -> int:
+        return (1 << (self.bits - 1)) - 1 if self.signed else (1 << self.bits) - 1
+
+    def to_float(self) -> Array:
+        return self.data.astype(jnp.float32) / (1 << self.exp)
+
+    def clip(self) -> "FxpArray":
+        return FxpArray(
+            data=jnp.clip(self.data, self.minval(), self.maxval()),
+            bits=self.bits, exp=self.exp, signed=self.signed)
+
+    def overflow_count(self) -> Array:
+        return jnp.sum((self.data > self.maxval()) | (self.data < self.minval()))
+
+    def change_exp(self, new_exp: int,
+                   round_mode: RoundingMode = RoundingMode.FLOOR) -> "FxpArray":
+        return fxp_change_exp(self, new_exp, round_mode)
+
+    def change_cfg(self, new_bits: int, new_exp: int, new_signed: bool,
+                   round_mode: RoundingMode = RoundingMode.FLOOR) -> "FxpArray":
+        return fxp_change_cfg(self, new_bits, new_exp, new_signed, round_mode)
+
+    def astype_wide(self) -> "FxpArray":
+        return FxpArray(self.data.astype(_wide_dtype()), self.bits, self.exp,
+                        self.signed)
+
+    def __add__(self, other):
+        return fxp_add(self, other)
+
+    def __sub__(self, other):
+        return fxp_sub(self, other)
+
+    def __mul__(self, other):
+        return fxp_mul(self, other)
+
+    def __matmul__(self, other):
+        return fxp_matmul(self, other)
+
+    def __getitem__(self, idx):
+        return FxpArray(self.data[idx], self.bits, self.exp, self.signed)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ComplexFxpArray:
+    real: FxpArray
+    imag: FxpArray
+
+    @property
+    def shape(self):
+        return self.real.shape
+
+    def to_float(self) -> Tuple[Array, Array]:
+        return self.real.to_float(), self.imag.to_float()
+
+    def __add__(self, other):
+        return ComplexFxpArray(real=self.real + other.real,
+                               imag=self.imag + other.imag)
+
+    def __getitem__(self, idx):
+        return ComplexFxpArray(self.real[idx], self.imag[idx])
+
+
+def _wide_dtype():
+    return jnp.int64 if jax.config.read("jax_enable_x64") else jnp.int32
+
+
+def fxp_from_fp(x: Array, bits: int = 16, exp: int = 8, signed: bool = True,
+                round_mode: RoundingMode = RoundingMode.FLOOR) -> FxpArray:
+    """Quantize float -> fxp (reference fxparray.py:287-307)."""
+    xint = x * (1 << exp)
+    if not signed:
+        xint = jnp.abs(xint)
+    data = round_array(xint, round_mode)
+    return FxpArray(data=data, bits=bits, exp=exp, signed=signed).clip()
+
+
+def fxp_change_exp(arr: FxpArray, new_exp: int,
+                   round_mode: RoundingMode = RoundingMode.FLOOR) -> FxpArray:
+    if new_exp == arr.exp:
+        return arr
+    if new_exp > arr.exp:
+        data = arr.data << (new_exp - arr.exp)
+    else:
+        data = fxp_rshift_round(arr.data, arr.exp - new_exp, round_mode)
+    return FxpArray(data, arr.bits, new_exp, arr.signed).clip()
+
+
+def fxp_change_cfg(arr: FxpArray, new_bits: int, new_exp: int,
+                   new_signed: bool,
+                   round_mode: RoundingMode = RoundingMode.FLOOR) -> FxpArray:
+    if (arr.bits, arr.exp, arr.signed) == (new_bits, new_exp, new_signed):
+        return arr
+    out = fxp_change_exp(arr, new_exp, round_mode)
+    return FxpArray(out.data, new_bits, new_exp, new_signed).clip()
+
+
+def fxp_add(op1: FxpArray, op2: FxpArray,
+            result_bits: Optional[int] = None,
+            result_bits_fn: Callable[[int, int], int] = max,
+            result_bits_add: int = 0,
+            result_exp: Optional[int] = None,
+            round_mode: RoundingMode = RoundingMode.FLOOR) -> FxpArray:
+    """Aligned integer addition (reference fxparray.py:386-473; the
+    'compute_best' data-dependent exponent mode is intentionally excluded —
+    exponents here always come from the calibration-derived config)."""
+    result_signed = op1.signed or op2.signed
+    if result_bits is None:
+        result_bits = result_bits_fn(op1.bits, op2.bits) + result_bits_add
+    if result_exp is None:
+        result_exp = max(op1.exp, op2.exp)
+        a = op1.data << (result_exp - op1.exp) if op1.exp < result_exp else op1.data
+        b = op2.data << (result_exp - op2.exp) if op2.exp < result_exp else op2.data
+        data = a + b
+    else:
+        data = (fxp_change_exp(op1, result_exp, round_mode).data
+                + fxp_change_exp(op2, result_exp, round_mode).data)
+    return FxpArray(data, result_bits, result_exp, result_signed).clip()
+
+
+def fxp_sub(op1: FxpArray, op2: FxpArray, **kw) -> FxpArray:
+    neg = FxpArray(-op2.data, op2.bits, op2.exp, signed=True)
+    return fxp_add(op1, neg, **kw)
+
+
+def _maybe_widen(op1: FxpArray, op2: FxpArray):
+    """Escalate the product dtype when operand widths could overflow i32."""
+    if op1.bits + op2.bits > 30:
+        return op1.data.astype(_wide_dtype()), op2.data.astype(_wide_dtype())
+    return op1.data, op2.data
+
+
+def fxp_mul(op1: FxpArray, op2: FxpArray,
+            result_exp: Optional[int] = None,
+            result_exp_fn: Callable[[int, int], int] = max,
+            result_bits: Optional[int] = None,
+            result_bits_fn: Callable[[int, int], int] = max,
+            round_mode: RoundingMode = RoundingMode.FLOOR) -> FxpArray:
+    """Elementwise integer multiply then shift-round to the target exponent
+    (reference fxparray.py:573-637)."""
+    result_signed = op1.signed or op2.signed
+    if result_bits is None:
+        result_bits = result_bits_fn(op1.bits, op2.bits)
+    if result_exp is None:
+        result_exp = result_exp_fn(op1.exp, op2.exp)
+    rshift = op1.exp + op2.exp - result_exp
+    if rshift < 0:
+        raise ValueError(f"invalid result_exp {result_exp} > "
+                         f"{op1.exp} + {op2.exp}")
+    a, b = _maybe_widen(op1, op2)
+    raw = a * b
+    data = fxp_rshift_round(raw, rshift, round_mode).astype(jnp.int32)
+    return FxpArray(data, result_bits, result_exp, result_signed).clip()
+
+
+def fxp_matmul(op1: FxpArray, op2: FxpArray,
+               result_bits: Optional[int] = None,
+               result_bits_fn: Callable[[int, int], int] = max,
+               result_exp: Optional[int] = None,
+               result_exp_fn: Callable[[int, int], int] = max,
+               round_mode: RoundingMode = RoundingMode.FLOOR) -> FxpArray:
+    """Integer matmul with int32/int64 accumulation then shift-round
+    (reference fxparray.py:640-678). On TPU the int matmul maps to the
+    MXU's int8 path when widths permit."""
+    result_signed = op1.signed or op2.signed
+    if result_bits is None:
+        result_bits = result_bits_fn(op1.bits, op2.bits)
+    if result_exp is None:
+        result_exp = result_exp_fn(op1.exp, op2.exp)
+    a, b = _maybe_widen(op1, op2)
+    acc_dtype = jnp.result_type(a.dtype, b.dtype)
+    raw = jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype)
+    rshift = op1.exp + op2.exp - result_exp
+    if rshift < 0:
+        raw = raw << -rshift
+        data = raw.astype(jnp.int32)
+    else:
+        data = fxp_rshift_round(raw, rshift, round_mode).astype(jnp.int32)
+    return FxpArray(data, result_bits, result_exp, result_signed).clip()
+
+
+def fxp_complex_mul(op1: ComplexFxpArray, op2: ComplexFxpArray,
+                    result_exp: Tuple[Optional[int], Optional[int]] = (None, None),
+                    result_bits: Tuple[Optional[int], Optional[int]] = (None, None),
+                    round_mode: RoundingMode = RoundingMode.FLOOR
+                    ) -> ComplexFxpArray:
+    """(a+bi)(c+di) as 4 real multiplies + aligned add/sub
+    (reference fxparray.py:504-570)."""
+    re_exp, im_exp = result_exp
+    re_bits, im_bits = result_bits
+    mul = lambda x, y, e, b: fxp_mul(x, y, result_exp=e, result_bits=b,
+                                     result_bits_fn=max,
+                                     round_mode=round_mode)
+    ac = mul(op1.real, op2.real, re_exp, re_bits)
+    bd = mul(op1.imag, op2.imag, re_exp, re_bits)
+    ad = mul(op1.real, op2.imag, im_exp, im_bits)
+    bc = mul(op1.imag, op2.real, im_exp, im_bits)
+    real = fxp_sub(ac, bd, result_bits=re_bits, result_exp=re_exp,
+                   round_mode=round_mode)
+    imag = fxp_add(ad, bc, result_bits=im_bits, result_exp=im_exp,
+                   round_mode=round_mode)
+    return ComplexFxpArray(real=real, imag=imag)
+
+
+def fxp_relu(x: Union[FxpArray, ComplexFxpArray]):
+    """ReLU on fxp data; complex applies to re/im separately
+    (reference fxpmodel.py:27-63)."""
+    if isinstance(x, ComplexFxpArray):
+        return ComplexFxpArray(real=fxp_relu(x.real), imag=fxp_relu(x.imag))
+    return FxpArray(jnp.maximum(x.data, 0), x.bits, x.exp, x.signed)
+
+
+def fxp_mean(x: FxpArray, axis: int = 0,
+             round_mode: RoundingMode = RoundingMode.ROUND) -> FxpArray:
+    """Mean via multiply by fxp(1/n) (reference fxparray.py:681-695)."""
+    n = x.data.shape[axis]
+    summed = jnp.sum(x.data.astype(_wide_dtype()), axis=axis)
+    recn = fxp_from_fp(jnp.asarray(1.0 / n), bits=x.bits,
+                       exp=max(x.exp, int(jnp.ceil(jnp.log2(n))) + 2),
+                       signed=False)
+    raw = summed * recn.data
+    data = fxp_rshift_round(raw, recn.exp, round_mode).astype(jnp.int32)
+    return FxpArray(data, x.bits, x.exp, x.signed).clip()

@@ -1,0 +1,191 @@
+"""Sequence layer: norm → S5 mixer → GLU gate → residual.
+
+Capability parity with reference `sparseRNNs/model/layers.py` (QSequenceLayer:
+pre/post BatchNorm/LayerNorm, BN-fusion into the mixer, GLU variants
+full/half1/half2/none with a quantized multiply gate, dropout, relufication,
+approx top-k). Natively batched over (B, L, H): BatchNorm reduces over
+(batch, length) directly, which under pjit is a *global* reduction across
+the data-parallel mesh axis — no vmap axis_name plumbing needed (the
+reference relied on `axis_name="batch"`, layers.py:149).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sparsernns_tpu.ops.topk import relu_top_k_sparsity, top_k_sparsity
+from sparsernns_tpu.quantize.config import QuantizationConfig
+from sparsernns_tpu.quantize.qat import QuantizedOps, fake_quant, q_had
+from sparsernns_tpu.quantize.static import QuantizedDense, QuantizedMultiply
+
+GLU_VARIANTS = ("full", "half1", "half2", "none")
+
+
+class QDense(nn.Module):
+    """Dense with a pluggable (quantized) dot. Param names match nn.Dense."""
+
+    features: int
+    dot: Callable
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features))
+        y = self.dot(x, kernel)
+        if self.use_bias:
+            y = y + self.param("bias", self.bias_init, (self.features,))
+        return y
+
+
+def make_dense_cls(q_config: QuantizationConfig,
+                   axis_name: Optional[str] = None):
+    """Dense factory for non-SSM layers: static-quant -> QuantizedDense
+    (observer-calibrated), else QDense with a QAT fake-quant dot.
+    Reference: layers.py:88-105."""
+    if q_config.static_quant:
+        return partial(
+            QuantizedDense,
+            a_bits=q_config.non_ssm_act_precision,
+            w_bits=q_config.non_ssm_precision,
+            calibrating=q_config.calibrating,
+            axis_name=axis_name,
+        )
+    ops = QuantizedOps.create(q_config)
+    return partial(QDense, dot=ops.dense_dot)
+
+
+class SequenceLayer(nn.Module):
+    """One S5 block. Reference: QSequenceLayer layers.py:40-241."""
+
+    mixer_cls: Callable
+    d_model: int
+    dropout: float = 0.0
+    batchnorm: bool = True
+    prenorm: bool = True
+    glu_variant: str = "none"
+    bn_momentum: float = 0.90
+    training: bool = True
+    step_rescale: float = 1.0
+    relufication: bool = False
+    fuse_batchnorm_linear: bool = False
+    q_config: QuantizationConfig = QuantizationConfig.none()
+    use_batchnorm_scale: bool = True
+    use_batchnorm_bias: bool = True
+    topk: float = 1.0
+    approx_topk: bool = False
+    axis_name: Optional[str] = None  # set under shard_map; None under pjit
+
+    def setup(self):
+        assert self.glu_variant in GLU_VARIANTS, (
+            f"glu_variant must be one of {GLU_VARIANTS}")
+        if self.fuse_batchnorm_linear:
+            assert self.batchnorm and self.prenorm, (
+                "fuse_batchnorm_linear requires batchnorm+prenorm "
+                "(reference layers.py:134-138)")
+
+        self.mixer = self.mixer_cls(
+            step_rescale=self.step_rescale,
+            topk=self.topk,
+            approx_topk=self.approx_topk,
+        )
+
+        dense_cls = make_dense_cls(self.q_config, self.axis_name)
+        if self.glu_variant == "full":
+            self.out1 = dense_cls(self.d_model)
+            self.out2 = dense_cls(self.d_model)
+        elif self.glu_variant in ("half1", "half2"):
+            self.out2 = dense_cls(self.d_model)
+
+        if self.batchnorm:
+            self.norm = nn.BatchNorm(
+                use_running_average=not self.training,
+                momentum=self.bn_momentum,
+                axis_name=self.axis_name,
+                use_scale=self.use_batchnorm_scale,
+                use_bias=self.use_batchnorm_bias,
+            )
+        else:
+            self.norm = nn.LayerNorm()
+
+        # Dropout is broadcast along time (axis 1 of (B, L, H)); the
+        # reference broadcasts along axis 0 of its per-sample (L, H) input —
+        # same semantics.
+        self.drop = nn.Dropout(
+            self.dropout, broadcast_dims=(1,), deterministic=not self.training)
+
+        act_bits = self.q_config.non_ssm_act_precision
+        if act_bits is not None and self.q_config.static_quant:
+            self.mult_gate = QuantizedMultiply(
+                left_bits=act_bits, right_bits=act_bits,
+                calibrating=self.q_config.calibrating,
+                axis_name=self.axis_name)
+        elif act_bits is not None:
+            self.mult_gate = q_had(act_bits, act_bits)
+        else:
+            self.mult_gate = jnp.multiply
+
+    def _glu_act(self, x):
+        if self.relufication:
+            if self.topk < 1.0 and self.approx_topk:
+                return relu_top_k_sparsity(x, int(self.topk * self.d_model))
+            if self.topk < 1.0:
+                raise NotImplementedError("exact top-k not implemented")
+            return jax.nn.relu(x)
+        return jax.nn.gelu(x)
+
+    def __call__(self, x):
+        skip = x
+        self.sow("intermediates", "input", x)
+
+        norm_vars_exist = ("batch_stats" in self.norm.variables
+                           and "params" in self.norm.variables)
+        if (self.fuse_batchnorm_linear and self.batchnorm and self.prenorm
+                and norm_vars_exist and not self.q_config.static_quant):
+            self.sow("intermediates", "pre_s5", x)
+            x, x_pre_c = self.mixer(x, bn_fusion=dict(
+                mean=self.norm.variables["batch_stats"]["mean"],
+                var=self.norm.variables["batch_stats"]["var"],
+                eps=self.norm.epsilon,
+                scale=self.norm.variables["params"]["scale"],
+                bias=self.norm.variables["params"]["bias"],
+            ))
+        else:
+            if self.prenorm:
+                x = self.norm(x)
+            self.sow("intermediates", "pre_s5", x)
+            x, x_pre_c = self.mixer(x)
+
+        self.sow("intermediates", "pre_C", x_pre_c)
+        x1 = self.drop(self._glu_act(x))
+        self.sow("intermediates", "pre_GLU", x)
+
+        if self.glu_variant == "full":
+            x = self.mult_gate(self.out1(x1), jax.nn.sigmoid(self.out2(x1)))
+            x = self.drop(x)
+        elif self.glu_variant == "half1":
+            x = self.mult_gate(x1, jax.nn.sigmoid(self.out2(x1)))
+            x = self.drop(x)
+        elif self.glu_variant == "half2":
+            x = self.mult_gate(x, jax.nn.sigmoid(self.out2(x1)))
+            x = self.drop(x)
+        else:  # "none"
+            x = x1
+
+        x = x + skip
+        if not self.prenorm:
+            x = self.norm(x)
+        if self.relufication:
+            x = jax.nn.relu(x)
+        if self.topk < 1.0 and self.approx_topk:
+            x = top_k_sparsity(x, int(self.topk * self.d_model))
+        elif self.topk < 1.0:
+            raise NotImplementedError("exact top-k not implemented")
+        return x

@@ -1,0 +1,82 @@
+"""Sharding rules: params, batches, and train state onto the mesh.
+
+Tensor-parallel layout for the S5 stack (SURVEY.md §7.3):
+  B (P, H, 2)      -> P rows on MODEL  (column-parallel input projection)
+  C/C1/C2 (H,P,2)  -> P cols on MODEL  (row-parallel output projection;
+                      XLA inserts the psum)
+  Lambda_*, log_step (P,...) -> MODEL  (scan state is P-sharded)
+  Dense kernels / biases / norms -> replicated
+Activations: batch on DATA, time on SEQ, state dim P on MODEL — XLA
+propagates these from the parameter/batch shardings under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sparsernns_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS
+
+_P_SHARDED_FIRST = ("B", "Lambda_re", "Lambda_im", "log_step")
+_P_SHARDED_MIDDLE = ("C", "C1", "C2")
+
+
+def param_spec(path) -> P:
+    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    leaf = names[-1] if names else ""
+    if leaf in _P_SHARDED_FIRST:
+        return P(MODEL_AXIS)  # first dim = P
+    if leaf in _P_SHARDED_MIDDLE:
+        return P(None, MODEL_AXIS)  # (H, P, 2)
+    return P()
+
+
+def param_sharding(params: Any, mesh: Mesh) -> Any:
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, param_spec(path)), params)
+
+
+def batch_sharding(mesh: Mesh, time_axis: int = -1) -> NamedSharding:
+    """Audio/STFT batches: batch dim on DATA (time kept replicated on SEQ
+    at the input; the seq-parallel scan re-shards internally)."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(batch, mesh: Mesh):
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def shard_train_state(state, mesh: Mesh):
+    """Place params/masks by the TP rules, batch_stats and opt state
+    replicated (opt state mirrors params; adam moments follow params'
+    sharding automatically when created under jit — here we place them
+    explicitly for the non-jit creation path)."""
+
+    def place_like_params(tree):
+        if tree is None:
+            return None
+        return jax.tree_util.tree_map_with_path(
+            lambda path, leaf: jax.device_put(
+                leaf, NamedSharding(mesh, param_spec(path))), tree)
+
+    replicate = lambda tree: jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())), tree)
+
+    new_params = place_like_params(state.params)
+    new_masks = place_like_params(state.masks)
+    new_stats = replicate(state.batch_stats) if state.batch_stats else state.batch_stats
+
+    def place_opt(leaf):
+        # moments have the same shape as their param; we cannot recover the
+        # path here, so replicate scalars and place arrays greedily by shape
+        # match is fragile — replicate everything (opt state is small for
+        # these models) and let jit re-shard on first step.
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    new_opt = jax.tree_util.tree_map(place_opt, state.opt_state)
+    return state.replace(params=new_params, masks=new_masks,
+                         batch_stats=new_stats, opt_state=new_opt)

@@ -1,0 +1,182 @@
+"""Jitted train/eval steps for classification and NDNS regression.
+
+Reference parity: train_step (train_helpers.py:1311), train_step_ndns
+(:1415), eval_step (:1494), eval_step_ndns (:1552), plus the pruning
+pre/post hooks (:844-845) and scale-gradient zeroing (:1353-1362).
+
+Step functions are built by factories that close over the model and static
+configuration, and are `jax.jit`-compiled once. Under a device mesh the same
+functions run SPMD via NamedSharding'd inputs (see parallel/).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sparsernns_tpu.train.losses import (STFT_MAG_MEAN, accuracy,
+                                         cross_entropy_loss,
+                                         ndns_loss_from_mask)
+from sparsernns_tpu.train.optim import zero_scale_gradients
+from sparsernns_tpu.train.pruning import MagnitudePruner
+from sparsernns_tpu.train.state import TrainState
+
+
+def _forward_params(state: TrainState, params,
+                    pruner: Optional[MagnitudePruner]):
+    if pruner is not None and pruner.cfg.enabled and state.masks is not None:
+        return pruner.apply_masks(params, state.masks)
+    return params
+
+
+def make_mask_update_fn(pruner: Optional[MagnitudePruner]):
+    """Per-step mask refresh (jitted; internally gated by the schedule)."""
+    if pruner is None or not pruner.cfg.enabled:
+        return lambda state: state
+
+    @jax.jit
+    def update(state: TrainState) -> TrainState:
+        masks = pruner.update_masks(state.params, state.masks, state.step)
+        return state.replace(masks=masks)
+
+    return update
+
+
+def make_ndns_train_step(
+    model,
+    batchnorm: bool = True,
+    pruner: Optional[MagnitudePruner] = None,
+    static_quant: bool = False,
+) -> Callable:
+    """NDNS denoising train step. Inputs are the STFT-split batch:
+    noisy_mag/noisy_phase/clean_mag (B, F, L) + clean audio (B, T)."""
+
+    @jax.jit
+    def step(state: TrainState, rng, noisy_mag, noisy_phase, clean_mag, clean):
+        drop_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            fwd = _forward_params(state, params, pruner)
+            x = jnp.transpose(noisy_mag - STFT_MAG_MEAN, (0, 2, 1))
+            variables = {"params": fwd}
+            mutable = []
+            if batchnorm or state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out, mod_vars = model.apply(
+                variables, x,
+                rngs={"dropout": drop_rng},
+                mutable=mutable,
+            )
+            mask = jnp.transpose(out, (0, 2, 1))
+            loss, snr, _ = ndns_loss_from_mask(
+                mask, noisy_mag, noisy_phase, clean_mag, clean)
+            return loss, (mod_vars, snr)
+
+        (loss, (mod_vars, snr)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        if static_quant:
+            grads = zero_scale_gradients(grads)
+        state = state.apply_gradients_with_stats(
+            grads=grads, batch_stats=mod_vars.get("batch_stats"))
+        return state, {"loss": loss, "si_snr": snr}
+
+    return step
+
+
+def make_ndns_eval_step(model, batchnorm: bool = True,
+                        pruner: Optional[MagnitudePruner] = None,
+                        mutable_stats: bool = False) -> Callable:
+    """Eval step; with ``mutable_stats=True`` the forward also updates
+    batch_stats (used for static-quant calibration passes, where observers
+    write min/max during eval — reference convert.py:881-967)."""
+
+    @jax.jit
+    def step(state: TrainState, noisy_mag, noisy_phase, clean_mag, clean):
+        fwd = _forward_params(state, state.params, pruner)
+        x = jnp.transpose(noisy_mag - STFT_MAG_MEAN, (0, 2, 1))
+        variables = {"params": fwd}
+        if batchnorm or state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        if mutable_stats:
+            out, mod_vars = model.apply(variables, x, mutable=["batch_stats"])
+        else:
+            out = model.apply(variables, x)
+            mod_vars = {}
+        mask = jnp.transpose(out, (0, 2, 1))
+        loss, snr, cleaned_mag = ndns_loss_from_mask(
+            mask, noisy_mag, noisy_phase, clean_mag, clean)
+        metrics = {"loss": loss, "si_snr": snr}
+        if mutable_stats:
+            return metrics, mod_vars.get("batch_stats")
+        return metrics
+
+    return step
+
+
+def make_classification_train_step(
+    model,
+    batchnorm: bool = True,
+    pruner: Optional[MagnitudePruner] = None,
+    static_quant: bool = False,
+) -> Callable:
+
+    @jax.jit
+    def step(state: TrainState, rng, inputs, labels):
+        drop_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            fwd = _forward_params(state, params, pruner)
+            variables = {"params": fwd}
+            mutable = []
+            if batchnorm or state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            logits, mod_vars = model.apply(
+                variables, inputs, rngs={"dropout": drop_rng},
+                mutable=mutable)
+            return cross_entropy_loss(logits, labels), (mod_vars, logits)
+
+        (loss, (mod_vars, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        if static_quant:
+            grads = zero_scale_gradients(grads)
+        state = state.apply_gradients_with_stats(
+            grads=grads, batch_stats=mod_vars.get("batch_stats"))
+        return state, {"loss": loss, "accuracy": accuracy(logits, labels)}
+
+    return step
+
+
+def make_classification_eval_step(model, batchnorm: bool = True,
+                                  pruner: Optional[MagnitudePruner] = None
+                                  ) -> Callable:
+
+    @jax.jit
+    def step(state: TrainState, inputs, labels):
+        fwd = _forward_params(state, state.params, pruner)
+        variables = {"params": fwd}
+        if batchnorm or state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        logits = model.apply(variables, inputs)
+        return {"loss": cross_entropy_loss(logits, labels),
+                "accuracy": accuracy(logits, labels)}
+
+    return step
+
+
+def capture_intermediates(model, state: TrainState, x,
+                          filter_fn=lambda mdl, method: True):
+    """Run a forward pass capturing sown/intermediate activations — the
+    golden-activation dump used by the fxp verification harness
+    (reference train_helpers.py:1079-1212, convert.py:358-374)."""
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    out, mod_vars = model.apply(
+        variables, x, mutable=["intermediates"],
+        capture_intermediates=filter_fn)
+    return out, mod_vars.get("intermediates", {})

@@ -1,0 +1,84 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: DP/TP sharded
+training step and the sequence-parallel scan."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsernns_tpu.ops.scan import associative_diag_scan
+from sparsernns_tpu.parallel.mesh import (DATA_AXIS, MODEL_AXIS, SEQ_AXIS,
+                                          MeshConfig, make_mesh)
+from sparsernns_tpu.parallel.seqscan import make_seq_parallel_scan
+from sparsernns_tpu.parallel.sharding import (param_sharding, shard_batch,
+                                              shard_train_state)
+
+
+def test_mesh_construction():
+    mesh = make_mesh(MeshConfig(data=-1, model=2, seq=2))
+    assert mesh.shape[DATA_AXIS] == 2
+    assert mesh.shape[MODEL_AXIS] == 2
+    assert mesh.shape[SEQ_AXIS] == 2
+
+    with pytest.raises(ValueError):
+        make_mesh(MeshConfig(data=3, model=3, seq=1))
+
+
+def test_seq_parallel_scan_matches_single_device(rng):
+    mesh = make_mesh(MeshConfig(data=1, model=1, seq=8))
+    p, l, b = 16, 64, 2
+    lam_c = 0.9 * np.exp(1j * rng.uniform(0, np.pi, p)) * rng.uniform(0.5, 1, p)
+    bu_c = rng.randn(b, l, p) + 1j * rng.randn(b, l, p)
+    lam = (jnp.asarray(lam_c.real, jnp.float32),
+           jnp.asarray(lam_c.imag, jnp.float32))
+    bu = (jnp.asarray(bu_c.real, jnp.float32),
+          jnp.asarray(bu_c.imag, jnp.float32))
+
+    expected = associative_diag_scan(lam, bu)
+    scan = make_seq_parallel_scan(mesh)
+    got = jax.jit(scan)(lam, bu)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(expected[0]),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(expected[1]),
+                               atol=2e-3)
+
+
+def test_sharded_train_step_matches_single_device(rng):
+    """DP×TP sharded NDNS train step == unsharded step (same math)."""
+    from tests.test_train import make_state, tiny_ndns_model
+    from sparsernns_tpu.train.steps import make_ndns_train_step
+
+    model = tiny_ndns_model(d_io=33)
+    x = jnp.asarray(rng.randn(4, 16, 33), jnp.float32)
+    state = make_state(model, x)
+
+    noisy_mag = jnp.transpose(x, (0, 2, 1)) ** 2
+    noisy_phase = jnp.zeros_like(noisy_mag)
+    clean = jnp.asarray(rng.randn(4, 15 * 128), jnp.float32)
+    clean_mag = noisy_mag * 0.9
+    step = make_ndns_train_step(model, batchnorm=True)
+    key = jax.random.PRNGKey(0)
+
+    _, metrics_ref = step(state, key, noisy_mag, noisy_phase, clean_mag, clean)
+
+    mesh = make_mesh(MeshConfig(data=4, model=2, seq=1))
+    state_sh = shard_train_state(state, mesh)
+    batch_sh = shard_batch((noisy_mag, noisy_phase, clean_mag, clean), mesh)
+    new_state, metrics_sh = step(state_sh, key, *batch_sh)
+    np.testing.assert_allclose(float(metrics_sh["loss"]),
+                               float(metrics_ref["loss"]), rtol=1e-4)
+    # params remain TP-sharded after the step
+    b_sharding = new_state.params["encoder"]["layers_0"]["mixer"]["B"].sharding
+    assert b_sharding.spec[0] == MODEL_AXIS
+
+
+def test_param_sharding_rules(rng):
+    mesh = make_mesh(MeshConfig(data=4, model=2, seq=1))
+    params = {"mixer": {"B": jnp.ones((8, 4, 2)), "C": jnp.ones((4, 8, 2)),
+                        "Lambda_re": jnp.ones((8,)), "D": jnp.ones((4,))},
+              "encoder": {"kernel": jnp.ones((4, 4))}}
+    shardings = param_sharding(params, mesh)
+    assert shardings["mixer"]["B"].spec[0] == MODEL_AXIS
+    assert shardings["mixer"]["C"].spec[1] == MODEL_AXIS
+    assert shardings["mixer"]["D"].spec == ()
+    assert shardings["encoder"]["kernel"].spec == ()

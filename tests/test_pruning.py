@@ -1,0 +1,115 @@
+"""Magnitude-STE pruning engine tests (replaces jaxpruner; SURVEY.md §2.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparsernns_tpu.train.pruning import (MagnitudePruner, PruningConfig,
+                                          pruning_recipes, scheduled_sparsity,
+                                          sparsity_distribution,
+                                          summarize_sparsity)
+
+
+def _params(rng):
+    return {
+        "encoder": {"kernel": jnp.asarray(rng.randn(16, 32), jnp.float32),
+                    "bias": jnp.asarray(rng.randn(32), jnp.float32)},
+        "ssm": {"B": jnp.asarray(rng.randn(8, 16, 2), jnp.float32),
+                "Lambda_re": jnp.asarray(rng.randn(8), jnp.float32)},
+    }
+
+
+def test_recipes_shape():
+    r = pruning_recipes(epochs=10, steps_per_epoch=100)
+    assert not r["no_prune"].enabled
+    cfg = r["iterative-ste-mag-0.9"]
+    assert cfg.final_sparsity == 0.9
+    assert cfg.update_start == 50 and cfg.update_end == 900
+    assert cfg.update_freq == 50
+
+
+def test_schedule_cubic():
+    cfg = PruningConfig(final_sparsity=0.8, update_start=0, update_end=100)
+    assert float(scheduled_sparsity(cfg, jnp.asarray(0))) == 0.0
+    np.testing.assert_allclose(
+        float(scheduled_sparsity(cfg, jnp.asarray(100))), 0.8, atol=1e-6)
+    mid = float(scheduled_sparsity(cfg, jnp.asarray(50)))
+    assert 0.6 < mid < 0.8  # cubic front-loads sparsification
+
+
+def test_distribution_skips_small_leaves(rng):
+    params = _params(rng)
+    cfg = PruningConfig(final_sparsity=0.5)
+    rel = sparsity_distribution(params, cfg)
+    assert rel["encoder"]["bias"] == 0.0
+    assert rel["ssm"]["Lambda_re"] == 0.0
+    assert rel["encoder"]["kernel"] > 0.0
+    assert rel["ssm"]["B"] > 0.0
+
+
+def test_erk_global_sparsity_achieved(rng):
+    params = _params(rng)
+    cfg = PruningConfig(final_sparsity=0.5, update_start=0, update_end=10,
+                        update_freq=1)
+    pruner = MagnitudePruner(cfg)
+    masks = pruner.init_masks(params)
+    masks = pruner.update_masks(params, masks, jnp.asarray(10))
+    masked = jax.tree_util.tree_map(lambda p, m: p * m, params, masks)
+    s = summarize_sparsity(
+        {"k": masked["encoder"]["kernel"], "B": masked["ssm"]["B"]})
+    assert 0.4 < s["_total_sparsity"] < 0.6
+
+
+def test_ste_masked_forward_dense_gradient(rng):
+    params = {"w": jnp.asarray(rng.randn(8, 8), jnp.float32)}
+    cfg = PruningConfig(final_sparsity=0.5, update_start=0, update_end=1,
+                        update_freq=1, distribution="uniform")
+    pruner = MagnitudePruner(cfg)
+    masks = pruner.init_masks(params)
+    masks = pruner.update_masks(params, masks, jnp.asarray(1))
+    assert 0.3 < float(1 - masks["w"].mean()) < 0.7
+
+    v = jnp.asarray(rng.randn(8, 8), jnp.float32)
+
+    def loss(p):
+        masked = pruner.apply_masks(p, masks)
+        return jnp.sum(masked["w"] * v)
+
+    g = jax.grad(loss)(params)
+    # STE: dL/dp == dL/dmasked everywhere, even at pruned coordinates
+    np.testing.assert_allclose(np.asarray(g["w"]), np.asarray(v), atol=1e-6)
+
+    # hard mode: pruned coordinates get zero gradient
+    hard = MagnitudePruner(
+        PruningConfig(final_sparsity=0.5, update_start=0, update_end=1,
+                      update_freq=1, distribution="uniform", mode="hard"))
+
+    def loss_hard(p):
+        return jnp.sum(hard.apply_masks(p, masks)["w"] * v)
+
+    gh = jax.grad(loss_hard)(params)
+    assert float((jnp.abs(gh["w"]) > 0).mean()) < 0.7
+
+
+def test_mask_update_respects_schedule_gate(rng):
+    params = {"w": jnp.asarray(rng.randn(8, 8), jnp.float32)}
+    cfg = PruningConfig(final_sparsity=0.5, update_start=10, update_end=20,
+                        update_freq=5, distribution="uniform")
+    pruner = MagnitudePruner(cfg)
+    masks = pruner.init_masks(params)
+    # before start: unchanged
+    m1 = pruner.update_masks(params, masks, jnp.asarray(3))
+    assert float(m1["w"].mean()) == 1.0
+    # mid-schedule on an update step: prunes
+    m2 = pruner.update_masks(params, masks, jnp.asarray(15))
+    assert float(m2["w"].mean()) < 1.0
+    # mid-schedule off an update step: unchanged
+    m3 = pruner.update_masks(params, masks, jnp.asarray(16))
+    assert float(m3["w"].mean()) == 1.0
+
+
+def test_no_prune_passthrough(rng):
+    params = {"w": jnp.asarray(rng.randn(4, 4), jnp.float32)}
+    pruner = MagnitudePruner(PruningConfig())
+    masks = pruner.init_masks(params)
+    assert pruner.apply_masks(params, masks) is params

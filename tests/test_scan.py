@@ -1,0 +1,119 @@
+"""Scan backends: associative vs sequential vs numpy reference equality —
+the property-test version of the reference's --validate_naive_scan gate
+(convert.py:380-410)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsernns_tpu.ops.scan import (apply_carry, associative_diag_scan,
+                                     diag_ssm_scan, lambda_powers,
+                                     sequential_diag_scan)
+
+
+def _random_inputs(rng, b=2, l=33, p=8):
+    lam = 0.9 * np.exp(1j * rng.uniform(0, np.pi, size=p))
+    lam = lam * rng.uniform(0.5, 1.0, size=p)
+    bu = rng.randn(b, l, p) + 1j * rng.randn(b, l, p)
+    return lam, bu
+
+
+def _numpy_scan(lam, bu, reverse=False):
+    out = np.zeros_like(bu)
+    t_range = range(bu.shape[1])
+    if reverse:
+        t_range = reversed(list(t_range))
+    x = np.zeros_like(bu[:, 0])
+    for t in t_range:
+        x = lam * x + bu[:, t]
+        out[:, t] = x
+    return out
+
+
+def _to_pairs(lam, bu):
+    return ((jnp.asarray(lam.real, jnp.float32), jnp.asarray(lam.imag, jnp.float32)),
+            (jnp.asarray(bu.real, jnp.float32), jnp.asarray(bu.imag, jnp.float32)))
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_associative_matches_numpy(rng, reverse):
+    lam, bu = _random_inputs(rng)
+    lam_p, bu_p = _to_pairs(lam, bu)
+    xs = associative_diag_scan(lam_p, bu_p, reverse=reverse)
+    expected = _numpy_scan(lam, bu, reverse=reverse)
+    np.testing.assert_allclose(xs[0], expected.real, atol=1e-4)
+    np.testing.assert_allclose(xs[1], expected.imag, atol=1e-4)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_sequential_matches_associative(rng, reverse):
+    lam, bu = _random_inputs(rng)
+    lam_p, bu_p = _to_pairs(lam, bu)
+    xs_a = diag_ssm_scan(lam_p, bu_p, mode="associative", reverse=reverse)
+    xs_s = diag_ssm_scan(lam_p, bu_p, mode="sequential", reverse=reverse)
+    np.testing.assert_allclose(xs_a[0], xs_s[0], atol=1e-4)
+    np.testing.assert_allclose(xs_a[1], xs_s[1], atol=1e-4)
+
+
+def test_sequential_returns_final_state(rng):
+    lam, bu = _random_inputs(rng)
+    lam_p, bu_p = _to_pairs(lam, bu)
+    xs, x_final = sequential_diag_scan(lam_p, bu_p)
+    np.testing.assert_allclose(x_final[0], xs[0][:, -1], atol=1e-6)
+    np.testing.assert_allclose(x_final[1], xs[1][:, -1], atol=1e-6)
+
+
+def test_carry_chaining_matches_full_scan(rng):
+    """Scanning two chunks with carry passing == scanning the whole sequence.
+    This is the invariant behind streaming inference and cross-chip
+    sequence parallelism."""
+    lam, bu = _random_inputs(rng, l=40)
+    lam_p, bu_p = _to_pairs(lam, bu)
+    full = diag_ssm_scan(lam_p, bu_p, mode="sequential")
+
+    first = (bu_p[0][:, :20], bu_p[1][:, :20])
+    second = (bu_p[0][:, 20:], bu_p[1][:, 20:])
+    xs1, carry = sequential_diag_scan(lam_p, first)
+    xs2, _ = sequential_diag_scan(lam_p, second, carry_init=carry)
+    np.testing.assert_allclose(xs1[0], full[0][:, :20], atol=1e-4)
+    np.testing.assert_allclose(xs2[0], full[0][:, 20:], atol=1e-4)
+    np.testing.assert_allclose(xs2[1], full[1][:, 20:], atol=1e-4)
+
+
+def test_apply_carry_matches_sequential_carry(rng):
+    """Associative chunk scan + carry correction == sequential with carry."""
+    lam, bu = _random_inputs(rng, l=16)
+    lam_p, bu_p = _to_pairs(lam, bu)
+    carry = (jnp.asarray(rng.randn(2, 8), jnp.float32),
+             jnp.asarray(rng.randn(2, 8), jnp.float32))
+    xs_seq, _ = sequential_diag_scan(lam_p, bu_p, carry_init=carry)
+    xs_assoc = associative_diag_scan(lam_p, bu_p)
+    xs_corr = apply_carry(xs_assoc, lam_p, carry)
+    np.testing.assert_allclose(xs_corr[0], xs_seq[0], atol=1e-3)
+    np.testing.assert_allclose(xs_corr[1], xs_seq[1], atol=1e-3)
+
+
+def test_lambda_powers(rng):
+    lam, _ = _random_inputs(rng, p=4)
+    lam_p = (jnp.asarray(lam.real, jnp.float32), jnp.asarray(lam.imag, jnp.float32))
+    pw = lambda_powers(lam_p, 5)
+    expected = np.stack([lam ** k for k in range(1, 6)])
+    np.testing.assert_allclose(pw[0], expected.real, atol=1e-4)
+    np.testing.assert_allclose(pw[1], expected.imag, atol=1e-4)
+
+
+def test_state_requant_sequential(rng):
+    """Per-step requant runs and stays close to the float scan for fine scales."""
+    lam, bu = _random_inputs(rng, l=12)
+    lam_p, bu_p = _to_pairs(lam, bu)
+
+    def requant(x):
+        s = 2.0 ** -10
+        return (jnp.round(x[0] / s) * s, jnp.round(x[1] / s) * s)
+
+    xs_q = diag_ssm_scan(lam_p, bu_p, mode="sequential", state_requant=requant)
+    xs = diag_ssm_scan(lam_p, bu_p, mode="sequential")
+    np.testing.assert_allclose(xs_q[0], xs[0], atol=1e-2)
+
+    with pytest.raises(NotImplementedError):
+        diag_ssm_scan(lam_p, bu_p, mode="associative", state_requant=requant)
