@@ -1,0 +1,262 @@
+"""Build the integer (fxp) model from a calibrated static-quant checkpoint.
+
+Replaces the reference's `sparseRNNs/fxputils.py` (observer-stats ->
+exponent/bit derivation, per-block qconfig extraction, target-bit
+truncation) with structured traversal of this framework's own module tree
+instead of string surgery over flattened keys:
+
+- weight formats are best-fit from the actual (discretized, BN-folded)
+  weight values (`spec_for`, the intbits/fracbits rule of
+  fxputils.py:67-80)
+- activation formats come from the calibration scales recorded by the
+  FakeQuant observers (pow2 scale -> exponent, fxputils.py:121-134),
+  looked up in params (frozen) or batch_stats (calibrating)
+- target bit-widths come from the QuantizationConfig recipe (w8a16 etc.,
+  the add_target_bits_exp role of fxputils.py:453-786)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from sparsernns_tpu.fxp.model import (FxpBatchNorm, FxpDense,
+                                      FxpClassificationModel,
+                                      FxpRegressionModel, FxpSSM,
+                                      FxpSSMSpecs, FxpSequenceLayer,
+                                      FxpSpec, FxpStackedEncoder,
+                                      exp_from_scale, spec_for)
+from sparsernns_tpu.quantize.config import QuantizationConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class FxpModelConfig:
+    """Static model hyperparameters the fxp engine needs (inferred from the
+    checkpoint shapes where possible — reference fxprun.py:378-391)."""
+
+    n_layers: int
+    d_model: int
+    ssm_size: int  # P (after conj-sym halving)
+    d_input: int
+    d_output: int
+    conj_sym: bool = True
+    clip_eigs: bool = True
+    discretization: str = "zoh"
+    step_rescale: float = 1.0
+    glu_variant: str = "half1"
+    prenorm: bool = True
+    relufication: bool = True
+    fuse_batchnorm_linear: bool = False
+    task: str = "regression"  # or "classification"
+
+    @staticmethod
+    def infer(params: Dict[str, Any], **overrides) -> "FxpModelConfig":
+        enc = params["encoder"]
+        layers = [k for k in enc if k.startswith("layers_")]
+        mixer = enc["layers_0"]["mixer"]
+        p, h, _ = np.asarray(mixer["B"]).shape
+        d_input = np.asarray(enc["encoder"]["kernel"]).shape[0]
+        d_output = np.asarray(params["decoder"]["kernel"]).shape[1]
+        kw = dict(n_layers=len(layers), d_model=h, ssm_size=p,
+                  d_input=d_input, d_output=d_output)
+        kw.update(overrides)
+        return FxpModelConfig(**kw)
+
+
+def _get(tree: Dict[str, Any], *path, default=None):
+    cur = tree
+    for key in path:
+        if cur is None or key not in cur:
+            return default
+        cur = cur[key]
+    return cur
+
+
+def _scale(params, stats, *path) -> Optional[float]:
+    """Scale for a FakeQuant module at ``path``: frozen (params) first,
+    then the calibration copy (batch_stats)."""
+    s = _get(params, *path, "scale")
+    if s is None:
+        s = _get(stats, *path, "scale")
+    if s is None:
+        return None
+    return float(np.asarray(s))
+
+
+def _act_spec(params, stats, path, bits: int,
+              fallback_exp: Optional[int] = None) -> FxpSpec:
+    s = _scale(params, stats, *path)
+    if s is None:
+        # No frozen/calibrated scale — derive one from raw observer stats.
+        obs = _get(stats, *path, "observer")
+        if obs is not None:
+            absmax = float(np.maximum(np.abs(obs["observer_min"]),
+                                      np.abs(obs["observer_max"])).max())
+            if absmax > 0 and np.isfinite(absmax):
+                qmax = 2.0 ** (bits - 1) - 1.0
+                s = 2.0 ** round(np.log2(absmax / qmax))
+    if s is None:
+        if fallback_exp is None:
+            raise KeyError(f"no calibration scale at {'/'.join(path)}")
+        return FxpSpec(bits, fallback_exp)
+    return FxpSpec(bits, exp_from_scale(s))
+
+
+def _discretize(mixer_params, cfg: FxpModelConfig):
+    """Float discretization + BN-independent operand prep (mirrors the
+    model's own discretized(); reference fxpmodel.py:426-608)."""
+    import jax.numpy as jnp
+
+    from sparsernns_tpu.models.ssm import discretize_bilinear, discretize_zoh
+
+    lam_re = np.asarray(mixer_params["Lambda_re"])
+    lam_im = np.asarray(mixer_params["Lambda_im"])
+    if cfg.clip_eigs:
+        lam_re = np.minimum(lam_re, -1e-4)
+    b = np.asarray(mixer_params["B"])
+    log_step = np.asarray(mixer_params["log_step"])
+    step = cfg.step_rescale * np.exp(log_step[:, 0])
+    fn = discretize_zoh if cfg.discretization == "zoh" else discretize_bilinear
+    lam_bar, b_bar = fn((jnp.asarray(lam_re), jnp.asarray(lam_im)),
+                        (jnp.asarray(b[..., 0]), jnp.asarray(b[..., 1])),
+                        jnp.asarray(step))
+    lam_bar = (np.asarray(lam_bar[0]), np.asarray(lam_bar[1]))
+    b_bar = (np.asarray(b_bar[0]), np.asarray(b_bar[1]))
+    if "C" in mixer_params:
+        c = np.asarray(mixer_params["C"])
+        c_tilde = (c[..., 0], c[..., 1])
+    else:
+        c1 = np.asarray(mixer_params["C1"])
+        c2 = np.asarray(mixer_params["C2"])
+        c_tilde = (np.concatenate([c1[..., 0], c2[..., 0]], -1),
+                   np.concatenate([c1[..., 1], c2[..., 1]], -1))
+    d = np.asarray(mixer_params["D"])
+    return lam_bar, b_bar, c_tilde, d
+
+
+def build_fxp_model(
+    params: Dict[str, Any],
+    batch_stats: Dict[str, Any],
+    q_config: QuantizationConfig,
+    model_cfg: Optional[FxpModelConfig] = None,
+    **cfg_overrides,
+):
+    """Calibrated checkpoint -> FxpRegressionModel / FxpClassificationModel.
+
+    ``params``/``batch_stats`` are the static-quant model's variable trees
+    (scales frozen into params via move_scales_to_params, or still in
+    batch_stats right after calibration — both layouts are accepted).
+    """
+    if model_cfg is None:
+        model_cfg = FxpModelConfig.infer(params, **cfg_overrides)
+    cfg = model_cfg
+    act_bits = q_config.non_ssm_act_precision or 16
+    ssm_act_bits = q_config.ssm_act_precision or 16
+    w_bits = q_config.non_ssm_precision or 8
+
+    enc_p = params["encoder"]
+    enc_s = batch_stats.get("encoder", {}) if batch_stats else {}
+
+    # --- encoder dense ---
+    in_spec = _act_spec(enc_p, enc_s, ("encoder", "quant_input"), act_bits,
+                        fallback_exp=act_bits - 2)
+    enc_out_spec = _act_spec(enc_p, enc_s, ("encoder", "quant_output"),
+                             act_bits, fallback_exp=act_bits - 3)
+    encoder_dense = FxpDense(
+        np.asarray(_get(enc_p, "encoder", "kernel")),
+        np.asarray(_get(enc_p, "encoder", "bias")),
+        in_spec, w_bits, enc_out_spec)
+
+    act_spec = FxpSpec(act_bits, enc_out_spec.exp)  # residual stream format
+
+    layers = []
+    for i in range(cfg.n_layers):
+        lp = enc_p[f"layers_{i}"]
+        ls = enc_s.get(f"layers_{i}", {})
+        mp = lp["mixer"]
+        ms = ls.get("mixer", {})
+
+        lam_bar, b_bar, c_tilde, d = _discretize(mp, cfg)
+
+        u_spec = _act_spec(mp, ms, ("quant_ut",), ssm_act_bits,
+                           fallback_exp=ssm_act_bits - 3)
+        bu_specs = (
+            _act_spec(mp, ms, ("quant_but", "quant_real"), ssm_act_bits,
+                      fallback_exp=ssm_act_bits - 3),
+            _act_spec(mp, ms, ("quant_but", "quant_imag"), ssm_act_bits,
+                      fallback_exp=ssm_act_bits - 3))
+        x_specs = (
+            _act_spec(mp, ms, ("quant_xt", "quant_real"), ssm_act_bits,
+                      fallback_exp=ssm_act_bits - 4),
+            _act_spec(mp, ms, ("quant_xt", "quant_imag"), ssm_act_bits,
+                      fallback_exp=ssm_act_bits - 4))
+        y_spec = _act_spec(mp, ms, ("quant_yt",), ssm_act_bits,
+                           fallback_exp=ssm_act_bits - 3)
+
+        specs = FxpSSMSpecs(
+            a=(spec_for(lam_bar[0], q_config.a_precision or 16),
+               spec_for(lam_bar[1], q_config.a_precision or 16)),
+            b=spec_for(np.stack(b_bar), q_config.b_precision or 8),
+            c=spec_for(np.stack(c_tilde), q_config.c_precision or 8),
+            d=spec_for(d, q_config.d_precision or 8),
+            u=u_spec, bu=bu_specs, x=x_specs, y=y_spec)
+
+        norm_p = lp.get("norm")
+        norm_s = ls.get("norm")
+        norm = None
+        if norm_p is not None or norm_s is not None:
+            norm = FxpBatchNorm(
+                mean=np.asarray(_get(ls, "norm", "mean",
+                                     default=np.zeros(cfg.d_model))),
+                var=np.asarray(_get(ls, "norm", "var",
+                                    default=np.ones(cfg.d_model))),
+                scale=np.asarray(_get(lp, "norm", "scale",
+                                      default=np.ones(cfg.d_model))),
+                bias=np.asarray(_get(lp, "norm", "bias",
+                                     default=np.zeros(cfg.d_model))),
+                eps=1e-5, in_spec=act_spec, out_spec=u_spec)
+
+        ssm = FxpSSM(lam_bar, b_bar, c_tilde, d, specs,
+                     conj_sym=cfg.conj_sym, relufication=False)
+
+        out2 = out1 = None
+        if cfg.glu_variant in ("full", "half1", "half2"):
+            out2 = FxpDense(
+                np.asarray(_get(lp, "out2", "kernel")),
+                np.asarray(_get(lp, "out2", "bias")),
+                _act_spec(lp, ls, ("out2", "quant_input"), act_bits,
+                          fallback_exp=y_spec.exp),
+                w_bits,
+                _act_spec(lp, ls, ("out2", "quant_output"), act_bits,
+                          fallback_exp=act_bits - 4))
+        if cfg.glu_variant == "full":
+            out1 = FxpDense(
+                np.asarray(_get(lp, "out1", "kernel")),
+                np.asarray(_get(lp, "out1", "bias")),
+                _act_spec(lp, ls, ("out1", "quant_input"), act_bits,
+                          fallback_exp=y_spec.exp),
+                w_bits,
+                _act_spec(lp, ls, ("out1", "quant_output"), act_bits,
+                          fallback_exp=act_bits - 4))
+
+        layers.append(FxpSequenceLayer(
+            ssm=ssm, norm=norm, out2=out2, out1=out1,
+            glu_variant=cfg.glu_variant, act_spec=act_spec,
+            relufication=cfg.relufication, prenorm=cfg.prenorm))
+
+    dec_in = _act_spec(params, batch_stats, ("decoder", "quant_input"),
+                       act_bits, fallback_exp=act_spec.exp)
+    dec_out = _act_spec(params, batch_stats, ("decoder", "quant_output"),
+                        act_bits, fallback_exp=act_bits - 4)
+    decoder = FxpDense(
+        np.asarray(_get(params, "decoder", "kernel")),
+        np.asarray(_get(params, "decoder", "bias")),
+        dec_in, w_bits, dec_out)
+
+    encoder = FxpStackedEncoder(encoder_dense, layers,
+                                relufication=cfg.relufication)
+    if cfg.task == "classification":
+        return FxpClassificationModel(encoder, decoder, in_spec)
+    return FxpRegressionModel(encoder, decoder, in_spec)

@@ -1,0 +1,458 @@
+"""Fixed-point (integer) inference engine for the S5 stack.
+
+Capability parity with the reference `sparseRNNs/fxpmodel.py` (FxpDense,
+FxpSSM with integer recurrence, FxpBatchNorm, FxpSigmoid LUT,
+FxpSequenceLayer, FxpStackedEncoderModel, FxpRegression/Classification
+models, per-module export of params+config+intermediates).
+
+Design: plain dataclasses holding FxpArray weights with STATIC
+(bits, exp, signed) configs — every forward is jit-compilable, and the
+integer recurrence runs as pure shift/multiply int32 ops under `lax.scan`
+(reference fxpmodel.py:147-208). The engine's role is bit-exact
+verification of the quantized TPU kernels and export for integer NPUs;
+the serving path is the Pallas kernels.
+
+Specs are derived from a calibrated static-quant checkpoint by
+`sparsernns_tpu.fxp.derive` (the fxputils.py replacement).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparsernns_tpu.fxp.array import (ComplexFxpArray, FxpArray, RoundingMode,
+                                      fxp_add, fxp_change_cfg, fxp_from_fp,
+                                      fxp_matmul, fxp_mul, fxp_relu,
+                                      fxp_rshift_round)
+
+
+@dataclasses.dataclass(frozen=True)
+class FxpSpec:
+    """Static fixed-point format: value = int(data) / 2^exp, int has
+    ``bits`` bits, two's complement if signed."""
+
+    bits: int
+    exp: int
+    signed: bool = True
+
+    def quantize(self, x: jax.Array,
+                 round_mode: RoundingMode = RoundingMode.ROUND) -> FxpArray:
+        return fxp_from_fp(x, self.bits, self.exp, self.signed, round_mode)
+
+    def cast(self, x: FxpArray,
+             round_mode: RoundingMode = RoundingMode.FLOOR) -> FxpArray:
+        return fxp_change_cfg(x, self.bits, self.exp, self.signed, round_mode)
+
+
+def spec_for(x: np.ndarray | jax.Array, bits: int,
+             signed: bool = True) -> FxpSpec:
+    """Best exponent for representing ``x`` in ``bits`` bits: the fxputils
+    intbits/fracbits assignment (reference fxputils.py:67-80, :453-786)."""
+    absmax = float(jnp.max(jnp.abs(x)))
+    if absmax == 0.0:
+        return FxpSpec(bits, bits - 1 if signed else bits, signed)
+    intbits = max(0, int(np.ceil(np.log2(absmax + 1e-12))))
+    exp = max(0, bits - intbits - (1 if signed else 0))
+    return FxpSpec(bits, exp, signed)
+
+
+def exp_from_scale(scale: float, clamp_min: int = 0) -> int:
+    """Power-of-2 quantization scale -> fxp exponent (scale = 2^-exp).
+    Reference: load_modeldict's log2 of scales (fxputils.py:121-134)."""
+    return max(clamp_min, int(round(-np.log2(float(scale)))))
+
+
+# ---------------------------------------------------------------------------
+# Modules
+# ---------------------------------------------------------------------------
+
+class FxpModule:
+    """Base: intermediates capture for the verification Reporter
+    (reference FxpModule fxpmodel.py:260-289)."""
+
+    def __init__(self):
+        self.intermediates: Dict[str, Any] = {}
+        self.store_intermediates = False
+
+    def sow(self, name: str, value):
+        if self.store_intermediates:
+            if isinstance(value, FxpArray):
+                value = value.to_float()
+            elif isinstance(value, ComplexFxpArray):
+                value = value.to_float()
+            self.intermediates[name] = value
+
+    def set_store_intermediates(self, on: bool):
+        self.store_intermediates = on
+        for child in self.__dict__.values():
+            if isinstance(child, FxpModule):
+                child.set_store_intermediates(on)
+            elif isinstance(child, (list, tuple)):
+                for c in child:
+                    if isinstance(c, FxpModule):
+                        c.set_store_intermediates(on)
+
+    def collect_intermediates(self, prefix: str = "") -> Dict[str, Any]:
+        out = {f"{prefix}{k}": v for k, v in self.intermediates.items()}
+        for name, child in self.__dict__.items():
+            if isinstance(child, FxpModule):
+                out.update(child.collect_intermediates(f"{prefix}{name}."))
+            elif isinstance(child, (list, tuple)):
+                for i, c in enumerate(child):
+                    if isinstance(c, FxpModule):
+                        out.update(
+                            c.collect_intermediates(f"{prefix}{name}_{i}."))
+        return out
+
+    def export(self) -> Dict[str, Any]:
+        """Self-describing export bundle (int data + specs)."""
+        out = {"type": type(self).__name__}
+        for name, val in self.__dict__.items():
+            if isinstance(val, FxpArray):
+                out[name] = {"data": np.asarray(val.data), "bits": val.bits,
+                             "exp": val.exp, "signed": val.signed}
+            elif isinstance(val, ComplexFxpArray):
+                out[name] = {
+                    "real": {"data": np.asarray(val.real.data),
+                             "bits": val.real.bits, "exp": val.real.exp},
+                    "imag": {"data": np.asarray(val.imag.data),
+                             "bits": val.imag.bits, "exp": val.imag.exp}}
+            elif isinstance(val, FxpSpec):
+                out[name] = dataclasses.asdict(val)
+            elif isinstance(val, FxpModule):
+                out[name] = val.export()
+            elif isinstance(val, list) and val and isinstance(val[0], FxpModule):
+                out[name] = [m.export() for m in val]
+        return out
+
+
+class FxpDense(FxpModule):
+    """Integer dense: y = requant(x_q @ W_q + bias).
+    Reference: FxpDense fxpmodel.py:292-393."""
+
+    def __init__(self, kernel: np.ndarray, bias: Optional[np.ndarray],
+                 in_spec: FxpSpec, w_bits: int, out_spec: FxpSpec):
+        super().__init__()
+        self.in_spec = in_spec
+        self.out_spec = out_spec
+        w_spec = spec_for(kernel, w_bits)
+        self.w = w_spec.quantize(jnp.asarray(kernel))
+        acc_exp = in_spec.exp + w_spec.exp
+        self.bias = (fxp_from_fp(jnp.asarray(bias), 32, acc_exp,
+                                 round_mode=RoundingMode.ROUND)
+                     if bias is not None else None)
+
+    def __call__(self, x: FxpArray) -> FxpArray:
+        x = self.in_spec.cast(x)
+        self.sow("input", x)
+        acc = fxp_matmul(x, self.w, result_bits=32,
+                         result_exp=x.exp + self.w.exp)
+        if self.bias is not None:
+            acc = fxp_add(acc, self.bias, result_bits=32)
+        y = self.out_spec.cast(acc)
+        self.sow("output", y)
+        return y
+
+
+class FxpBatchNorm(FxpModule):
+    """Folded inference batchnorm: y = w ⊙ x + b with w = γ/√(σ²+ε),
+    b = β − μ·w, both pre-quantized. Reference: FxpBatchNorm
+    fxpmodel.py:850-968 (incl. its NaN-patching of degenerate stats)."""
+
+    def __init__(self, mean, var, scale, bias, eps: float,
+                 in_spec: FxpSpec, out_spec: FxpSpec, w_bits: int = 16):
+        super().__init__()
+        w = np.asarray(scale) / np.sqrt(np.asarray(var) + eps)
+        b = np.asarray(bias) - np.asarray(mean) * w
+        w = np.nan_to_num(w, nan=1.0, posinf=1.0, neginf=1.0)
+        b = np.nan_to_num(b, nan=0.0)
+        self.w = spec_for(w, w_bits).quantize(jnp.asarray(w))
+        self.b_spec = spec_for(b, 16)
+        self.b = self.b_spec.quantize(jnp.asarray(b))
+        self.in_spec = in_spec
+        self.out_spec = out_spec
+
+    def __call__(self, x: FxpArray) -> FxpArray:
+        x = self.in_spec.cast(x)
+        wx = fxp_mul(x, self.w, result_exp=self.out_spec.exp,
+                     result_bits=32, round_mode=RoundingMode.ROUND)
+        y = fxp_add(wx, self.b, result_bits=32)
+        y = self.out_spec.cast(y)
+        self.sow("output", y)
+        return y
+
+
+class FxpSigmoid(FxpModule):
+    """Piecewise-linear integer sigmoid LUT with interpolation.
+    Reference: FxpSigmoid fxpmodel.py:70-144 (8-entry interpolated);
+    here 16 unit-width segments over [-8, 8]."""
+
+    RANGE = 8  # segments cover [-RANGE, RANGE)
+
+    def __init__(self, out_spec: FxpSpec):
+        super().__init__()
+        assert not out_spec.signed or out_spec.exp <= out_spec.bits - 1
+        self.out_spec = out_spec
+        edges = np.arange(-self.RANGE, self.RANGE + 1, 1.0)
+        vals = 1.0 / (1.0 + np.exp(-edges))
+        y0 = vals[:-1]
+        slope = vals[1:] - vals[:-1]  # per unit input
+        e = out_spec.exp
+        self.y0 = jnp.asarray(np.round(y0 * (1 << e)), jnp.int32)
+        self.slope = jnp.asarray(np.round(slope * (1 << e)), jnp.int32)
+
+    def __call__(self, x: FxpArray) -> FxpArray:
+        n_seg = 2 * self.RANGE
+        idx = (x.data >> x.exp) + self.RANGE
+        idx = jnp.clip(idx, 0, n_seg - 1)
+        frac = x.data - ((idx - self.RANGE) << x.exp)  # in [0, 2^exp)
+        y = self.y0[idx] + fxp_rshift_round(
+            self.slope[idx] * frac, x.exp, RoundingMode.ROUND)
+        out = FxpArray(y, self.out_spec.bits, self.out_spec.exp,
+                       self.out_spec.signed).clip()
+        self.sow("output", out)
+        return out
+
+
+@dataclasses.dataclass(frozen=True)
+class FxpSSMSpecs:
+    """Formats for every tensor in the integer SSM."""
+
+    a: Tuple[FxpSpec, FxpSpec]       # Λ̄ re/im
+    b: FxpSpec                        # B̄ weights (shared re/im format)
+    c: FxpSpec                        # C weights
+    d: FxpSpec                        # D
+    u: FxpSpec                        # input activations
+    bu: Tuple[FxpSpec, FxpSpec]      # B̄u re/im
+    x: Tuple[FxpSpec, FxpSpec]       # state re/im
+    y: FxpSpec                        # output activations
+
+
+class FxpSSM(FxpModule):
+    """Integer S5: B̄u matmuls, shift/mul recurrence under lax.scan, C/D
+    application. Reference: FxpSSM fxpmodel.py:426-793 (discretize in
+    float, quantize Ā/B̄/C/D, integer recurrent loop, BN fusion)."""
+
+    def __init__(self, lam_bar: Tuple[np.ndarray, np.ndarray],
+                 b_bar: Tuple[np.ndarray, np.ndarray],
+                 c_tilde: Tuple[np.ndarray, np.ndarray],
+                 d: np.ndarray, specs: FxpSSMSpecs, conj_sym: bool = True,
+                 relufication: bool = False,
+                 d_bias: Optional[np.ndarray] = None):
+        super().__init__()
+        self.specs = specs
+        self.conj_sym = conj_sym
+        self.relufication = relufication
+        self.a = ComplexFxpArray(
+            real=specs.a[0].quantize(jnp.asarray(lam_bar[0])),
+            imag=specs.a[1].quantize(jnp.asarray(lam_bar[1])))
+        # store transposed for (L, H) @ (H, P) matmuls
+        self.b_re = specs.b.quantize(jnp.asarray(b_bar[0].T))
+        self.b_im = specs.b.quantize(jnp.asarray(b_bar[1].T))
+        self.c_re = specs.c.quantize(jnp.asarray(c_tilde[0].T))
+        self.c_im = specs.c.quantize(jnp.asarray(c_tilde[1].T))
+        self.d = specs.d.quantize(jnp.asarray(d))
+        self.d_bias = (spec_for(d_bias, 16).quantize(jnp.asarray(d_bias))
+                       if d_bias is not None else None)
+
+    def __call__(self, u: FxpArray) -> Tuple[FxpArray, ComplexFxpArray]:
+        sp = self.specs
+        u = sp.u.cast(u)
+        self.sow("input", u)
+
+        bu_re = fxp_matmul(u, self.b_re, result_bits=sp.bu[0].bits,
+                           result_exp=sp.bu[0].exp,
+                           round_mode=RoundingMode.FLOOR)
+        bu_im = fxp_matmul(u, self.b_im, result_bits=sp.bu[1].bits,
+                           result_exp=sp.bu[1].exp,
+                           round_mode=RoundingMode.FLOOR)
+        self.sow("Bu", ComplexFxpArray(bu_re, bu_im))
+
+        # Integer recurrence x_t = requant(Ā ⊙ x_{t-1}) + bu_t under scan.
+        # All shifts are static; data is int32.
+        a_re, a_im = self.a.real, self.a.imag
+        x_re_exp, x_im_exp = sp.x[0].exp, sp.x[1].exp
+        time_axis = bu_re.data.ndim - 2
+        bu_r = jnp.moveaxis(bu_re.data, time_axis, 0)
+        bu_i = jnp.moveaxis(bu_im.data, time_axis, 0)
+        # align bu to state exps
+        dr = x_re_exp - sp.bu[0].exp
+        di = x_im_exp - sp.bu[1].exp
+        bu_r = bu_r << dr if dr >= 0 else fxp_rshift_round(bu_r, -dr)
+        bu_i = bu_i << di if di >= 0 else fxp_rshift_round(bu_i, -di)
+
+        minv_r, maxv_r = -(1 << (sp.x[0].bits - 1)), (1 << (sp.x[0].bits - 1)) - 1
+        minv_i, maxv_i = -(1 << (sp.x[1].bits - 1)), (1 << (sp.x[1].bits - 1)) - 1
+
+        def step(carry, bu_t):
+            xr, xi = carry
+            # Ā⊙x: 4 integer multiplies, shift back to state exp
+            prod_rr = fxp_rshift_round(a_re.data * xr, a_re.exp)
+            prod_ii = fxp_rshift_round(a_im.data * xi, a_im.exp)
+            prod_ri = fxp_rshift_round(a_re.data * xi, a_re.exp)
+            prod_ir = fxp_rshift_round(a_im.data * xr, a_im.exp)
+            new_r = jnp.clip(prod_rr - prod_ii + bu_t[0], minv_r, maxv_r)
+            new_i = jnp.clip(prod_ri + prod_ir + bu_t[1], minv_i, maxv_i)
+            return (new_r, new_i), (new_r, new_i)
+
+        x0 = (jnp.zeros_like(bu_r[0]), jnp.zeros_like(bu_i[0]))
+        _, (xs_r, xs_i) = jax.lax.scan(step, x0, (bu_r, bu_i))
+        xs_r = jnp.moveaxis(xs_r, 0, time_axis)
+        xs_i = jnp.moveaxis(xs_i, 0, time_axis)
+        xs = ComplexFxpArray(
+            FxpArray(xs_r, sp.x[0].bits, x_re_exp),
+            FxpArray(xs_i, sp.x[1].bits, x_im_exp))
+        self.sow("states", xs)
+
+        if self.relufication:
+            xs = fxp_relu(xs)
+
+        yc_re = fxp_matmul(xs.real, self.c_re, result_bits=32,
+                           result_exp=sp.y.exp + 1)
+        yc_im = fxp_matmul(xs.imag, self.c_im, result_bits=32,
+                           result_exp=sp.y.exp + 1)
+        y = FxpArray(yc_re.data - yc_im.data, 32, sp.y.exp + 1)
+        if self.conj_sym:
+            y = FxpArray(y.data << 1, 32, y.exp)
+
+        du = fxp_mul(self.d, u, result_exp=y.exp, result_bits=32,
+                     round_mode=RoundingMode.ROUND)
+        y = fxp_add(y, du, result_bits=32)
+        if self.d_bias is not None:
+            y = fxp_add(y, self.d_bias, result_bits=32)
+        y = sp.y.cast(y)
+        self.sow("output", y)
+        return y, xs
+
+
+class FxpSequenceLayer(FxpModule):
+    """norm -> SSM -> relu -> GLU gate -> residual (+ relufication).
+    Reference: FxpSequenceLayer fxpmodel.py:971-1207."""
+
+    def __init__(self, ssm: FxpSSM, norm: Optional[FxpBatchNorm],
+                 out2: Optional[FxpDense], out1: Optional[FxpDense],
+                 glu_variant: str, act_spec: FxpSpec,
+                 relufication: bool = True, prenorm: bool = True):
+        super().__init__()
+        self.ssm = ssm
+        self.norm = norm
+        self.out1 = out1
+        self.out2 = out2
+        self.glu_variant = glu_variant
+        self.act_spec = act_spec
+        self.relufication = relufication
+        self.prenorm = prenorm
+        self.sigmoid = (FxpSigmoid(FxpSpec(act_spec.bits,
+                                           min(act_spec.bits - 1, 14),
+                                           signed=False))
+                        if glu_variant in ("full", "half1", "half2")
+                        else None)
+
+    def __call__(self, x: FxpArray) -> FxpArray:
+        skip = self.act_spec.cast(x)
+        self.sow("input", skip)
+        if self.norm is not None and self.prenorm:
+            x = self.norm(skip)
+        else:
+            x = skip
+        y, _ = self.ssm(x)
+
+        x1 = fxp_relu(y) if self.relufication else y
+        self.sow("pre_GLU", x1)
+
+        if self.glu_variant == "full":
+            g = self.sigmoid(self.out2(x1))
+            h = self.out1(x1)
+            x = fxp_mul(h, g, result_exp=self.act_spec.exp,
+                        result_bits=self.act_spec.bits,
+                        round_mode=RoundingMode.ROUND)
+        elif self.glu_variant == "half1":
+            g = self.sigmoid(self.out2(x1))
+            x = fxp_mul(x1, g, result_exp=self.act_spec.exp,
+                        result_bits=self.act_spec.bits,
+                        round_mode=RoundingMode.ROUND)
+        elif self.glu_variant == "half2":
+            g = self.sigmoid(self.out2(x1))
+            x = fxp_mul(y, g, result_exp=self.act_spec.exp,
+                        result_bits=self.act_spec.bits,
+                        round_mode=RoundingMode.ROUND)
+        else:
+            x = self.act_spec.cast(x1)
+
+        x = fxp_add(x, skip, result_bits=self.act_spec.bits + 1,
+                    result_exp=self.act_spec.exp)
+        if self.norm is not None and not self.prenorm:
+            x = self.norm(x)
+        if self.relufication:
+            x = fxp_relu(x)
+        x = self.act_spec.cast(x)
+        self.sow("output", x)
+        return x
+
+
+class FxpStackedEncoder(FxpModule):
+    """Encoder dense + N sequence layers.
+    Reference: FxpStackedEncoderModel fxpmodel.py:1210-1289."""
+
+    def __init__(self, encoder: FxpDense, layers: List[FxpSequenceLayer],
+                 relufication: bool = True):
+        super().__init__()
+        self.encoder = encoder
+        self.layers = layers
+        self.relufication = relufication
+
+    def __call__(self, x: FxpArray) -> FxpArray:
+        x = self.encoder(x)
+        if self.relufication:
+            x = fxp_relu(x)
+        for layer in self.layers:
+            x = layer(x)
+        return x
+
+
+class FxpRegressionModel(FxpModule):
+    """Integer NDNS head: encoder stack + per-step decoder.
+    Reference: FxpRegressionModel fxpmodel.py:1380-1458."""
+
+    def __init__(self, encoder: FxpStackedEncoder, decoder: FxpDense,
+                 in_spec: FxpSpec):
+        super().__init__()
+        self.encoder = encoder
+        self.decoder = decoder
+        self.in_spec = in_spec
+
+    def __call__(self, x) -> FxpArray:
+        if not isinstance(x, FxpArray):
+            x = self.in_spec.quantize(x)
+        self.sow("input", x)
+        x = self.encoder(x)
+        out = self.decoder(x)
+        self.sow("output", out)
+        return out
+
+
+class FxpClassificationModel(FxpModule):
+    """Integer classifier: encoder stack + meanpool + decoder (+argmax;
+    log-softmax is monotone so omitted, as in the reference's stub
+    fxparray.py:698-701). Reference: FxpClassificationModel
+    fxpmodel.py:1292-1377."""
+
+    def __init__(self, encoder: FxpStackedEncoder, decoder: FxpDense,
+                 in_spec: FxpSpec):
+        super().__init__()
+        self.encoder = encoder
+        self.decoder = decoder
+        self.in_spec = in_spec
+
+    def __call__(self, x) -> FxpArray:
+        if not isinstance(x, FxpArray):
+            x = self.in_spec.quantize(x)
+        x = self.encoder(x)
+        from sparsernns_tpu.fxp.array import fxp_mean
+        x = fxp_mean(x, axis=x.ndim - 2)
+        return self.decoder(x)

@@ -163,7 +163,8 @@ class SequenceLayer(nn.Module):
             self.sow("intermediates", "pre_s5", x)
             x, x_pre_c = self.mixer(x)
 
-        self.sow("intermediates", "pre_C", x_pre_c)
+        if x_pre_c is not None:  # fused-kernel mode keeps the state in VMEM
+            self.sow("intermediates", "pre_C", x_pre_c)
         x1 = self.drop(self._glu_act(x))
         self.sow("intermediates", "pre_GLU", x)
 

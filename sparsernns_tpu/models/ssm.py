@@ -213,6 +213,25 @@ class S5SSM(nn.Module):
         cfg = self.q_config
         lam_bar, b_bar, d, b_bias, d_bias = self._fused_operands(bn_fusion)
 
+        if (self.scan_mode == "fused" and not self.bidirectional
+                and b_bias is None and not (self.topk < 1.0)):
+            # Single fused Pallas kernel: B-proj + scan + C-proj (+ relu on
+            # the state). The state dim never touches HBM.
+            from sparsernns_tpu.ops.pallas.fused_s5 import fused_s5_apply
+            w_b = jnp.concatenate(
+                [fake_quant(b_bar[0], cfg.b_precision).T,
+                 fake_quant(b_bar[1], cfg.b_precision).T], axis=-1)
+            cr, ci = self._c_tilde()
+            scale = 2.0 if self.conj_sym else 1.0
+            w_c = scale * jnp.concatenate(
+                [fake_quant(cr, cfg.c_precision).T,
+                 -fake_quant(ci, cfg.c_precision).T], axis=0)
+            ys = fused_s5_apply(u, lam_bar, w_b, w_c, d,
+                                relu_state=self.relufication)
+            if d_bias is not None:
+                ys = ys + d_bias
+            return ys, None
+
         # Input projection: ONE (..., L, H) @ (H, 2P) matmul.
         w_b = jnp.concatenate(
             [fake_quant(b_bar[0], cfg.b_precision).T,

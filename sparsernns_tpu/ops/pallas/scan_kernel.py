@@ -1,0 +1,181 @@
+"""Pallas TPU kernel for the diagonal (S5) linear recurrence.
+
+Computes x_t = λ ⊙ x_{t-1} + bu_t for constant complex diagonal λ over
+(B, L, P) inputs, as a single-pass VMEM-resident kernel:
+
+- grid = (B, L/T): TPU grids execute sequentially, so the cross-block
+  carry lives in VMEM scratch and flows block to block (reset at each new
+  batch row).
+- Within a (T, P) block: Hillis-Steele doubling with the CLOSED-FORM
+  offset operators λ^d (d = 1, 2, ..., T/2), precomputed outside the
+  kernel. Because λ is constant there is no (A, b) pair tracking — each
+  pass is one complex multiply-add of a shifted copy — so intra-block work
+  is O(T·P·log T) VPU flops on data that never leaves VMEM.
+- The incoming carry is folded in with a precomputed λ^{t+1} power table.
+
+HBM traffic = read bu once + write xs once — the speed-of-light for this
+op. XLA's `lax.associative_scan` (reference ssm.py:127) materializes
+O(log L) full-length intermediates in HBM; this kernel replaces ~11 round
+trips with 1 at L=3751.
+
+Accuracy note: the closed-form power form evaluates the same associative
+combine tree with λ^d computed once (exactly what repeated squaring of the
+scan's A-products would produce, minus re-rounding), so results match the
+associative scan to fp32 rounding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sparsernns_tpu.ops.scan import Pair, lambda_powers
+
+DEFAULT_BLOCK_T = 256
+
+
+def _scan_block_kernel(
+    bu_re_ref, bu_im_ref,          # (1, T, P) inputs
+    pow_re_ref, pow_im_ref,        # (K, P) per-pass offset operators λ^(2^k)
+    ctab_re_ref, ctab_im_ref,      # (T, P) carry fold table λ^(t+1)
+    out_re_ref, out_im_ref,        # (1, T, P) outputs
+    carry_re, carry_im,            # (1, P) VMEM scratch — persists over grid
+    *, num_passes: int, block_t: int,
+):
+    j = pl.program_id(1)
+
+    x_re = bu_re_ref[0]
+    x_im = bu_im_ref[0]
+
+    # Intra-block inclusive scan: x += λ^d ⊙ shift(x, d), d = 1,2,4,...
+    for k in range(num_passes):
+        d = 1 << k
+        lr = pow_re_ref[k:k + 1, :]  # (1, P) — keep 2D for the VPU
+        li = pow_im_ref[k:k + 1, :]
+        pad = jnp.zeros((d, x_re.shape[-1]), dtype=x_re.dtype)
+        sh_re = jnp.concatenate([pad, x_re[: block_t - d]], axis=0)
+        sh_im = jnp.concatenate([pad, x_im[: block_t - d]], axis=0)
+        x_re = x_re + (lr * sh_re - li * sh_im)
+        x_im = x_im + (lr * sh_im + li * sh_re)
+
+    # Reset carry at the first block of each batch row.
+    @pl.when(j == 0)
+    def _():
+        carry_re[...] = jnp.zeros_like(carry_re)
+        carry_im[...] = jnp.zeros_like(carry_im)
+
+    # Fold incoming carry: x_t += λ^{t+1} ⊙ carry.
+    cr = carry_re[...]  # (1, P)
+    ci = carry_im[...]
+    tr = ctab_re_ref[...]
+    ti = ctab_im_ref[...]
+    x_re = x_re + (tr * cr - ti * ci)
+    x_im = x_im + (tr * ci + ti * cr)
+
+    carry_re[...] = x_re[block_t - 1:block_t, :]
+    carry_im[...] = x_im[block_t - 1:block_t, :]
+    out_re_ref[0] = x_re
+    out_im_ref[0] = x_im
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_t", "reverse", "interpret"))
+def pallas_diag_scan(
+    lam: Pair,
+    bu: Pair,
+    reverse: bool = False,
+    carry_init: Optional[Pair] = None,
+    block_t: int = DEFAULT_BLOCK_T,
+    interpret: Optional[bool] = None,
+) -> Pair:
+    """All-prefix states of x_t = λ x_{t-1} + bu_t. bu: (..., L, P) pair."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if reverse and carry_init is not None:
+        raise NotImplementedError("carry with reverse scan")
+    bu_re, bu_im = bu
+    orig_shape = bu_re.shape
+    if bu_re.ndim == 2:
+        bu_re, bu_im = bu_re[None], bu_im[None]
+    elif bu_re.ndim > 3:
+        lead = int(jnp.prod(jnp.asarray(orig_shape[:-2])))
+        bu_re = bu_re.reshape(lead, *orig_shape[-2:])
+        bu_im = bu_im.reshape(lead, *orig_shape[-2:])
+
+    if carry_init is not None:
+        # Fold an initial carry by augmenting the first step:
+        # x_0 = λ c + bu_0.
+        from sparsernns_tpu.ops.scan import complex_mul
+        lc = complex_mul(lam, (carry_init[0], carry_init[1]))
+        bu_re = bu_re.at[..., 0, :].add(lc[0].reshape(bu_re.shape[0], -1))
+        bu_im = bu_im.at[..., 0, :].add(lc[1].reshape(bu_im.shape[0], -1))
+
+    if reverse:
+        bu_re = jnp.flip(bu_re, axis=-2)
+        bu_im = jnp.flip(bu_im, axis=-2)
+
+    b, l, p = bu_re.shape
+    t = min(block_t, _round_up(l, 8))
+    l_pad = _round_up(l, t)
+    p_pad = _round_up(p, 128)
+    if l_pad != l or p_pad != p:
+        pad = ((0, 0), (0, l_pad - l), (0, p_pad - p))
+        bu_re = jnp.pad(bu_re, pad)
+        bu_im = jnp.pad(bu_im, pad)
+
+    lam_re = jnp.pad(lam[0], (0, p_pad - p))
+    lam_im = jnp.pad(lam[1], (0, p_pad - p))
+
+    num_passes = max(1, (t - 1).bit_length())
+    # Offset operators λ^(2^k): computed by repeated squaring (log T work).
+    def sq(c):
+        return (c[0] * c[0] - c[1] * c[1], 2.0 * c[0] * c[1])
+
+    pows_re, pows_im = [], []
+    cur = (lam_re, lam_im)
+    for _ in range(num_passes):
+        pows_re.append(cur[0])
+        pows_im.append(cur[1])
+        cur = sq(cur)
+    pow_re = jnp.stack(pows_re)
+    pow_im = jnp.stack(pows_im)
+
+    ctab = lambda_powers((lam_re, lam_im), t)  # (T, P) λ^{t+1}
+
+    grid = (b, l_pad // t)
+    block = pl.BlockSpec((1, t, p_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _scan_block_kernel, num_passes=num_passes, block_t=t)
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[block, block,
+                  full((num_passes, p_pad)), full((num_passes, p_pad)),
+                  full((t, p_pad)), full((t, p_pad))],
+        out_specs=[block, block],
+        out_shape=[jax.ShapeDtypeStruct((b, l_pad, p_pad), bu_re.dtype),
+                   jax.ShapeDtypeStruct((b, l_pad, p_pad), bu_im.dtype)],
+        scratch_shapes=[pltpu.VMEM((1, p_pad), bu_re.dtype),
+                        pltpu.VMEM((1, p_pad), bu_im.dtype)],
+        interpret=interpret,
+    )(bu_re, bu_im, pow_re, pow_im, ctab[0], ctab[1])
+
+    out_re = out_re[:, :l, :p]
+    out_im = out_im[:, :l, :p]
+    if reverse:
+        out_re = jnp.flip(out_re, axis=-2)
+        out_im = jnp.flip(out_im, axis=-2)
+    return out_re.reshape(orig_shape), out_im.reshape(orig_shape)

@@ -171,6 +171,14 @@ def diag_ssm_scan(
             had_ax=had_ax, state_requant=state_requant, unroll=unroll)
         return xs
     if mode == "pallas":
+        # NOTE: the Pallas kernel evaluates the float closed-form combine;
+        # the QAT in-scan fake-quant hadamards (had_aa/had_ax) are not
+        # applied in this mode — use "associative" for A-quantized QAT or
+        # "sequential" for static-quant per-step requant.
+        if carry_init is None and not reverse:
+            from sparsernns_tpu.ops.pallas.scan_vjp import \
+                pallas_diag_scan_diff
+            return pallas_diag_scan_diff(lam, bu)
         from sparsernns_tpu.ops.pallas.scan_kernel import pallas_diag_scan
         return pallas_diag_scan(lam, bu, reverse=reverse,
                                 carry_init=carry_init)

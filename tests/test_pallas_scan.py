@@ -1,0 +1,100 @@
+"""Pallas scan kernel: numerics vs numpy/associative, VJP, model
+integration. Runs in interpreter mode on CPU (compiled via Mosaic on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsernns_tpu.ops.pallas.scan_kernel import pallas_diag_scan
+from sparsernns_tpu.ops.pallas.scan_vjp import pallas_diag_scan_diff
+from sparsernns_tpu.ops.scan import associative_diag_scan, diag_ssm_scan
+
+
+def _inputs(rng, b=3, l=100, p=24):
+    lam = 0.95 * np.exp(1j * rng.uniform(0, np.pi, p)) * rng.uniform(0.3, 1, p)
+    bu = rng.randn(b, l, p) + 1j * rng.randn(b, l, p)
+    lam_p = (jnp.asarray(lam.real, jnp.float32),
+             jnp.asarray(lam.imag, jnp.float32))
+    bu_p = (jnp.asarray(bu.real, jnp.float32),
+            jnp.asarray(bu.imag, jnp.float32))
+    return lam, bu, lam_p, bu_p
+
+
+def _numpy_scan(lam, bu, reverse=False):
+    out = np.zeros_like(bu)
+    x = np.zeros((bu.shape[0], bu.shape[-1]), np.complex128)
+    order = reversed(range(bu.shape[1])) if reverse else range(bu.shape[1])
+    for t in order:
+        x = lam * x + bu[:, t]
+        out[:, t] = x
+    return out
+
+
+@pytest.mark.parametrize("block_t", [32, 128])
+def test_pallas_matches_numpy(rng, block_t):
+    lam, bu, lam_p, bu_p = _inputs(rng)
+    out = pallas_diag_scan(lam_p, bu_p, block_t=block_t)
+    ref = _numpy_scan(lam, bu)
+    np.testing.assert_allclose(out[0], ref.real, atol=2e-4)
+    np.testing.assert_allclose(out[1], ref.imag, atol=2e-4)
+
+
+def test_pallas_reverse(rng):
+    lam, bu, lam_p, bu_p = _inputs(rng, l=64)
+    out = pallas_diag_scan(lam_p, bu_p, reverse=True, block_t=32)
+    ref = _numpy_scan(lam, bu, reverse=True)
+    np.testing.assert_allclose(out[0], ref.real, atol=2e-4)
+
+
+def test_pallas_carry(rng):
+    lam, bu, lam_p, bu_p = _inputs(rng, l=40)
+    c = rng.randn(3, 24) + 1j * rng.randn(3, 24)
+    carry = (jnp.asarray(c.real, jnp.float32), jnp.asarray(c.imag, jnp.float32))
+    out = pallas_diag_scan(lam_p, bu_p, carry_init=carry, block_t=32)
+    ref = np.zeros_like(bu)
+    x = c.copy()
+    for t in range(bu.shape[1]):
+        x = lam * x + bu[:, t]
+        ref[:, t] = x
+    np.testing.assert_allclose(out[0], ref.real, atol=2e-4)
+
+
+def test_pallas_vjp_matches_associative_grads(rng):
+    lam, bu, lam_p, bu_p = _inputs(rng, b=2, l=48, p=8)
+
+    def loss_pallas(lam_p, bu_p):
+        xs = pallas_diag_scan_diff(lam_p, bu_p)
+        return jnp.sum(xs[0] ** 2 + 0.5 * xs[1] * xs[0])
+
+    def loss_assoc(lam_p, bu_p):
+        xs = associative_diag_scan(lam_p, bu_p)
+        return jnp.sum(xs[0] ** 2 + 0.5 * xs[1] * xs[0])
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1))(lam_p, bu_p)
+    g_a = jax.grad(loss_assoc, argnums=(0, 1))(lam_p, bu_p)
+    np.testing.assert_allclose(g_p[0][0], g_a[0][0], rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(g_p[0][1], g_a[0][1], rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(g_p[1][0], g_a[1][0], rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(g_p[1][1], g_a[1][1], rtol=1e-3, atol=1e-3)
+
+
+def test_model_with_pallas_scan_matches_associative(rng):
+    from tests.test_models import make_mixer, small_init
+    init = small_init()
+    h = 8
+    x = jnp.asarray(rng.randn(2, 20, h), jnp.float32)
+    m_assoc = make_mixer(h, init, scan_mode="associative")()
+    variables = m_assoc.init(jax.random.PRNGKey(0), x)
+    ys_a, _ = m_assoc.apply(variables, x)
+    m_pal = make_mixer(h, init, scan_mode="pallas")()
+    ys_p, _ = m_pal.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(ys_a), np.asarray(ys_p),
+                               atol=2e-3)
+
+
+def test_diag_ssm_scan_pallas_dispatch(rng):
+    lam, bu, lam_p, bu_p = _inputs(rng, l=32)
+    out = diag_ssm_scan(lam_p, bu_p, mode="pallas")
+    ref = _numpy_scan(lam, bu)
+    np.testing.assert_allclose(out[0], ref.real, atol=2e-4)

@@ -1,0 +1,132 @@
+"""End-to-end static quantization: fp32 model -> calibration -> frozen
+scales -> static-quant inference -> fxp integer engine, with accuracy
+degrading gracefully at each stage (the reference's --validate_* gates,
+convert.py:335-1033, as a single property test)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsernns_tpu.fxp.derive import FxpModelConfig, build_fxp_model
+from sparsernns_tpu.models.seq_model import RegressionModel
+from sparsernns_tpu.models.ssm import make_ssm_init_fn
+from sparsernns_tpu.models.ssm_init import blocked_dplr_init
+from sparsernns_tpu.quantize.calibrate import calibrate
+from sparsernns_tpu.quantize.config import quantization_recipes
+from sparsernns_tpu.quantize.static import FakeQuant
+
+
+H, D_IO, P_SIZE, LAYERS = 12, 9, 16, 2
+
+
+def _model(q_config, training=False, scan_mode="associative"):
+    init = blocked_dplr_init(P_SIZE, 2, conj_sym=True)
+    mixer = make_ssm_init_fn(
+        h=H, p=init["P"], lambda_init=init["Lambda"], v=init["V"],
+        vinv=init["Vinv"], clip_eigs=True, relufication=True,
+        q_config=q_config, scan_mode=scan_mode)
+    return RegressionModel(
+        mixer_cls=mixer, n_layers=LAYERS, d_model=H, d_output=D_IO,
+        dropout=0.0, prenorm=True, batchnorm=True, glu_variant="half1",
+        training=training, relufication=True, q_config=q_config)
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    """Train-free pipeline: init fp32 params, calibrate, freeze."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 24, D_IO) * 0.5, jnp.float32)
+
+    fp_model = _model(quantization_recipes["none"]())
+    variables = fp_model.init(jax.random.PRNGKey(0), x)
+    y_fp = fp_model.apply(variables, x)
+
+    cal_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=True)
+    cal_model = _model(cal_cfg)
+    batches = [x, jnp.asarray(rng.randn(2, 24, D_IO) * 0.5, jnp.float32)]
+    frozen_params, frozen_stats = calibrate(
+        cal_model, jax.random.PRNGKey(1), x,
+        variables["params"], variables.get("batch_stats"), batches)
+    return x, variables, y_fp, frozen_params, frozen_stats
+
+
+def test_calibration_freezes_scales(pipeline):
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    mixer = frozen_params["encoder"]["layers_0"]["mixer"]
+    assert "quant_ut" in mixer and "scale" in mixer["quant_ut"]
+    s = float(np.asarray(mixer["quant_ut"]["scale"]))
+    assert s > 0 and s != 1.0
+    # pow2 scales
+    assert abs(np.log2(s) - round(np.log2(s))) < 1e-6
+    # observers removed from frozen stats
+    flat = str(frozen_stats)
+    assert "observer" not in flat
+
+
+def test_static_quant_inference_close_to_fp32(pipeline):
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    inf_model = _model(inf_cfg)
+    y_q = inf_model.apply(
+        {"params": frozen_params, "batch_stats": frozen_stats}, x)
+    assert y_q.shape == y_fp.shape
+    err = float(jnp.abs(y_q - y_fp).max())
+    ref = float(jnp.abs(y_fp).max())
+    assert err < 0.25 * max(ref, 1.0), (err, ref)
+
+
+def test_fxp_engine_matches_static_quant(pipeline):
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    inf_model = _model(inf_cfg)
+    y_q = np.asarray(inf_model.apply(
+        {"params": frozen_params, "batch_stats": frozen_stats}, x))
+
+    fxp_model = build_fxp_model(
+        frozen_params, frozen_stats, inf_cfg,
+        model_cfg=FxpModelConfig.infer(
+            frozen_params, glu_variant="half1", relufication=True,
+            prenorm=True, clip_eigs=True))
+    y_fxp = np.asarray(fxp_model(x).to_float())
+    assert y_fxp.shape == y_q.shape
+    # integer engine tracks the static-quant float emulation
+    denom = max(np.abs(y_q).max(), 1.0)
+    rel = np.abs(y_fxp - y_q).max() / denom
+    assert rel < 0.3, rel
+    # and carries real information about the fp32 output
+    corr = np.corrcoef(y_fxp.ravel(), np.asarray(y_fp).ravel())[0, 1]
+    assert corr > 0.9, corr
+
+
+def test_fxp_export_bundle(pipeline):
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    fxp_model = build_fxp_model(
+        frozen_params, frozen_stats, inf_cfg,
+        model_cfg=FxpModelConfig.infer(
+            frozen_params, glu_variant="half1", relufication=True))
+    bundle = fxp_model.export()
+    assert bundle["type"] == "FxpRegressionModel"
+    ssm = bundle["encoder"]["layers"][0]["ssm"]
+    assert ssm["a"]["real"]["data"].dtype == np.int32
+    assert isinstance(ssm["a"]["real"]["exp"], int)
+
+
+def test_fxp_intermediates_capture(pipeline):
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    fxp_model = build_fxp_model(
+        frozen_params, frozen_stats, inf_cfg,
+        model_cfg=FxpModelConfig.infer(
+            frozen_params, glu_variant="half1", relufication=True))
+    fxp_model.set_store_intermediates(True)
+    fxp_model(x)
+    inter = fxp_model.collect_intermediates()
+    assert any("ssm" in k and "states" in k for k in inter)
+    assert any("encoder" in k for k in inter)
