@@ -3,29 +3,33 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Metric: audio STFT frames/sec/chip for the flagship NDNS model
-(d_model=192, P=128 conj-sym, 3 layers — recipes/ndns.json) at the
-reference quantization target (w8a16 semantics; fp32/QAT numerics on the
-float path until the Pallas int kernels land). The baseline value in
-BASELINE.json is the measurement protocol (the reference publishes no
-numbers — BASELINE.md); vs_baseline compares against a recorded reference
-of this same benchmark from round 0 if present, else 1.0.
+Benchmarks the flagship NDNS model (recipes/ndns.json: d_model=192, P=128
+conj-sym, 3 layers, L=3751) forward pass under each scan backend:
+
+  associative — XLA lax.associative_scan, the reference's own execution
+                strategy (ssm.py:127) run through our natively-batched
+                model: this is the "reference on TPU" baseline
+  pallas      — our single-pass VMEM scan kernel
+  fused       — B-proj + scan + C-proj in one Pallas kernel
+
+value = frames/sec/chip of the best backend. vs_baseline = best vs the
+associative (reference-style) backend measured in the same run, unless
+BASELINE.json provides a recorded absolute number.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 
-def main():
+def bench_mode(mode: str, batch=8, seq_len=3751, d_io=257, iters=10):
     from __graft_entry__ import _flagship_model
-
-    batch, seq_len, d_io = 8, 3751, 257
-    model = _flagship_model(training=False)
+    model = _flagship_model(training=False, scan_mode=mode)
     x = jnp.zeros((batch, seq_len, d_io), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x)
 
@@ -33,33 +37,84 @@ def main():
     def fwd(variables, x):
         return model.apply(variables, x)
 
-    # compile
     fwd(variables, x).block_until_ready()
-
-    n_iters = 10
     start = time.perf_counter()
-    for _ in range(n_iters):
+    for _ in range(iters):
         out = fwd(variables, x)
     out.block_until_ready()
     elapsed = time.perf_counter() - start
+    return batch * seq_len * iters / elapsed
 
-    frames_per_sec = batch * seq_len * n_iters / elapsed
 
-    baseline = None
+def bench_w8a16_engine(batch=8, seq_len=3751, d_io=257, iters=10):
+    """The north-star config: w8a16 quantized serving engine
+    (int8-valued weights, bf16 activations, fused Pallas mixer)."""
+    from __graft_entry__ import _flagship_model
+    from sparsernns_tpu.fxp.derive import FxpModelConfig
+    from sparsernns_tpu.quantize.config import quantization_recipes
+    from sparsernns_tpu.quantize.engine import W8A16Engine
+
+    model = _flagship_model(training=False)
+    x = jnp.zeros((batch, seq_len, d_io), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    cfg = quantization_recipes["w8a16"](static_quant=True, calibrating=False)
+    model_cfg = FxpModelConfig.infer(
+        variables["params"], glu_variant="half1", relufication=False,
+        prenorm=True, clip_eigs=True)
+    engine = W8A16Engine(variables["params"], variables.get("batch_stats"),
+                         cfg, model_cfg)
+    engine(x).block_until_ready()
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = engine(x)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - start
+    return batch * seq_len * iters / elapsed
+
+
+def main():
+    results = {}
+    for mode in ("associative", "pallas", "fused"):
+        try:
+            results[mode] = bench_mode(mode)
+            print(f"[bench] {mode}: {results[mode]:,.0f} frames/s",
+                  file=sys.stderr)
+        except Exception as e:  # keep the bench robust per-mode
+            print(f"[bench] {mode} failed: {e}", file=sys.stderr)
+    try:
+        results["w8a16-engine"] = bench_w8a16_engine()
+        print(f"[bench] w8a16-engine: {results['w8a16-engine']:,.0f} "
+              "frames/s", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] w8a16-engine failed: {e}", file=sys.stderr)
+
+    if not results:
+        print(json.dumps({"metric": "ndns_s5_frames_per_sec_per_chip",
+                          "value": 0.0, "unit": "frames/s",
+                          "vs_baseline": 0.0}))
+        return 1
+
+    best_mode = max(results, key=results.get)
+    best = results[best_mode]
+
+    baseline = results.get("associative")
     try:
         with open("BASELINE.json") as f:
-            baseline = json.load(f).get("measured_frames_per_sec")
+            recorded = json.load(f).get("measured_frames_per_sec")
+            if recorded:
+                baseline = recorded
     except Exception:
         pass
-    vs_baseline = frames_per_sec / baseline if baseline else 1.0
+    vs_baseline = best / baseline if baseline else 1.0
 
     print(json.dumps({
         "metric": "ndns_s5_frames_per_sec_per_chip",
-        "value": round(frames_per_sec, 1),
+        "value": round(best, 1),
         "unit": "frames/s",
         "vs_baseline": round(vs_baseline, 3),
     }))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -93,6 +93,11 @@ class DNSAudioDataset:
                              self.length)
         return noisy, clean
 
+    def batch_paths(self, indices) -> Tuple[list, list]:
+        """(noisy paths, clean paths) for the native batch decoder."""
+        noisy = [self.noisy_files[int(i)] for i in indices]
+        return noisy, [self._clean_path(p) for p in noisy]
+
 
 class SyntheticNDNS:
     """Deterministic synthetic denoising pairs with the NDNS shapes.
@@ -174,15 +179,27 @@ class NDNSLoader:
         n_batches = len(self)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
 
+        length = getattr(self.dataset, "length", AUDIO_LEN)
+        use_native = False
+        if hasattr(self.dataset, "batch_paths"):
+            from sparsernns_tpu.data import native
+            use_native = native.available()
+
         def produce():
             for b in range(n_batches):
                 batch_idx = indices[b * self.batch_size:(b + 1) * self.batch_size]
-                noisy = np.empty((len(batch_idx), self.dataset.length
-                                  if hasattr(self.dataset, "length")
-                                  else AUDIO_LEN), dtype=np.float32)
-                clean = np.empty_like(noisy)
-                for i, j in enumerate(batch_idx):
-                    noisy[i], clean[i] = self.dataset[int(j)]
+                if use_native:
+                    # C++ thread-pool decode straight into batch buffers
+                    from sparsernns_tpu.data import native
+                    noisy_paths, clean_paths = self.dataset.batch_paths(
+                        batch_idx)
+                    noisy = native.decode_batch(noisy_paths, length)
+                    clean = native.decode_batch(clean_paths, length)
+                else:
+                    noisy = np.empty((len(batch_idx), length), np.float32)
+                    clean = np.empty_like(noisy)
+                    for i, j in enumerate(batch_idx):
+                        noisy[i], clean[i] = self.dataset[int(j)]
                 q.put((noisy, clean))
             q.put(None)
 
@@ -212,6 +229,8 @@ def create_ndns_dataset(
     Returns (trainloader, valloader, testloader, n_classes, seq_len, in_dim,
     train_size).
     """
+    # keep synthetic audio hop-aligned so STFT -> iSTFT round-trips exactly
+    synthetic_length = max(512, (synthetic_length // 512) * 512)
     roots = {k: os.environ.get(f"NDNS_{k}_SET")
              for k in ("TRAIN", "VALIDATION", "TEST")}
     use_real = synthetic is False or (
@@ -220,12 +239,12 @@ def create_ndns_dataset(
     if use_real:
         sets = {k: DNSAudioDataset(v) for k, v in roots.items()}
     else:
+        eval_size = max(synthetic_size // 4, batch_size * num_shards)
         sets = {
             "TRAIN": SyntheticNDNS(synthetic_size, synthetic_length, seed),
-            "VALIDATION": SyntheticNDNS(max(synthetic_size // 4, 1),
-                                        synthetic_length, seed + 1),
-            "TEST": SyntheticNDNS(max(synthetic_size // 4, 1),
-                                  synthetic_length, seed + 2),
+            "VALIDATION": SyntheticNDNS(eval_size, synthetic_length,
+                                        seed + 1),
+            "TEST": SyntheticNDNS(eval_size, synthetic_length, seed + 2),
         }
 
     mk = lambda ds, shuf: NDNSLoader(

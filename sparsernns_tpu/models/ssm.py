@@ -182,6 +182,7 @@ class S5SSM(nn.Module):
             return discretize_bilinear(self._lambda(), b_pair, step)
         raise NotImplementedError(f"discretization {self.discretization}")
 
+    @nn.compact
     def __call__(self, u: Array, bn_fusion: Optional[dict] = None):
         """u: (..., L, H) -> (ys (..., L, H), xs state pair (..., L, P)).
 
@@ -213,8 +214,12 @@ class S5SSM(nn.Module):
         cfg = self.q_config
         lam_bar, b_bar, d, b_bias, d_bias = self._fused_operands(bn_fusion)
 
+        streaming = (not self.is_initializing()) and (
+            self.is_mutable_collection("cache")
+            or self.has_variable("cache", "carry_re"))
         if (self.scan_mode == "fused" and not self.bidirectional
-                and b_bias is None and not (self.topk < 1.0)):
+                and b_bias is None and not (self.topk < 1.0)
+                and not streaming):
             # Single fused Pallas kernel: B-proj + scan + C-proj (+ relu on
             # the state). The state dim never touches HBM.
             from sparsernns_tpu.ops.pallas.fused_s5 import fused_s5_apply
@@ -242,8 +247,16 @@ class S5SSM(nn.Module):
             bu = (bu[0] + b_bias[0], bu[1] + b_bias[1])
 
         had_aa, had_ax = self.q_ops.a_had
-        xs = diag_ssm_scan(lam_bar, bu, mode=self.scan_mode,
+        carry_init, carry_vars = self._carry(u)
+        # "fused" handles the whole mixer above; when it can't apply
+        # (bidirectional / BN-bias / streaming / init), scan standalone.
+        mode = "pallas" if self.scan_mode == "fused" else self.scan_mode
+        xs = diag_ssm_scan(lam_bar, bu, mode=mode,
+                           carry_init=carry_init,
                            had_aa=had_aa, had_ax=had_ax)
+        if carry_vars is not None:
+            carry_vars[0].value = xs[0][..., -1, :]
+            carry_vars[1].value = xs[1][..., -1, :]
 
         if self.relufication:
             if self.topk < 1.0 and self.approx_topk:
@@ -258,7 +271,9 @@ class S5SSM(nn.Module):
         if self.bidirectional:
             # NOTE: matching the reference, the backward pass is NOT
             # relufied/sparsified before the concat (ssm.py:161-177).
-            xs_bwd = diag_ssm_scan(lam_bar, bu, mode=self.scan_mode,
+            # (associative for reverse: the pallas reverse path has no VJP)
+            bwd_mode = "associative" if mode == "pallas" else mode
+            xs_bwd = diag_ssm_scan(lam_bar, bu, mode=bwd_mode,
                                    reverse=True, had_aa=had_aa, had_ax=had_ax)
             xs = (jnp.concatenate([xs[0], xs_bwd[0]], axis=-1),
                   jnp.concatenate([xs[1], xs_bwd[1]], axis=-1))
@@ -282,6 +297,25 @@ class S5SSM(nn.Module):
         if d_bias is not None:
             ys = ys + d_bias
         return ys
+
+    def _carry(self, u):
+        """Streaming state: when the caller runs apply with the "cache"
+        collection (mutable or restored), the scan starts from the cached
+        carry and writes the final state back — chunked/stateful inference
+        (SURVEY.md §5 'streaming ... carry x_t passed between chunks').
+
+        No reference equivalent (the reference always scans full 30 s
+        clips); this is the serving-path primitive.
+        """
+        if self.bidirectional or self.is_initializing() or not (
+                self.is_mutable_collection("cache")
+                or self.has_variable("cache", "carry_re")):
+            return None, None
+        batch_shape = u.shape[:-2]
+        init = lambda: jnp.zeros(batch_shape + (self.p,), u.dtype)
+        c_re = self.variable("cache", "carry_re", init)
+        c_im = self.variable("cache", "carry_im", init)
+        return (c_re.value, c_im.value), (c_re, c_im)
 
     # ---------------- static-quant path ----------------
 

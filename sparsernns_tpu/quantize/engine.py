@@ -1,0 +1,188 @@
+"""W8A16 serving engine: the quantized inference path as TPU kernels.
+
+This is the BASELINE.json north star made concrete: the reference's
+static-quant/fxp inference (emulated float quant-dequant + int32
+emulation, convert.py/fxpmodel.py) becomes a first-class kernel path:
+
+- weights are stored quantized (int8 for B̄/C/D/dense, int16 for Λ̄) with
+  frozen power-of-2 scales from calibration; at engine build they are
+  dequantized ONCE, BN-folded, and packed into the fused-kernel layouts
+  (value-identical to int dequant since scales are per-tensor pow2)
+- activations run at 16-bit (bf16 storage through the projections — the
+  TPU-native meaning of "a16" — with fp32 scan state)
+- the whole mixer executes as the fused Pallas kernel (B-proj + scan +
+  C-proj, state never in HBM); encoder/decoder/GLU are single XLA matmuls
+
+The bit-exact per-step state requantization semantics live in the fxp
+engine and the sequential static-quant path; this engine is validated
+against them by the golden harness (test_engine.py) — SURVEY.md §7's
+"blockwise scan + error budget" resolution of the requant-vs-associative
+conflict.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparsernns_tpu.fxp.derive import FxpModelConfig, _discretize, _get
+from sparsernns_tpu.ops.pallas.fused_s5 import fused_s5_apply
+from sparsernns_tpu.quantize.config import QuantizationConfig
+from sparsernns_tpu.quantize.static import calculate_qparams
+
+
+def _pow2_quant_values(w: np.ndarray, bits: Optional[int]) -> np.ndarray:
+    """Weight values after symmetric pow2-scale int quantization — exactly
+    the values the int8 storage dequantizes to."""
+    if bits is None or bits >= 32:
+        return np.asarray(w, np.float32)
+    absmax = float(np.abs(w).max())
+    scale, _ = calculate_qparams(
+        jnp.asarray(-absmax), jnp.asarray(absmax), bits, pow2scale=True)
+    s = float(scale)
+    q = np.clip(np.round(w / s), -(2 ** (bits - 1)), 2 ** (bits - 1) - 1)
+    return (q * s).astype(np.float32)
+
+
+@dataclasses.dataclass
+class _LayerPack:
+    lam: Any          # (P,) pair f32
+    w_b: Any          # (H, 2P) quantized-value weights
+    w_c: Any          # (2P, H) incl. conj-sym 2x and sign fold
+    d: Any            # (H,)
+    d_bias: Any       # (H,) or None (BN fold)
+    norm_w: Any       # (H,) BN scale/sqrt(var+eps) or None
+    norm_b: Any       # (H,)
+    out2_kernel: Any  # GLU gate dense
+    out2_bias: Any
+    out1_kernel: Any = None  # "full" GLU value dense
+    out1_bias: Any = None
+
+
+class W8A16Engine:
+    """Quantized NDNS inference engine over frozen conversion artifacts."""
+
+    def __init__(self, params: Dict[str, Any], batch_stats: Dict[str, Any],
+                 q_config: QuantizationConfig, model_cfg: FxpModelConfig,
+                 act_dtype=jnp.bfloat16, block_t: int = 256):
+        self.cfg = model_cfg
+        self.act_dtype = act_dtype
+        self.block_t = block_t
+        cfg = model_cfg
+
+        enc = params["encoder"]
+        enc_stats = (batch_stats or {}).get("encoder", {})
+        wq = q_config.non_ssm_precision
+
+        self.encoder_kernel = jnp.asarray(_pow2_quant_values(
+            np.asarray(enc["encoder"]["kernel"]), wq))
+        self.encoder_bias = jnp.asarray(np.asarray(enc["encoder"]["bias"]))
+        self.decoder_kernel = jnp.asarray(_pow2_quant_values(
+            np.asarray(params["decoder"]["kernel"]), wq))
+        self.decoder_bias = jnp.asarray(
+            np.asarray(params["decoder"]["bias"]))
+
+        self.layers: List[_LayerPack] = []
+        for i in range(cfg.n_layers):
+            lp = enc[f"layers_{i}"]
+            ls = enc_stats.get(f"layers_{i}", {})
+            lam_bar, b_bar, c_tilde, d = _discretize(lp["mixer"], cfg)
+
+            b_re = _pow2_quant_values(b_bar[0], q_config.b_precision)
+            b_im = _pow2_quant_values(b_bar[1], q_config.b_precision)
+            c_re = _pow2_quant_values(c_tilde[0], q_config.c_precision)
+            c_im = _pow2_quant_values(c_tilde[1], q_config.c_precision)
+            d_q = _pow2_quant_values(d, q_config.d_precision)
+
+            # BatchNorm (prenorm) folded into B̄/D when configured, else
+            # applied as an affine prologue.
+            mean = np.asarray(_get(ls, "norm", "mean",
+                                   default=np.zeros(cfg.d_model)))
+            var = np.asarray(_get(ls, "norm", "var",
+                                  default=np.ones(cfg.d_model)))
+            scale = np.asarray(_get(lp, "norm", "scale",
+                                    default=np.ones(cfg.d_model)))
+            bias = np.asarray(_get(lp, "norm", "bias",
+                                   default=np.zeros(cfg.d_model)))
+            nw = scale / np.sqrt(var + 1e-5)
+            nb = bias - mean * nw
+
+            w_b = np.concatenate([b_re.T, b_im.T], axis=-1)
+            sgn = 2.0 if cfg.conj_sym else 1.0
+            w_c = sgn * np.concatenate([c_re.T, -c_im.T], axis=0)
+
+            out2_k = out2_b = out1_k = out1_b = None
+            if cfg.glu_variant in ("full", "half1", "half2"):
+                out2_k = jnp.asarray(_pow2_quant_values(
+                    np.asarray(lp["out2"]["kernel"]), wq))
+                out2_b = jnp.asarray(np.asarray(lp["out2"]["bias"]))
+            if cfg.glu_variant == "full":
+                out1_k = jnp.asarray(_pow2_quant_values(
+                    np.asarray(lp["out1"]["kernel"]), wq))
+                out1_b = jnp.asarray(np.asarray(lp["out1"]["bias"]))
+
+            self.layers.append(_LayerPack(
+                lam=(jnp.asarray(lam_bar[0]), jnp.asarray(lam_bar[1])),
+                w_b=jnp.asarray(w_b), w_c=jnp.asarray(w_c),
+                d=jnp.asarray(d_q), d_bias=None,
+                norm_w=jnp.asarray(nw.astype(np.float32)),
+                norm_b=jnp.asarray(nb.astype(np.float32)),
+                out2_kernel=out2_k, out2_bias=out2_b,
+                out1_kernel=out1_k, out1_bias=out1_b))
+
+        self._forward = jax.jit(partial(self._apply,
+                                        block_t=block_t))
+
+    @staticmethod
+    def from_artifacts(checkpoint_dir: str, cfg) -> "W8A16Engine":
+        import os
+        from sparsernns_tpu.quantize.config import quantization_recipes
+        from sparsernns_tpu.train.checkpoint import ArtifactStore
+        store = ArtifactStore(os.path.join(checkpoint_dir, "conversion"))
+        params = store.load("frozen_params")
+        stats = store.load("frozen_stats")
+        q_config = quantization_recipes[cfg.convert_quantization](
+            static_quant=True, calibrating=False)
+        model_cfg = FxpModelConfig.infer(
+            params, glu_variant=cfg.glu_variant,
+            relufication=cfg.relufication, prenorm=cfg.prenorm,
+            clip_eigs=cfg.clip_eigs, conj_sym=cfg.conj_sym,
+            discretization=cfg.discretization)
+        return W8A16Engine(params, stats, q_config, model_cfg)
+
+    def _apply(self, x, block_t: int):
+        """x: (B, L, d_input) f32 -> mask (B, L, d_output)."""
+        cfg = self.cfg
+        h = x @ self.encoder_kernel + self.encoder_bias
+        if cfg.relufication:
+            h = jax.nn.relu(h)
+        for layer in self.layers:
+            skip = h
+            z = h * layer.norm_w + layer.norm_b if cfg.prenorm else h
+            z = z.astype(self.act_dtype).astype(jnp.float32)
+            y = fused_s5_apply(z, layer.lam, layer.w_b, layer.w_c, layer.d,
+                               block_t=block_t, relu_state=False)
+            x1 = jax.nn.relu(y) if cfg.relufication else jax.nn.gelu(y)
+            if cfg.glu_variant in ("half1", "half2", "full"):
+                gate = jax.nn.sigmoid(x1 @ layer.out2_kernel
+                                      + layer.out2_bias)
+                base = x1 if cfg.glu_variant == "half1" else (
+                    y if cfg.glu_variant == "half2" else
+                    x1 @ layer.out1_kernel + layer.out1_bias)
+                h = base * gate
+            else:
+                h = x1
+            h = h + skip
+            if not cfg.prenorm:
+                h = h * layer.norm_w + layer.norm_b
+            if cfg.relufication:
+                h = jax.nn.relu(h)
+        return h @ self.decoder_kernel + self.decoder_bias
+
+    def __call__(self, x) -> jax.Array:
+        return self._forward(x)

@@ -1,0 +1,147 @@
+"""Streaming / stateful audio denoising — the serving path.
+
+The reference only processes whole 30 s clips (SURVEY.md §5: no streaming
+exists). Here inference is chunked: per-layer SSM carries live in the flax
+"cache" collection (see S5SSM._carry) and flow between chunks, so a
+stream of arbitrary length runs in O(chunk) memory with bit-identical
+recurrence to the offline scan. The STFT analysis is uncentered (frame k
+covers samples [k·hop, k·hop + nfft)); synthesis is boxcar overlap-add
+with samples emitted once no future frame can touch them.
+
+The chunk forward is ONE jitted function of (variables, cache, frames) ->
+(mask, new cache); batch B streams B channels concurrently (continuous
+batching = fixed B with per-slot cache/stream reset via `reset(slot)`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparsernns_tpu.ops.stft import HOP_LENGTH, NFFT
+from sparsernns_tpu.train.losses import STFT_MAG_MEAN
+
+
+class StreamingDenoiser:
+    """Stateful chunked inference around an eval-mode RegressionModel."""
+
+    def __init__(self, model, variables: Dict, batch_size: int = 1,
+                 hop: int = HOP_LENGTH, nfft: int = NFFT):
+        self.model = model
+        self.variables = dict(variables)
+        self.batch = batch_size
+        self.hop = hop
+        self.nfft = nfft
+        self.overlap = nfft // hop
+
+        @jax.jit
+        def forward(variables, cache, frames_mag):
+            # frames_mag: (B, F, T) magnitudes; returns (mask, new cache)
+            x = jnp.transpose(frames_mag - STFT_MAG_MEAN, (0, 2, 1))
+            vs = dict(variables)
+            if cache:
+                vs["cache"] = cache
+            out, mutated = self.model.apply(vs, x, mutable=["cache"])
+            return jnp.transpose(out, (0, 2, 1)), mutated.get("cache", {})
+
+        self._forward = forward
+        self.reset()
+
+    def reset(self, slot: Optional[int] = None):
+        if slot is None:
+            self.cache: Optional[Dict] = None
+            self._pending = np.zeros((self.batch, 0), np.float32)
+            self._ola = np.zeros((self.batch, 0), np.float32)
+            self._ola_w = np.zeros((0,), np.float32)
+            self._emit_pos = 0      # global sample index of next emit
+            self._ola_start = 0     # global sample index of _ola[:, 0]
+            self._frames_done = 0   # global frames processed so far
+        else:
+            if self.cache is not None:
+                self.cache = jax.tree_util.tree_map(
+                    lambda c: c.at[slot].set(0.0), self.cache)
+            self._pending[slot] = 0.0
+            self._ola[slot] = 0.0
+
+    def process(self, audio_chunk: np.ndarray) -> np.ndarray:
+        """Feed (B, T) new samples; returns finalized denoised samples
+        (empty until a full analysis frame is available)."""
+        audio_chunk = np.atleast_2d(np.asarray(audio_chunk, np.float32))
+        assert audio_chunk.shape[0] == self.batch
+        self._pending = np.concatenate([self._pending, audio_chunk], axis=1)
+
+        n_avail = self._pending.shape[1]
+        if n_avail < self.nfft:
+            return np.zeros((self.batch, 0), np.float32)
+        n_frames = (n_avail - self.nfft) // self.hop + 1
+
+        starts = np.arange(n_frames) * self.hop
+        frames = np.stack(
+            [self._pending[:, s:s + self.nfft] for s in starts], axis=1)
+        spec = np.fft.rfft(frames, axis=-1)          # (B, T, F)
+        mag = np.abs(spec).astype(np.float32).transpose(0, 2, 1)
+        phase = np.angle(spec).transpose(0, 2, 1)
+
+        mask, self.cache = self._forward(
+            self.variables, self.cache, jnp.asarray(mag))
+        cleaned = mag * (1.0 + np.asarray(mask))
+        spec_out = (cleaned * np.exp(1j * phase)).transpose(0, 2, 1)
+        time_frames = np.fft.irfft(spec_out, axis=-1).astype(np.float32)
+
+        # --- overlap-add into the global synthesis buffer ---
+        first_global = self._frames_done * self.hop
+        last_end = first_global + (n_frames - 1) * self.hop + self.nfft
+        need = last_end - self._ola_start
+        if need > self._ola.shape[1]:
+            grow = need - self._ola.shape[1]
+            self._ola = np.pad(self._ola, ((0, 0), (0, grow)))
+            self._ola_w = np.pad(self._ola_w, (0, grow))
+        for t in range(n_frames):
+            s = first_global + t * self.hop - self._ola_start
+            self._ola[:, s:s + self.nfft] += time_frames[:, t]
+            self._ola_w[s:s + self.nfft] += 1.0
+
+        self._frames_done += n_frames
+        # keep the last (overlap-1) hops of input as context for the next
+        # frame, drop fully-consumed samples
+        self._pending = self._pending[:, n_frames * self.hop:]
+
+        # --- emit samples no future frame (start >= next_start) touches ---
+        next_start = self._frames_done * self.hop
+        emit_until = next_start  # future frames cover [next_start, ...)
+        if emit_until <= self._emit_pos:
+            return np.zeros((self.batch, 0), np.float32)
+        lo = self._emit_pos - self._ola_start
+        hi = emit_until - self._ola_start
+        w = np.maximum(self._ola_w[lo:hi], 1.0)
+        out = self._ola[:, lo:hi] / w[None, :]
+        # drop emitted region from the buffer
+        self._ola = self._ola[:, hi:]
+        self._ola_w = self._ola_w[hi:]
+        self._ola_start = emit_until
+        self._emit_pos = emit_until
+        return out
+
+    def flush(self) -> np.ndarray:
+        """Emit everything accumulated (end of stream)."""
+        if self._ola.shape[1] == 0:
+            return np.zeros((self.batch, 0), np.float32)
+        w = np.maximum(self._ola_w, 1.0)
+        out = self._ola / w[None, :]
+        self._ola = np.zeros((self.batch, 0), np.float32)
+        self._ola_w = np.zeros((0,), np.float32)
+        self._ola_start = self._emit_pos = self._emit_pos + out.shape[1]
+        return out
+
+    def process_offline(self, audio: np.ndarray,
+                        chunk_samples: int = 16000) -> np.ndarray:
+        """Stream a whole signal chunk-by-chunk and stitch the output."""
+        audio = np.atleast_2d(np.asarray(audio, np.float32))
+        outs = []
+        for start in range(0, audio.shape[-1], chunk_samples):
+            outs.append(self.process(audio[:, start:start + chunk_samples]))
+        outs.append(self.flush())
+        return np.concatenate([o for o in outs if o.size], axis=-1)

@@ -1,0 +1,284 @@
+"""Training orchestrator: dataset -> model -> epoch loop -> checkpoints.
+
+Reference parity: `sparseRNNs/train.py` (train(): RNG setup, dataset
+creation, HiPPO init, model assembly, train state, orbax restore/save,
+epoch loop with val+test, early stopping, LR/eigenvalue/sparsity logging)
+and the epoch drivers in train_helpers.py (train_epoch_ndns :812,
+validate_ndns :1215).
+
+TPU-first: one natively-batched jitted step; data-parallel/TP execution is
+a sharding annotation (parallel/), not a code path; host->device transfer
+overlaps via the loader's prefetch thread.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparsernns_tpu.data.ndns import AUDIO_LEN, create_ndns_dataset
+from sparsernns_tpu.models.seq_model import (ClassificationModel,
+                                             RegressionModel)
+from sparsernns_tpu.models.ssm import make_ssm_init_fn
+from sparsernns_tpu.models.ssm_init import blocked_dplr_init
+from sparsernns_tpu.ops.stft import stft_splitter
+from sparsernns_tpu.quantize.config import quantization_recipes
+from sparsernns_tpu.train.checkpoint import CheckpointManager
+from sparsernns_tpu.train.optim import create_optimizer, extract_learning_rates
+from sparsernns_tpu.train.pruning import (MagnitudePruner, pruning_recipes,
+                                          summarize_sparsity)
+from sparsernns_tpu.train.state import TrainState, count_params
+from sparsernns_tpu.train.steps import (make_mask_update_fn,
+                                        make_ndns_eval_step,
+                                        make_ndns_train_step)
+from sparsernns_tpu.utils.config import RunConfig
+from sparsernns_tpu.utils.logging import (compute_eigenvalue_logs, logger,
+                                          make_sink)
+
+
+def build_model(cfg: RunConfig, d_input: int, d_output: int,
+                training: bool, q_config=None, scan_mode: Optional[str] = None,
+                calibrating: Optional[bool] = None):
+    """Assemble the model from config (reference train.py:97-169)."""
+    if q_config is None:
+        q_config = quantization_recipes[cfg.quantization]()
+    if calibrating is not None:
+        q_config = q_config.replace(calibrating=calibrating)
+    init = blocked_dplr_init(cfg.ssm_size_base, cfg.blocks, cfg.conj_sym)
+    mixer = make_ssm_init_fn(
+        h=cfg.d_model, p=init["P"], lambda_init=init["Lambda"],
+        v=init["V"], vinv=init["Vinv"], c_init=cfg.C_init,
+        discretization=cfg.discretization, dt_min=cfg.dt_min,
+        dt_max=cfg.dt_max, conj_sym=cfg.conj_sym, clip_eigs=cfg.clip_eigs,
+        bidirectional=cfg.bidirectional, relufication=cfg.relufication,
+        q_config=q_config, scan_mode=scan_mode or cfg.scan_mode)
+    common = dict(
+        mixer_cls=mixer, n_layers=cfg.n_layers, d_model=cfg.d_model,
+        dropout=cfg.p_dropout, batchnorm=cfg.batchnorm, prenorm=cfg.prenorm,
+        bn_momentum=cfg.bn_momentum, glu_variant=cfg.glu_variant,
+        training=training, relufication=cfg.relufication,
+        fuse_batchnorm_linear=cfg.fuse_batchnorm_linear, q_config=q_config,
+        use_batchnorm_scale=cfg.batchnorm_use_scale,
+        use_batchnorm_bias=cfg.batchnorm_use_bias, topk=cfg.topk,
+        approx_topk=cfg.approx_topk, quant_input=cfg.quant_input,
+        d_output=d_output)
+    if cfg.dataset == "ndns":
+        return RegressionModel(**common)
+    return ClassificationModel(**common, mode=cfg.mode)
+
+
+def build_dataset(cfg: RunConfig, num_shards: int = 1, shard_index: int = 0):
+    """Dataset registry (reference `Datasets` map, dataloading.py:149-151,
+    which likewise only wires ndns; classification tasks here use the
+    synthetic registry entry)."""
+    if cfg.dataset == "ndns":
+        return create_ndns_dataset(
+            cfg.bsz, seed=cfg.jax_seed,
+            synthetic=True if cfg.synthetic_data else None,
+            synthetic_size=cfg.synthetic_size,
+            synthetic_length=int(cfg.synthetic_seconds * 16000),
+            num_shards=num_shards, shard_index=shard_index)
+    if cfg.dataset == "synthetic-classification":
+        from sparsernns_tpu.data.classification import \
+            create_classification_dataset
+        return create_classification_dataset(
+            cfg.bsz, seed=cfg.jax_seed, size=cfg.synthetic_size,
+            num_shards=num_shards, shard_index=shard_index)
+    raise NotImplementedError(f"dataset {cfg.dataset!r} not registered")
+
+
+@jax.jit
+def prep_ndns_batch(noisy, clean):
+    """Host audio -> STFT features on device (reference prep in
+    train_helpers.py:853-861 + stft_splitter)."""
+    noisy_mag, noisy_phase = stft_splitter(noisy)
+    clean_mag, _ = stft_splitter(clean)
+    return noisy_mag, noisy_phase, clean_mag
+
+
+def create_run_state(cfg: RunConfig, model, example_input,
+                     steps_per_epoch: int
+                     ) -> Tuple[TrainState, Optional[MagnitudePruner]]:
+    variables = model.init(jax.random.PRNGKey(cfg.jax_seed), example_input)
+    total_steps = steps_per_epoch * cfg.epochs
+    warmup_steps = steps_per_epoch * cfg.warmup_end
+    tx = create_optimizer(
+        cfg.opt_config, lr=cfg.lr, ssm_lr=cfg.ssm_lr_base,
+        weight_decay=cfg.weight_decay, total_steps=total_steps,
+        warmup_steps=warmup_steps,
+        grad_clip_threshold=cfg.grad_clip_threshold,
+        dt_global=cfg.dt_global, lr_min=cfg.lr_min)
+
+    prune_cfg = pruning_recipes(cfg.epochs, steps_per_epoch)[cfg.pruning]
+    pruner = MagnitudePruner(prune_cfg) if prune_cfg.enabled else None
+    masks = pruner.init_masks(variables["params"]) if pruner else None
+
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx,
+        batch_stats=variables.get("batch_stats"), masks=masks)
+    logger.info("trainable parameters: %d", count_params(state.params))
+    return state, pruner
+
+
+def run_ndns_epoch(state, step_fn, mask_update, loader, rng,
+                   profile_ctx=None) -> Tuple[TrainState, Dict[str, float]]:
+    losses, snrs = [], []
+    for noisy, clean in loader:
+        noisy = jnp.asarray(noisy)
+        clean = jnp.asarray(clean)
+        noisy_mag, noisy_phase, clean_mag = prep_ndns_batch(noisy, clean)
+        state = mask_update(state)
+        state, metrics = step_fn(state, rng, noisy_mag, noisy_phase,
+                                 clean_mag, clean)
+        losses.append(metrics["loss"])
+        snrs.append(metrics["si_snr"])
+    return state, {"train_loss": float(jnp.mean(jnp.stack(losses))),
+                   "train_si_snr": float(jnp.mean(jnp.stack(snrs)))}
+
+
+def validate_ndns(state, eval_fn, loader) -> Dict[str, float]:
+    losses, snrs = [], []
+    for noisy, clean in loader:
+        noisy = jnp.asarray(noisy)
+        clean = jnp.asarray(clean)
+        noisy_mag, noisy_phase, clean_mag = prep_ndns_batch(noisy, clean)
+        metrics = eval_fn(state, noisy_mag, noisy_phase, clean_mag, clean)
+        losses.append(metrics["loss"])
+        snrs.append(metrics["si_snr"])
+    return {"loss": float(jnp.mean(jnp.stack(losses))),
+            "si_snr": float(jnp.mean(jnp.stack(snrs)))}
+
+
+def run_classification_epoch(state, step_fn, mask_update, loader, rng):
+    losses, accs = [], []
+    for xs, ys in loader:
+        state = mask_update(state)
+        state, metrics = step_fn(state, rng, jnp.asarray(xs),
+                                 jnp.asarray(ys))
+        losses.append(metrics["loss"])
+        accs.append(metrics["accuracy"])
+    return state, {"train_loss": float(jnp.mean(jnp.stack(losses))),
+                   "train_acc": float(jnp.mean(jnp.stack(accs)))}
+
+
+def validate_classification(state, eval_fn, loader) -> Dict[str, float]:
+    losses, accs = [], []
+    for xs, ys in loader:
+        metrics = eval_fn(state, jnp.asarray(xs), jnp.asarray(ys))
+        losses.append(metrics["loss"])
+        accs.append(metrics["accuracy"])
+    return {"loss": float(jnp.mean(jnp.stack(losses))),
+            "accuracy": float(jnp.mean(jnp.stack(accs)))}
+
+
+def train(cfg: RunConfig) -> Dict[str, Any]:
+    """Full training run. Returns summary metrics.
+    Reference: train() train.py:26-631."""
+    cfg = cfg.apply_dim_scale()
+    rng = jax.random.PRNGKey(cfg.jax_seed)
+
+    trainloader, valloader, testloader, n_out, seq_len, d_input, train_size \
+        = build_dataset(cfg)
+    steps_per_epoch = max(1, train_size // cfg.bsz)
+
+    model = build_model(cfg, d_input, n_out, training=True)
+    eval_model = model.clone(training=False)
+
+    example = jnp.zeros((cfg.bsz, seq_len, d_input), jnp.float32)
+    state, pruner = create_run_state(cfg, model, example, steps_per_epoch)
+
+    sink = make_sink(cfg.logger,
+                     directory=cfg.checkpoint_dir or ".",
+                     **({"project": cfg.wandb_project,
+                         "config": cfg.to_dict(), "name": cfg.run_name}
+                        if cfg.logger == "wandb" else {}))
+
+    mngr = None
+    metadata = {"best_val_loss": float("inf"), "best_si_snr": -float("inf"),
+                "next_epoch": 0}
+    if cfg.checkpoint_dir:
+        mngr = CheckpointManager(cfg.checkpoint_dir)
+        if cfg.restore_checkpoint:
+            if cfg.reset_optimizer:
+                state = mngr.restore_params_only(state)
+            else:
+                state, restored_meta = mngr.restore(state)
+                if restored_meta:
+                    metadata.update(restored_meta)
+
+    is_ndns = cfg.dataset == "ndns"
+    static_q = quantization_recipes[cfg.quantization]().static_quant
+    if is_ndns:
+        step_fn = make_ndns_train_step(model, batchnorm=cfg.batchnorm,
+                                       pruner=pruner, static_quant=static_q)
+        eval_fn = make_ndns_eval_step(eval_model, batchnorm=cfg.batchnorm,
+                                      pruner=pruner)
+        epoch_fn, val_fn = run_ndns_epoch, validate_ndns
+    else:
+        from sparsernns_tpu.train.steps import (
+            make_classification_eval_step, make_classification_train_step)
+        step_fn = make_classification_train_step(
+            model, batchnorm=cfg.batchnorm, pruner=pruner,
+            static_quant=static_q)
+        eval_fn = make_classification_eval_step(
+            eval_model, batchnorm=cfg.batchnorm, pruner=pruner)
+        epoch_fn, val_fn = run_classification_epoch, validate_classification
+    mask_update = make_mask_update_fn(pruner)
+
+    patience = 0
+    start_epoch = int(metadata.get("next_epoch", 0))
+    for epoch in range(start_epoch, cfg.epochs):
+        if cfg.profile and epoch == start_epoch + 1:
+            jax.profiler.start_trace(cfg.profile_dir)
+        rng, epoch_rng = jax.random.split(rng)
+        state, train_metrics = epoch_fn(
+            state, step_fn, mask_update, trainloader, epoch_rng)
+        val_metrics = val_fn(state, eval_fn, valloader)
+        test_metrics = val_fn(state, eval_fn, testloader)
+        if cfg.profile and epoch == start_epoch + 1:
+            jax.profiler.stop_trace()
+
+        log = dict(train_metrics)
+        log.update({f"val_{k}": v for k, v in val_metrics.items()})
+        log.update({f"test_{k}": v for k, v in test_metrics.items()})
+        log.update(extract_learning_rates(state.opt_state))
+        log.update(compute_eigenvalue_logs(state.params))
+        if pruner is not None:
+            log["weight_sparsity"] = summarize_sparsity(
+                state.params, state.masks)["_total_sparsity"]
+        sink.log(log, step=epoch)
+        quality_key = "si_snr" if is_ndns else "accuracy"
+        logger.info("epoch %d: train %.4f val %.4f (%s %.3f)",
+                    epoch, log["train_loss"], log["val_loss"],
+                    quality_key, val_metrics[quality_key])
+
+        improved = val_metrics["loss"] < metadata["best_val_loss"]
+        if improved:
+            metadata["best_val_loss"] = val_metrics["loss"]
+            metadata["best_si_snr"] = val_metrics[quality_key]
+            metadata["best_epoch"] = epoch
+            sink.log_best({"best_val_loss": val_metrics["loss"],
+                           "best_quality": val_metrics[quality_key]})
+            patience = 0
+        else:
+            patience += 1
+        metadata["next_epoch"] = epoch + 1
+
+        if mngr is not None:
+            mngr.save(epoch, state, metadata=metadata,
+                      metrics={"val_quality": val_metrics[quality_key]})
+            mngr.wait()
+
+        if patience >= cfg.early_stop_patience:
+            logger.info("early stopping at epoch %d", epoch)
+            break
+
+    sink.finish()
+    if mngr is not None:
+        mngr.close()
+    return {"state": state, "metadata": metadata}

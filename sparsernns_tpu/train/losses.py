@@ -52,6 +52,8 @@ def ndns_loss_from_mask(
     """
     cleaned_mag = noisy_mag * (1.0 + mask)
     cleaned = stft_mixer(cleaned_mag, noisy_phase)
+    # iSTFT length is hop-aligned and may exceed the original audio length
+    cleaned = cleaned[..., :clean_audio.shape[-1]]
     snr = si_snr(cleaned, clean_audio)
     loss = NDNS_LOSS_LAMBDA * jnp.mean((cleaned_mag - clean_mag) ** 2) + (
         100.0 - jnp.mean(snr))

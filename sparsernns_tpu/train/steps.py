@@ -169,7 +169,7 @@ def make_classification_eval_step(model, batchnorm: bool = True,
 
 
 def capture_intermediates(model, state: TrainState, x,
-                          filter_fn=lambda mdl, method: True):
+                          filter_fn=lambda mdl, method: method == "__call__"):
     """Run a forward pass capturing sown/intermediate activations — the
     golden-activation dump used by the fxp verification harness
     (reference train_helpers.py:1079-1212, convert.py:358-374)."""

@@ -1,0 +1,152 @@
+"""Run configuration: the framework's flag schema + JSON recipe overlay.
+
+Reference parity: main.py:16-491 (argparse schema, recipe merge at
+main.py:471-478, dim_scale rescale at main.py:480-485) and
+fxprun.py:98-269. One dataclass is the single source of truth; the CLI is
+generated from it and JSON recipes overlay onto it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass
+class RunConfig:
+    # --- experiment / logging (main.py wandb+ckpt flags) ---
+    run_name: Optional[str] = None
+    logger: str = "jsonl"               # jsonl | wandb | none
+    wandb_project: str = "sparsernns-tpu"
+    checkpoint_dir: Optional[str] = None
+    restore_checkpoint: bool = True
+    reset_optimizer: bool = False
+    log_act_sparsity: str = "none"      # none | val | train | both
+    profile: bool = False
+    profile_dir: str = "/tmp/sparsernns_profile"
+
+    # --- dataset ---
+    dataset: str = "ndns"
+    dir_name: Optional[str] = None
+    bsz: int = 32
+    synthetic_data: bool = False
+    synthetic_size: int = 64
+    synthetic_seconds: float = 30.0
+
+    # --- model ---
+    n_layers: int = 3
+    d_model: int = 192
+    ssm_size_base: int = 256
+    blocks: int = 16
+    C_init: str = "lecun_normal"
+    discretization: str = "zoh"
+    mode: str = "pool"
+    activation_fn: str = "half_glu1"
+    conj_sym: bool = True
+    clip_eigs: bool = True
+    bidirectional: bool = False
+    dt_min: float = 0.001
+    dt_max: float = 0.1
+    prenorm: bool = True
+    batchnorm: bool = True
+    bn_momentum: float = 0.95
+    batchnorm_use_bias: bool = True
+    batchnorm_use_scale: bool = True
+    glu_variant: str = "half1"
+    fuse_batchnorm_linear: bool = False
+    dim_scale: float = 1.0
+    scan_mode: str = "associative"      # associative | sequential | pallas | fused
+
+    # --- regularization / optimization ---
+    p_dropout: float = 0.1
+    jax_seed: int = 1919
+    epochs: int = 50
+    warmup_end: int = 1
+    early_stop_patience: int = 1000
+    lr_factor: float = 4.0
+    ssm_lr_base: float = 1e-3
+    weight_decay: float = 0.04
+    opt_config: str = "noBCdecay"
+    dt_global: bool = False
+    grad_clip_threshold: Optional[float] = None
+    lr_min: float = 1e-6
+
+    # --- sparsity ---
+    pruning: str = "no_prune"
+    relufication: bool = False
+    topk: float = 1.0
+    approx_topk: bool = False
+
+    # --- quantization ---
+    quantization: str = "none"
+    quant_input: Optional[float] = None
+
+    # --- convert pipeline stage gates (reference convert flags) ---
+    convert_quantization: str = "w8a16"
+    validate_baseline: bool = False
+    store_activations: bool = False
+    validate_naive_scan: bool = False
+    validate_aqt: bool = False
+    train_aqt: bool = False
+    calibrate_quant: bool = True
+    validate_static_quant: bool = True
+    train_static_quant: bool = False
+    qaft_epochs: int = 10
+
+    # --- parallelism (greenfield; no reference equivalent) ---
+    mesh_data: int = -1
+    mesh_model: int = 1
+    mesh_seq: int = 1
+
+    @property
+    def lr(self) -> float:
+        return self.lr_factor * self.ssm_lr_base
+
+    def apply_dim_scale(self) -> "RunConfig":
+        """Uniform model rescale (reference main.py:480-485)."""
+        if self.dim_scale == 1.0:
+            return self
+        s = self.dim_scale
+        return dataclasses.replace(
+            self,
+            d_model=int(self.d_model * s),
+            ssm_size_base=max(self.blocks,
+                              int(self.ssm_size_base * s) // (2 * self.blocks)
+                              * 2 * self.blocks),
+            dim_scale=1.0,
+        )
+
+    def with_recipe(self, path: str) -> "RunConfig":
+        """Overlay a JSON recipe (reference main.py:471-478)."""
+        with open(path) as f:
+            recipe = json.load(f)
+        known = {f.name for f in dataclasses.fields(self)}
+        unknown = set(recipe) - known
+        if unknown:
+            raise ValueError(f"unknown recipe keys: {sorted(unknown)}")
+        return dataclasses.replace(self, **recipe)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def add_config_args(parser: argparse.ArgumentParser):
+    """Generate CLI flags from the dataclass fields."""
+    for f in dataclasses.fields(RunConfig):
+        name = f"--{f.name}"
+        if f.type in ("bool", bool) or isinstance(f.default, bool):
+            parser.add_argument(name, type=lambda s: s.lower() in
+                                ("1", "true", "yes"), default=f.default)
+        elif f.default is None:
+            parser.add_argument(name, default=None)
+        else:
+            parser.add_argument(name, type=type(f.default),
+                                default=f.default)
+
+
+def config_from_args(args: argparse.Namespace) -> RunConfig:
+    known = {f.name for f in dataclasses.fields(RunConfig)}
+    kw = {k: v for k, v in vars(args).items() if k in known}
+    return RunConfig(**kw)

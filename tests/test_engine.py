@@ -1,0 +1,55 @@
+"""W8A16 serving engine vs the static-quant emulation (golden harness):
+the fused-kernel quantized path must track the bit-faithful sequential
+path within the quantization error budget (SURVEY.md §7 hard part #1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparsernns_tpu.fxp.derive import FxpModelConfig
+from sparsernns_tpu.quantize.config import quantization_recipes
+from sparsernns_tpu.quantize.engine import W8A16Engine
+from tests.test_static_quant import _model, pipeline  # noqa: F401
+
+
+def test_engine_matches_static_quant(pipeline):  # noqa: F811
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    inf_model = _model(inf_cfg)
+    y_q = np.asarray(inf_model.apply(
+        {"params": frozen_params, "batch_stats": frozen_stats}, x))
+
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True)
+    engine = W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                         block_t=32)
+    y_e = np.asarray(engine(x))
+
+    assert y_e.shape == y_q.shape
+    denom = max(np.abs(y_q).max(), 1.0)
+    rel = np.abs(y_e - y_q).max() / denom
+    assert rel < 0.35, rel
+    corr = np.corrcoef(y_e.ravel(), np.asarray(y_fp).ravel())[0, 1]
+    assert corr > 0.95, corr
+
+
+def test_engine_fp32_act_dtype(pipeline):  # noqa: F811
+    """fp32 activations should track the static-quant emulation tighter
+    than bf16 ones do."""
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True)
+    e32 = W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                      act_dtype=jnp.float32, block_t=32)
+    e16 = W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                      act_dtype=jnp.bfloat16, block_t=32)
+    y32 = np.asarray(e32(x))
+    y16 = np.asarray(e16(x))
+    # both finite and close to each other at 16-bit precision
+    assert np.isfinite(y32).all() and np.isfinite(y16).all()
+    assert np.abs(y32 - y16).max() < 0.1 * max(np.abs(y32).max(), 1.0)
