@@ -182,8 +182,11 @@ def train(cfg: RunConfig) -> Dict[str, Any]:
     cfg = cfg.apply_dim_scale()
     rng = jax.random.PRNGKey(cfg.jax_seed)
 
+    # Per-host data sharding: each process loads only its slice of every
+    # global batch (multi-host DP over DCN; greenfield vs the reference).
     trainloader, valloader, testloader, n_out, seq_len, d_input, train_size \
-        = build_dataset(cfg)
+        = build_dataset(cfg, num_shards=jax.process_count(),
+                        shard_index=jax.process_index())
     steps_per_epoch = max(1, train_size // cfg.bsz)
 
     model = build_model(cfg, d_input, n_out, training=True)

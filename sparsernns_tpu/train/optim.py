@@ -129,6 +129,50 @@ def create_optimizer(
     return optax.multi_transform(transforms, label_fn)
 
 
+def reduce_lr_on_plateau(lr: float, ssm_lr: float, count: int,
+                         new_metric: float, best_metric: float,
+                         factor: float = 0.2, patience: int = 20,
+                         lr_min: float = 1e-6):
+    """Host-side plateau LR decay (reference train_helpers.py:100-119).
+    Returns (lr, ssm_lr, count, best_metric)."""
+    if new_metric > best_metric:
+        count = 0
+        best_metric = new_metric
+    else:
+        count += 1
+    if count > patience:
+        lr = max(factor * lr, lr_min)
+        ssm_lr = max(factor * ssm_lr, lr_min)
+        count = 0
+    return lr, ssm_lr, count, best_metric
+
+
+def set_learning_rates(opt_state, lr: float, ssm_lr: float):
+    """Override the injected hyperparam learning rates in a multi_transform
+    state (the plateau-schedule hook; reference
+    update_learning_rate_per_step train_helpers.py:126-148)."""
+    import jax
+
+    def visit(obj, group):
+        if hasattr(obj, "inner_states"):
+            return type(obj)(inner_states={
+                k: visit(v, k) for k, v in obj.inner_states.items()})
+        if hasattr(obj, "hyperparams") and "learning_rate" in obj.hyperparams:
+            new_lr = {"ssm": ssm_lr, "regular": lr}.get(group)
+            if new_lr is None:
+                return obj
+            hp = dict(obj.hyperparams)
+            hp["learning_rate"] = jnp.asarray(new_lr, jnp.float32)
+            return obj._replace(hyperparams=hp)
+        if hasattr(obj, "inner_state"):
+            return obj._replace(inner_state=visit(obj.inner_state, group))
+        if isinstance(obj, tuple) and not hasattr(obj, "_fields"):
+            return tuple(visit(o, group) for o in obj)
+        return obj
+
+    return visit(opt_state, None)
+
+
 def zero_scale_gradients(grads):
     """Zero gradients of frozen quantization scale params — the QAFT
     safeguard of reference train_helpers.py:1353-1362."""
