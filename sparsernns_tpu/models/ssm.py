@@ -221,8 +221,10 @@ class S5SSM(nn.Module):
                 and b_bias is None and not (self.topk < 1.0)
                 and not streaming):
             # Single fused Pallas kernel: B-proj + scan + C-proj (+ relu on
-            # the state). The state dim never touches HBM.
-            from sparsernns_tpu.ops.pallas.fused_s5 import fused_s5_apply
+            # the state). The state dim never touches HBM in the forward;
+            # the custom VJP rematerializes it (fused_vjp.py).
+            from sparsernns_tpu.ops.pallas.fused_vjp import \
+                fused_s5_apply_diff
             w_b = jnp.concatenate(
                 [fake_quant(b_bar[0], cfg.b_precision).T,
                  fake_quant(b_bar[1], cfg.b_precision).T], axis=-1)
@@ -231,8 +233,8 @@ class S5SSM(nn.Module):
             w_c = scale * jnp.concatenate(
                 [fake_quant(cr, cfg.c_precision).T,
                  -fake_quant(ci, cfg.c_precision).T], axis=0)
-            ys = fused_s5_apply(u, lam_bar, w_b, w_c, d,
-                                relu_state=self.relufication)
+            ys = fused_s5_apply_diff(u, lam_bar, w_b, w_c, d, 256,
+                                     self.relufication)
             if d_bias is not None:
                 ys = ys + d_bias
             return ys, None

@@ -44,6 +44,7 @@ def _fused_kernel(
     out_ref,                      # (1, T, H) output block
     carry_re, carry_im,           # (1, P) scratch
     *, num_passes: int, block_t: int, p: int, relu_state: bool,
+    block_requant=None,
 ):
     j = pl.program_id(1)
     u = u_ref[0]  # (T, H)
@@ -74,6 +75,15 @@ def _fused_kernel(
     x_re = x_re + (tr * cr - ti * ci)
     x_im = x_im + (tr * ci + ti * cr)
 
+    if block_requant is not None:
+        # frozen-scale state requant at block granularity (see
+        # scan_kernel._scan_block_kernel)
+        s_re, s_im, bits = block_requant
+        qmax = float(2 ** (bits - 1) - 1)
+        qmin = float(-(2 ** (bits - 1)))
+        x_re = jnp.clip(jnp.round(x_re / s_re), qmin, qmax) * s_re
+        x_im = jnp.clip(jnp.round(x_im / s_im), qmin, qmax) * s_im
+
     carry_re[...] = x_re[block_t - 1:block_t, :]
     carry_im[...] = x_im[block_t - 1:block_t, :]
 
@@ -92,7 +102,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_t", "relu_state", "interpret"))
+    jax.jit, static_argnames=("block_t", "relu_state", "interpret",
+                              "block_requant"))
 def fused_s5_apply(
     u: jax.Array,          # (B, L, H) float32
     lam: Pair,             # (P,) pair — discretized λ̄
@@ -103,6 +114,7 @@ def fused_s5_apply(
     block_t: int = 256,
     relu_state: bool = False,
     interpret: Optional[bool] = None,
+    block_requant: Optional[Tuple[float, float, int]] = None,
 ) -> jax.Array:
     """y = Re(C x) + D ⊙ u with x the scanned state. Returns (B, L, H)."""
     if interpret is None:
@@ -154,7 +166,7 @@ def fused_s5_apply(
 
     kernel = functools.partial(
         _fused_kernel, num_passes=num_passes, block_t=t, p=p_pad,
-        relu_state=relu_state)
+        relu_state=relu_state, block_requant=block_requant)
     out = pl.pallas_call(
         kernel,
         grid=grid,

@@ -46,6 +46,7 @@ def _scan_block_kernel(
     out_re_ref, out_im_ref,        # (1, T, P) outputs
     carry_re, carry_im,            # (1, P) VMEM scratch — persists over grid
     *, num_passes: int, block_t: int,
+    block_requant=None,            # (scale_re, scale_im, bits) or None
 ):
     j = pl.program_id(1)
 
@@ -77,6 +78,19 @@ def _scan_block_kernel(
     x_re = x_re + (tr * cr - ti * ci)
     x_im = x_im + (tr * ci + ti * cr)
 
+    if block_requant is not None:
+        # Static-quant serving semantics at block granularity: requantize
+        # every state (and therefore the outgoing carry) onto the frozen
+        # pow2 grid. Per-STEP requant is not associative (reference
+        # ssm.py:248-251 simply raises); per-BLOCK requant keeps the
+        # doubling form with a bounded extra error budget (SURVEY.md §7
+        # hard part #1), validated against the sequential path.
+        s_re, s_im, bits = block_requant
+        qmax = float(2 ** (bits - 1) - 1)
+        qmin = float(-(2 ** (bits - 1)))
+        x_re = jnp.clip(jnp.round(x_re / s_re), qmin, qmax) * s_re
+        x_im = jnp.clip(jnp.round(x_im / s_im), qmin, qmax) * s_im
+
     carry_re[...] = x_re[block_t - 1:block_t, :]
     carry_im[...] = x_im[block_t - 1:block_t, :]
     out_re_ref[0] = x_re
@@ -87,8 +101,9 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("block_t", "reverse", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_t", "reverse", "interpret", "block_requant"))
 def pallas_diag_scan(
     lam: Pair,
     bu: Pair,
@@ -96,6 +111,7 @@ def pallas_diag_scan(
     carry_init: Optional[Pair] = None,
     block_t: int = DEFAULT_BLOCK_T,
     interpret: Optional[bool] = None,
+    block_requant: Optional[Tuple[float, float, int]] = None,
 ) -> Pair:
     """All-prefix states of x_t = λ x_{t-1} + bu_t. bu: (..., L, P) pair."""
     if interpret is None:
@@ -158,7 +174,8 @@ def pallas_diag_scan(
         shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
-        _scan_block_kernel, num_passes=num_passes, block_t=t)
+        _scan_block_kernel, num_passes=num_passes, block_t=t,
+        block_requant=block_requant)
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=grid,

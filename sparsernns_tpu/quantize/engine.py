@@ -62,6 +62,7 @@ class _LayerPack:
     out2_bias: Any
     out1_kernel: Any = None  # "full" GLU value dense
     out1_bias: Any = None
+    state_requant: Any = None  # (scale_re, scale_im, bits) or None
 
 
 class W8A16Engine:
@@ -116,6 +117,16 @@ class W8A16Engine:
             sgn = 2.0 if cfg.conj_sym else 1.0
             w_c = sgn * np.concatenate([c_re.T, -c_im.T], axis=0)
 
+            # Frozen state scales (when calibrated with static_quant):
+            # enable blockwise state requant inside the fused kernel.
+            requant = None
+            s_re = _get(lp, "mixer", "quant_xt", "quant_real", "scale")
+            s_im = _get(lp, "mixer", "quant_xt", "quant_imag", "scale")
+            if s_re is not None and s_im is not None \
+                    and q_config.ssm_act_precision:
+                requant = (float(np.asarray(s_re)), float(np.asarray(s_im)),
+                           int(q_config.ssm_act_precision))
+
             out2_k = out2_b = out1_k = out1_b = None
             if cfg.glu_variant in ("full", "half1", "half2"):
                 out2_k = jnp.asarray(_pow2_quant_values(
@@ -133,7 +144,8 @@ class W8A16Engine:
                 norm_w=jnp.asarray(nw.astype(np.float32)),
                 norm_b=jnp.asarray(nb.astype(np.float32)),
                 out2_kernel=out2_k, out2_bias=out2_b,
-                out1_kernel=out1_k, out1_bias=out1_b))
+                out1_kernel=out1_k, out1_bias=out1_b,
+                state_requant=requant))
 
         self._forward = jax.jit(partial(self._apply,
                                         block_t=block_t))
@@ -166,7 +178,8 @@ class W8A16Engine:
             z = h * layer.norm_w + layer.norm_b if cfg.prenorm else h
             z = z.astype(self.act_dtype).astype(jnp.float32)
             y = fused_s5_apply(z, layer.lam, layer.w_b, layer.w_c, layer.d,
-                               block_t=block_t, relu_state=False)
+                               block_t=block_t, relu_state=False,
+                               block_requant=layer.state_requant)
             x1 = jax.nn.relu(y) if cfg.relufication else jax.nn.gelu(y)
             if cfg.glu_variant in ("half1", "half2", "full"):
                 gate = jax.nn.sigmoid(x1 @ layer.out2_kernel

@@ -98,3 +98,29 @@ def test_diag_ssm_scan_pallas_dispatch(rng):
     out = diag_ssm_scan(lam_p, bu_p, mode="pallas")
     ref = _numpy_scan(lam, bu)
     np.testing.assert_allclose(out[0], ref.real, atol=2e-4)
+
+
+def test_block_requant_scan(rng):
+    """Blockwise requant tracks the per-step sequential requant within a
+    small budget and actually lands states on the quantization grid."""
+    from sparsernns_tpu.ops.scan import sequential_diag_scan
+    lam, bu, lam_p, bu_p = _inputs(rng, b=2, l=96, p=16)
+    s_re = s_im = 2.0 ** -8
+    bits = 16
+
+    def per_step_requant(x):
+        qmax, qmin = 2 ** 15 - 1, -(2 ** 15)
+        return (jnp.clip(jnp.round(x[0] / s_re), qmin, qmax) * s_re,
+                jnp.clip(jnp.round(x[1] / s_im), qmin, qmax) * s_im)
+
+    xs_seq, _ = sequential_diag_scan(lam_p, bu_p,
+                                     state_requant=per_step_requant)
+    xs_blk = pallas_diag_scan(lam_p, bu_p, block_t=32,
+                              block_requant=(s_re, s_im, bits))
+    # states land exactly on the pow2 grid
+    q = np.asarray(xs_blk[0]) / s_re
+    np.testing.assert_allclose(q, np.round(q), atol=1e-3)
+    # and track the bit-faithful per-step path within a small budget
+    err = np.abs(np.asarray(xs_blk[0]) - np.asarray(xs_seq[0])).max()
+    ref = np.abs(np.asarray(xs_seq[0])).max()
+    assert err < 0.02 * ref + 50 * s_re, (err, ref)
