@@ -44,6 +44,10 @@ def fake_quant(x: jax.Array, bits: Optional[int]) -> jax.Array:
     """
     if bits is None or bits >= 32:
         return x
+    if x.size == 0:
+        # associative_scan's recursion applies the combine to zero-length
+        # slices at its deepest level — absmax has no identity there
+        return x
     qmax = 2.0 ** (bits - 1) - 1.0
     scale = _symmetric_scale(lax.stop_gradient(x), bits)
     xq = jnp.clip(jnp.round(x / scale), -qmax - 1.0, qmax)

@@ -53,3 +53,28 @@ def test_engine_fp32_act_dtype(pipeline):  # noqa: F811
     # both finite and close to each other at 16-bit precision
     assert np.isfinite(y32).all() and np.isfinite(y16).all()
     assert np.abs(y32 - y16).max() < 0.1 * max(np.abs(y32).max(), 1.0)
+
+
+def test_sequence_parallel_engine(pipeline):  # noqa: F811
+    """Engine forward sharded over 8 time-chunks == single-device engine."""
+    from sparsernns_tpu.parallel.mesh import MeshConfig, make_mesh
+    from sparsernns_tpu.parallel.sp_engine import make_sp_forward
+
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True)
+    engine = W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                         act_dtype=jnp.float32, block_t=32)
+    y_single = np.asarray(engine(x))
+
+    mesh = make_mesh(MeshConfig(data=1, model=1, seq=8))
+    sp_forward = make_sp_forward(engine, mesh)
+    y_sp = np.asarray(sp_forward(x))  # L=24 divisible by 8
+
+    assert y_sp.shape == y_single.shape
+    # sp path has no in-kernel state requant; allow the requant budget
+    denom = max(np.abs(y_single).max(), 1.0)
+    assert np.abs(y_sp - y_single).max() / denom < 0.1
