@@ -19,12 +19,36 @@ BASELINE.json provides a recorded absolute number.
 
 from __future__ import annotations
 
+import contextlib
 import json
+import signal
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+BENCH_MODE_TIMEOUT_S = 900
+
+
+class _BenchTimeout(Exception):
+    pass
+
+
+@contextlib.contextmanager
+def _alarm(seconds: int):
+    """Per-mode watchdog so one hung compile can't swallow the bench."""
+
+    def handler(signum, frame):
+        raise _BenchTimeout(f"exceeded {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def bench_mode(mode: str, batch=8, seq_len=3751, d_io=257, iters=10):
@@ -49,6 +73,8 @@ def bench_mode(mode: str, batch=8, seq_len=3751, d_io=257, iters=10):
 def bench_w8a16_engine(batch=8, seq_len=3751, d_io=257, iters=10):
     """The north-star config: w8a16 quantized serving engine
     (int8-valued weights, bf16 activations, fused Pallas mixer)."""
+    import numpy as np
+
     from __graft_entry__ import _flagship_model
     from sparsernns_tpu.fxp.derive import FxpModelConfig
     from sparsernns_tpu.quantize.config import quantization_recipes
@@ -56,7 +82,16 @@ def bench_w8a16_engine(batch=8, seq_len=3751, d_io=257, iters=10):
 
     model = _flagship_model(training=False)
     x = jnp.zeros((batch, seq_len, d_io), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x)
+    # Engine packing reads weights on the HOST — build the parameter tree
+    # with numpy from eval_shape (no device round-trips; some TPU transports
+    # cannot read back).
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+    rng = np.random.RandomState(0)
+    # positive values keep BN var / timescales well-defined; sign is
+    # irrelevant for throughput
+    variables = jax.tree_util.tree_map(
+        lambda s: (0.1 * np.abs(rng.randn(*s.shape)) + 0.01
+                   ).astype(s.dtype), shapes)
     cfg = quantization_recipes["w8a16"](static_quant=True, calibrating=False)
     model_cfg = FxpModelConfig.infer(
         variables["params"], glu_variant="half1", relufication=False,
@@ -76,13 +111,15 @@ def main():
     results = {}
     for mode in ("associative", "pallas", "fused"):
         try:
-            results[mode] = bench_mode(mode)
+            with _alarm(BENCH_MODE_TIMEOUT_S):
+                results[mode] = bench_mode(mode)
             print(f"[bench] {mode}: {results[mode]:,.0f} frames/s",
                   file=sys.stderr)
         except Exception as e:  # keep the bench robust per-mode
             print(f"[bench] {mode} failed: {e}", file=sys.stderr)
     try:
-        results["w8a16-engine"] = bench_w8a16_engine()
+        with _alarm(BENCH_MODE_TIMEOUT_S):
+            results["w8a16-engine"] = bench_w8a16_engine()
         print(f"[bench] w8a16-engine: {results['w8a16-engine']:,.0f} "
               "frames/s", file=sys.stderr)
     except Exception as e:

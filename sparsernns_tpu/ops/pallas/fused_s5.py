@@ -47,7 +47,8 @@ def _fused_kernel(
     block_requant=None,
 ):
     j = pl.program_id(1)
-    u = u_ref[0]  # (T, H)
+    # input block may be stored bf16 (halved HBM traffic); compute in f32
+    u = u_ref[0].astype(jnp.float32)  # (T, H)
 
     bu = jnp.dot(u, wb_ref[...], preferred_element_type=jnp.float32)
     x_re = bu[:, :p]
@@ -176,9 +177,9 @@ def fused_s5_apply(
                   full((num_passes, p_pad)), full((num_passes, p_pad)),
                   full((t, p_pad)), full((t, p_pad))],
         out_specs=io_block,
-        out_shape=jax.ShapeDtypeStruct((b, l_pad, h_pad), u.dtype),
-        scratch_shapes=[pltpu.VMEM((1, p_pad), u.dtype),
-                        pltpu.VMEM((1, p_pad), u.dtype)],
+        out_shape=jax.ShapeDtypeStruct((b, l_pad, h_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, p_pad), jnp.float32),
+                        pltpu.VMEM((1, p_pad), jnp.float32)],
         interpret=interpret,
     )(u, w_b_packed, w_c_packed, d_packed, pow_re, pow_im, ctab[0], ctab[1])
 

@@ -176,7 +176,9 @@ class W8A16Engine:
         for layer in self.layers:
             skip = h
             z = h * layer.norm_w + layer.norm_b if cfg.prenorm else h
-            z = z.astype(self.act_dtype).astype(jnp.float32)
+            # a16 activations: the kernel reads bf16 blocks from HBM and
+            # computes in f32
+            z = z.astype(self.act_dtype)
             y = fused_s5_apply(z, layer.lam, layer.w_b, layer.w_c, layer.d,
                                block_t=block_t, relu_state=False,
                                block_requant=layer.state_requant)
