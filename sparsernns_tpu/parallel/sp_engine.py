@@ -73,3 +73,83 @@ def make_sp_forward(engine: W8A16Engine, mesh: Mesh):
                             in_specs=spec, out_specs=spec,
                             check_vma=False)
     return jax.jit(sharded)
+
+
+def make_tp_forward(engine: W8A16Engine, mesh: Mesh):
+    """Tensor-parallel engine forward: the SSM state dim P sharded over the
+    MODEL axis. Each device scans its own P-shard (the diagonal recurrence
+    is embarrassingly parallel over P); the B projection is column-parallel,
+    the C projection row-parallel with one psum per layer. Dense layers
+    replicate (they are H-sized and tiny next to the scan).
+    """
+    from sparsernns_tpu.parallel.mesh import MODEL_AXIS
+    from sparsernns_tpu.ops.scan import associative_diag_scan
+    cfg = engine.cfg
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def _chunk_forward(x, *layer_shards):
+        # layer_shards: per-layer (lam_re, lam_im, w_b_shard, w_c_shard)
+        h = x @ engine.encoder_kernel + engine.encoder_bias
+        if cfg.relufication:
+            h = jax.nn.relu(h)
+        for layer, (lam_re, lam_im, w_b_s, w_c_s) in zip(
+                engine.layers, layer_shards):
+            skip = h
+            z = h * layer.norm_w + layer.norm_b if cfg.prenorm else h
+            z = z.astype(engine.act_dtype).astype(jnp.float32)
+            p_loc = w_b_s.shape[-1] // 2
+            bu = z @ w_b_s
+            xs = associative_diag_scan(
+                (lam_re, lam_im), (bu[..., :p_loc], bu[..., p_loc:]))
+            y_part = jnp.concatenate(xs, axis=-1) @ w_c_s
+            y = jax.lax.psum(y_part, MODEL_AXIS) + layer.d * z
+            x1 = jax.nn.relu(y) if cfg.relufication else jax.nn.gelu(y)
+            if cfg.glu_variant in ("half1", "half2", "full"):
+                gate = jax.nn.sigmoid(x1 @ layer.out2_kernel
+                                      + layer.out2_bias)
+                base = x1 if cfg.glu_variant == "half1" else (
+                    y if cfg.glu_variant == "half2" else
+                    x1 @ layer.out1_kernel + layer.out1_bias)
+                h = base * gate
+            else:
+                h = x1
+            h = h + skip
+            if not cfg.prenorm:
+                h = h * layer.norm_w + layer.norm_b
+            if cfg.relufication:
+                h = jax.nn.relu(h)
+        return h @ engine.decoder_kernel + engine.decoder_bias
+
+    # Pre-split each layer's P-dim operands into shard-layout arrays.
+    shard_args = []
+    for layer in engine.layers:
+        p = layer.w_b.shape[-1] // 2
+        # w_b columns (re|im halves independently), w_c rows likewise
+        wb_re, wb_im = layer.w_b[:, :p], layer.w_b[:, p:]
+        wc_re, wc_im = layer.w_c[:p, :], layer.w_c[p:, :]
+        shard_args.append((layer.lam[0], layer.lam[1], wb_re, wb_im,
+                           wc_re, wc_im))
+
+    lam_spec = P(MODEL_AXIS)
+    in_layer_specs = tuple(
+        (lam_spec, lam_spec,
+         P(None, MODEL_AXIS), P(None, MODEL_AXIS),
+         P(MODEL_AXIS, None), P(MODEL_AXIS, None))
+        for _ in engine.layers)
+
+    def _wrapper(x, *args):
+        # repack per-shard (re, im) halves into the kernel layouts
+        packed = []
+        for (lam_re, lam_im, wb_re, wb_im, wc_re, wc_im) in args:
+            packed.append((lam_re, lam_im,
+                           jnp.concatenate([wb_re, wb_im], axis=-1),
+                           jnp.concatenate([wc_re, wc_im], axis=0)))
+        return _chunk_forward(x, *packed)
+
+    sharded = jax.shard_map(
+        _wrapper, mesh=mesh,
+        in_specs=(P(),) + in_layer_specs,
+        out_specs=P(),
+        check_vma=False)
+    f = jax.jit(sharded)
+    return lambda x: f(x, *shard_args)

@@ -78,3 +78,28 @@ def test_sequence_parallel_engine(pipeline):  # noqa: F811
     # sp path has no in-kernel state requant; allow the requant budget
     denom = max(np.abs(y_single).max(), 1.0)
     assert np.abs(y_sp - y_single).max() / denom < 0.1
+
+
+def test_tensor_parallel_engine(pipeline):  # noqa: F811
+    """Engine forward with the state dim P sharded over 8 devices ==
+    single-device engine (row/column-parallel projections + psum)."""
+    from sparsernns_tpu.parallel.mesh import MeshConfig, make_mesh
+    from sparsernns_tpu.parallel.sp_engine import make_tp_forward
+
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True)
+    engine = W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                         act_dtype=jnp.float32, block_t=32)
+    y_single = np.asarray(engine(x))
+
+    mesh = make_mesh(MeshConfig(data=1, model=8, seq=1))
+    tp_forward = make_tp_forward(engine, mesh)
+    y_tp = np.asarray(tp_forward(x))  # P=8 -> 1 state channel per device
+
+    assert y_tp.shape == y_single.shape
+    denom = max(np.abs(y_single).max(), 1.0)
+    assert np.abs(y_tp - y_single).max() / denom < 0.1
