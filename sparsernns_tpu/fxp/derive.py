@@ -141,6 +141,7 @@ def build_fxp_model(
     batch_stats: Dict[str, Any],
     q_config: QuantizationConfig,
     model_cfg: Optional[FxpModelConfig] = None,
+    spec_overrides: Optional[Dict[str, "FxpSpec"]] = None,
     **cfg_overrides,
 ):
     """Calibrated checkpoint -> FxpRegressionModel / FxpClassificationModel.
@@ -148,6 +149,11 @@ def build_fxp_model(
     ``params``/``batch_stats`` are the static-quant model's variable trees
     (scales frozen into params via move_scales_to_params, or still in
     batch_stats right after calibration — both layouts are accepted).
+
+    ``spec_overrides``: manual escape hatch mapping derived-spec names to
+    FxpSpec (the reference's manually_overwrite, fxputils.py:789-799).
+    Supported keys: "in", "enc_out", "dec_in", "dec_out", and per-layer
+    "layers_{i}.{u|bu_re|bu_im|x_re|x_im|y}".
     """
     if model_cfg is None:
         model_cfg = FxpModelConfig.infer(params, **cfg_overrides)
@@ -156,20 +162,32 @@ def build_fxp_model(
     ssm_act_bits = q_config.ssm_act_precision or 16
     w_bits = q_config.non_ssm_precision or 8
 
+    ov = spec_overrides or {}
     enc_p = params["encoder"]
     enc_s = batch_stats.get("encoder", {}) if batch_stats else {}
 
     # --- encoder dense ---
-    in_spec = _act_spec(enc_p, enc_s, ("encoder", "quant_input"), act_bits,
-                        fallback_exp=act_bits - 2)
-    enc_out_spec = _act_spec(enc_p, enc_s, ("encoder", "quant_output"),
-                             act_bits, fallback_exp=act_bits - 3)
+    in_spec = ov.get("in") or _act_spec(
+        enc_p, enc_s, ("encoder", "quant_input"), act_bits,
+        fallback_exp=act_bits - 2)
+    enc_out_spec = ov.get("enc_out") or _act_spec(
+        enc_p, enc_s, ("encoder", "quant_output"), act_bits,
+        fallback_exp=act_bits - 3)
     encoder_dense = FxpDense(
         np.asarray(_get(enc_p, "encoder", "kernel")),
         np.asarray(_get(enc_p, "encoder", "bias")),
         in_spec, w_bits, enc_out_spec)
 
-    act_spec = FxpSpec(act_bits, enc_out_spec.exp)  # residual stream format
+    # Residual-stream format: no observer sits on the residual itself, but
+    # the decoder's input observer sees its final value — use the coarser
+    # of (encoder output, decoder input) with one extra headroom bit so
+    # inter-layer growth doesn't saturate (clipping here dominated the
+    # fxp-vs-static error before).
+    dec_in_probe = ov.get("dec_in") or _act_spec(
+        params, batch_stats, ("decoder", "quant_input"),
+        act_bits, fallback_exp=enc_out_spec.exp)
+    act_spec = ov.get("act") or FxpSpec(
+        act_bits, max(0, min(enc_out_spec.exp, dec_in_probe.exp) - 1))
 
     layers = []
     for i in range(cfg.n_layers):
@@ -180,20 +198,27 @@ def build_fxp_model(
 
         lam_bar, b_bar, c_tilde, d = _discretize(mp, cfg)
 
-        u_spec = _act_spec(mp, ms, ("quant_ut",), ssm_act_bits,
-                           fallback_exp=ssm_act_bits - 3)
+        lk = f"layers_{i}"
+        u_spec = ov.get(f"{lk}.u") or _act_spec(
+            mp, ms, ("quant_ut",), ssm_act_bits,
+            fallback_exp=ssm_act_bits - 3)
         bu_specs = (
-            _act_spec(mp, ms, ("quant_but", "quant_real"), ssm_act_bits,
-                      fallback_exp=ssm_act_bits - 3),
-            _act_spec(mp, ms, ("quant_but", "quant_imag"), ssm_act_bits,
-                      fallback_exp=ssm_act_bits - 3))
+            ov.get(f"{lk}.bu_re") or _act_spec(
+                mp, ms, ("quant_but", "quant_real"), ssm_act_bits,
+                fallback_exp=ssm_act_bits - 3),
+            ov.get(f"{lk}.bu_im") or _act_spec(
+                mp, ms, ("quant_but", "quant_imag"), ssm_act_bits,
+                fallback_exp=ssm_act_bits - 3))
         x_specs = (
-            _act_spec(mp, ms, ("quant_xt", "quant_real"), ssm_act_bits,
-                      fallback_exp=ssm_act_bits - 4),
-            _act_spec(mp, ms, ("quant_xt", "quant_imag"), ssm_act_bits,
-                      fallback_exp=ssm_act_bits - 4))
-        y_spec = _act_spec(mp, ms, ("quant_yt",), ssm_act_bits,
-                           fallback_exp=ssm_act_bits - 3)
+            ov.get(f"{lk}.x_re") or _act_spec(
+                mp, ms, ("quant_xt", "quant_real"), ssm_act_bits,
+                fallback_exp=ssm_act_bits - 4),
+            ov.get(f"{lk}.x_im") or _act_spec(
+                mp, ms, ("quant_xt", "quant_imag"), ssm_act_bits,
+                fallback_exp=ssm_act_bits - 4))
+        y_spec = ov.get(f"{lk}.y") or _act_spec(
+            mp, ms, ("quant_yt",), ssm_act_bits,
+            fallback_exp=ssm_act_bits - 3)
 
         specs = FxpSSMSpecs(
             a=(spec_for(lam_bar[0], q_config.a_precision or 16),
@@ -218,8 +243,11 @@ def build_fxp_model(
                                      default=np.zeros(cfg.d_model))),
                 eps=1e-5, in_spec=act_spec, out_spec=u_spec)
 
+        # NOTE: state relufication (relu on xs before C) mirrors the
+        # mixer's behavior — distinct from the layer's post-SSM relu.
         ssm = FxpSSM(lam_bar, b_bar, c_tilde, d, specs,
-                     conj_sym=cfg.conj_sym, relufication=False)
+                     conj_sym=cfg.conj_sym,
+                     relufication=cfg.relufication)
 
         out2 = out1 = None
         if cfg.glu_variant in ("full", "half1", "half2"):
@@ -246,10 +274,12 @@ def build_fxp_model(
             glu_variant=cfg.glu_variant, act_spec=act_spec,
             relufication=cfg.relufication, prenorm=cfg.prenorm))
 
-    dec_in = _act_spec(params, batch_stats, ("decoder", "quant_input"),
-                       act_bits, fallback_exp=act_spec.exp)
-    dec_out = _act_spec(params, batch_stats, ("decoder", "quant_output"),
-                        act_bits, fallback_exp=act_bits - 4)
+    dec_in = ov.get("dec_in") or _act_spec(
+        params, batch_stats, ("decoder", "quant_input"),
+        act_bits, fallback_exp=act_spec.exp)
+    dec_out = ov.get("dec_out") or _act_spec(
+        params, batch_stats, ("decoder", "quant_output"),
+        act_bits, fallback_exp=act_bits - 4)
     decoder = FxpDense(
         np.asarray(_get(params, "decoder", "kernel")),
         np.asarray(_get(params, "decoder", "bias")),

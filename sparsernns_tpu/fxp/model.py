@@ -45,20 +45,32 @@ class FxpSpec:
         return fxp_from_fp(x, self.bits, self.exp, self.signed, round_mode)
 
     def cast(self, x: FxpArray,
-             round_mode: RoundingMode = RoundingMode.FLOOR) -> FxpArray:
+             round_mode: RoundingMode = RoundingMode.ROUND) -> FxpArray:
+        # ROUND default: matches the float static-quant path's
+        # round-to-nearest (hardware exports preferring floor shifts can
+        # pass FLOOR explicitly)
         return fxp_change_cfg(x, self.bits, self.exp, self.signed, round_mode)
 
 
 def spec_for(x: np.ndarray | jax.Array, bits: int,
              signed: bool = True) -> FxpSpec:
-    """Best exponent for representing ``x`` in ``bits`` bits: the fxputils
-    intbits/fracbits assignment (reference fxputils.py:67-80, :453-786)."""
+    """Best exponent for representing ``x`` in ``bits`` bits.
+
+    Uses the SAME symmetric power-of-2 rule as the float static-quant path
+    (quantize.static.calculate_qparams: scale = pow2_round(absmax/qmax)),
+    so fxp weight grids are bit-identical to the dequantized int weights
+    the flax/engine paths compute — a grid mismatch here dominated the
+    fxp-vs-static verification error. (The reference's fxputils uses an
+    intbits/fracbits formulation, fxputils.py:67-80; pow2-rounding of
+    absmax/qmax is the same quantity up to the rounding convention, and we
+    pick the convention that matches our own calibration.)
+    """
     absmax = float(jnp.max(jnp.abs(x)))
-    if absmax == 0.0:
+    if absmax == 0.0 or not np.isfinite(absmax):
         return FxpSpec(bits, bits - 1 if signed else bits, signed)
-    intbits = max(0, int(np.ceil(np.log2(absmax + 1e-12))))
-    exp = max(0, bits - intbits - (1 if signed else 0))
-    return FxpSpec(bits, exp, signed)
+    qmax = 2.0 ** (bits - 1) - 1.0
+    exp = -int(round(np.log2(absmax / qmax)))
+    return FxpSpec(bits, max(0, exp), signed)
 
 
 def exp_from_scale(scale: float, clamp_min: int = 0) -> int:
@@ -189,30 +201,38 @@ class FxpBatchNorm(FxpModule):
 
 class FxpSigmoid(FxpModule):
     """Piecewise-linear integer sigmoid LUT with interpolation.
-    Reference: FxpSigmoid fxpmodel.py:70-144 (8-entry interpolated);
-    here 16 unit-width segments over [-8, 8]."""
+    Reference: FxpSigmoid fxpmodel.py:70-144 (8-entry interpolated); here
+    segments of width 2^-half_log2 over [-RANGE, RANGE) (default 32
+    half-width segments — max PWL error ~3e-3)."""
 
     RANGE = 8  # segments cover [-RANGE, RANGE)
 
-    def __init__(self, out_spec: FxpSpec):
+    def __init__(self, out_spec: FxpSpec, half_log2: int = 1):
         super().__init__()
         assert not out_spec.signed or out_spec.exp <= out_spec.bits - 1
         self.out_spec = out_spec
-        edges = np.arange(-self.RANGE, self.RANGE + 1, 1.0)
+        self.half_log2 = half_log2  # width = 2^-half_log2
+        width = 2.0 ** -half_log2
+        edges = np.arange(-self.RANGE, self.RANGE + width / 2, width)
         vals = 1.0 / (1.0 + np.exp(-edges))
         y0 = vals[:-1]
-        slope = vals[1:] - vals[:-1]  # per unit input
+        slope = vals[1:] - vals[:-1]  # per segment
         e = out_spec.exp
         self.y0 = jnp.asarray(np.round(y0 * (1 << e)), jnp.int32)
         self.slope = jnp.asarray(np.round(slope * (1 << e)), jnp.int32)
 
     def __call__(self, x: FxpArray) -> FxpArray:
-        n_seg = 2 * self.RANGE
-        idx = (x.data >> x.exp) + self.RANGE
+        k = self.half_log2
+        n_seg = 2 * self.RANGE << k
+        if x.exp < k:  # too coarse for sub-unit segments: widen first
+            x = fxp_change_cfg(x, max(x.bits, 16), k + 2, x.signed)
+        shift = x.exp - k  # fractional bits within a segment
+        offset = self.RANGE << k
+        idx = (x.data >> shift) + offset
         idx = jnp.clip(idx, 0, n_seg - 1)
-        frac = x.data - ((idx - self.RANGE) << x.exp)  # in [0, 2^exp)
+        frac = x.data - ((idx - offset) << shift)  # in [0, 2^shift)
         y = self.y0[idx] + fxp_rshift_round(
-            self.slope[idx] * frac, x.exp, RoundingMode.ROUND)
+            self.slope[idx] * frac, shift, RoundingMode.ROUND)
         out = FxpArray(y, self.out_spec.bits, self.out_spec.exp,
                        self.out_spec.signed).clip()
         self.sow("output", out)
@@ -265,12 +285,15 @@ class FxpSSM(FxpModule):
         u = sp.u.cast(u)
         self.sow("input", u)
 
+        # ROUND (not FLOOR) matches the float static-quant path's
+        # round-to-nearest quant-dequant; floor bias would be amplified by
+        # the resonant recurrence (gain ~1/(1-|λ|)).
         bu_re = fxp_matmul(u, self.b_re, result_bits=sp.bu[0].bits,
                            result_exp=sp.bu[0].exp,
-                           round_mode=RoundingMode.FLOOR)
+                           round_mode=RoundingMode.ROUND)
         bu_im = fxp_matmul(u, self.b_im, result_bits=sp.bu[1].bits,
                            result_exp=sp.bu[1].exp,
-                           round_mode=RoundingMode.FLOOR)
+                           round_mode=RoundingMode.ROUND)
         self.sow("Bu", ComplexFxpArray(bu_re, bu_im))
 
         # Integer recurrence x_t = requant(Ā ⊙ x_{t-1}) + bu_t under scan.
@@ -283,21 +306,37 @@ class FxpSSM(FxpModule):
         # align bu to state exps
         dr = x_re_exp - sp.bu[0].exp
         di = x_im_exp - sp.bu[1].exp
-        bu_r = bu_r << dr if dr >= 0 else fxp_rshift_round(bu_r, -dr)
-        bu_i = bu_i << di if di >= 0 else fxp_rshift_round(bu_i, -di)
+        bu_r = (bu_r << dr if dr >= 0
+                else fxp_rshift_round(bu_r, -dr, RoundingMode.ROUND))
+        bu_i = (bu_i << di if di >= 0
+                else fxp_rshift_round(bu_i, -di, RoundingMode.ROUND))
 
         minv_r, maxv_r = -(1 << (sp.x[0].bits - 1)), (1 << (sp.x[0].bits - 1)) - 1
         minv_i, maxv_i = -(1 << (sp.x[1].bits - 1)), (1 << (sp.x[1].bits - 1)) - 1
 
+        # Guard bits: accumulate each step's complex sum at g extra
+        # fractional bits and round ONCE — matching the float static-quant
+        # path, which quant-dequants the full step result once per step
+        # (ssm.py:287-310); rounding each of the 4 products separately
+        # compounds through the resonant recurrence. g chosen so
+        # a·x >> (a_exp-g) and bu << g stay within int32.
+        g_re = max(0, min(8, a_re.exp, 29 - sp.x[0].bits))
+        g_im = max(0, min(8, a_im.exp, 29 - sp.x[1].bits))
+        g = min(g_re, g_im)
+
         def step(carry, bu_t):
             xr, xi = carry
-            # Ā⊙x: 4 integer multiplies, shift back to state exp
-            prod_rr = fxp_rshift_round(a_re.data * xr, a_re.exp)
-            prod_ii = fxp_rshift_round(a_im.data * xi, a_im.exp)
-            prod_ri = fxp_rshift_round(a_re.data * xi, a_re.exp)
-            prod_ir = fxp_rshift_round(a_im.data * xr, a_im.exp)
-            new_r = jnp.clip(prod_rr - prod_ii + bu_t[0], minv_r, maxv_r)
-            new_i = jnp.clip(prod_ri + prod_ir + bu_t[1], minv_i, maxv_i)
+            rnd = RoundingMode.ROUND
+            prod_rr = (a_re.data * xr) >> (a_re.exp - g)
+            prod_ii = (a_im.data * xi) >> (a_im.exp - g)
+            prod_ri = (a_re.data * xi) >> (a_re.exp - g)
+            prod_ir = (a_im.data * xr) >> (a_im.exp - g)
+            acc_r = prod_rr - prod_ii + (bu_t[0] << g)
+            acc_i = prod_ri + prod_ir + (bu_t[1] << g)
+            new_r = jnp.clip(fxp_rshift_round(acc_r, g, rnd),
+                             minv_r, maxv_r)
+            new_i = jnp.clip(fxp_rshift_round(acc_i, g, rnd),
+                             minv_i, maxv_i)
             return (new_r, new_i), (new_r, new_i)
 
         x0 = (jnp.zeros_like(bu_r[0]), jnp.zeros_like(bu_i[0]))
@@ -307,15 +346,17 @@ class FxpSSM(FxpModule):
         xs = ComplexFxpArray(
             FxpArray(xs_r, sp.x[0].bits, x_re_exp),
             FxpArray(xs_i, sp.x[1].bits, x_im_exp))
-        self.sow("states", xs)
-
         if self.relufication:
             xs = fxp_relu(xs)
+        # sown post-relufication: matches the flax model's pre_C sow
+        self.sow("states", xs)
 
         yc_re = fxp_matmul(xs.real, self.c_re, result_bits=32,
-                           result_exp=sp.y.exp + 1)
+                           result_exp=sp.y.exp + 1,
+                           round_mode=RoundingMode.ROUND)
         yc_im = fxp_matmul(xs.imag, self.c_im, result_bits=32,
-                           result_exp=sp.y.exp + 1)
+                           result_exp=sp.y.exp + 1,
+                           round_mode=RoundingMode.ROUND)
         y = FxpArray(yc_re.data - yc_im.data, 32, sp.y.exp + 1)
         if self.conj_sym:
             y = FxpArray(y.data << 1, 32, y.exp)

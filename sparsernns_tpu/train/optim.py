@@ -187,6 +187,22 @@ def zero_scale_gradients(grads):
     return jax.tree_util.tree_map_with_path(zero, grads)
 
 
+def scale_gradient_leak_norm(grads) -> jnp.ndarray:
+    """Total |grad| mass on frozen quantization scale parameters — should
+    be exactly zero after zero_scale_gradients; nonzero indicates a leak
+    (the reference's 'DETECTED NON-ZERO GRADIENTS FOR SCALE PARAMETERS'
+    check, train_helpers.py:674-691)."""
+    import jax
+
+    total = jnp.zeros(())
+    for path, g in jax.tree_util.tree_leaves_with_path(grads):
+        names = [getattr(p, "key", getattr(p, "name", str(p)))
+                 for p in path]
+        if names and names[-1] == "scale" and "norm" not in names:
+            total = total + jnp.sum(jnp.abs(g))
+    return total
+
+
 def extract_learning_rates(opt_state) -> dict:
     """Walk the optimizer state for live injected learning rates
     (reference logs these per epoch, train.py:414-456)."""

@@ -78,11 +78,14 @@ def make_ndns_train_step(
 
         (loss, (mod_vars, snr)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        metrics = {"loss": loss, "si_snr": snr}
         if static_quant:
+            from sparsernns_tpu.train.optim import scale_gradient_leak_norm
+            metrics["scale_grad_leak"] = scale_gradient_leak_norm(grads)
             grads = zero_scale_gradients(grads)
         state = state.apply_gradients_with_stats(
             grads=grads, batch_stats=mod_vars.get("batch_stats"))
-        return state, {"loss": loss, "si_snr": snr}
+        return state, metrics
 
     return step
 
