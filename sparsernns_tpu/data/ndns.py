@@ -186,22 +186,26 @@ class NDNSLoader:
             use_native = native.available()
 
         def produce():
-            for b in range(n_batches):
-                batch_idx = indices[b * self.batch_size:(b + 1) * self.batch_size]
-                if use_native:
-                    # C++ thread-pool decode straight into batch buffers
-                    from sparsernns_tpu.data import native
-                    noisy_paths, clean_paths = self.dataset.batch_paths(
-                        batch_idx)
-                    noisy = native.decode_batch(noisy_paths, length)
-                    clean = native.decode_batch(clean_paths, length)
-                else:
-                    noisy = np.empty((len(batch_idx), length), np.float32)
-                    clean = np.empty_like(noisy)
-                    for i, j in enumerate(batch_idx):
-                        noisy[i], clean[i] = self.dataset[int(j)]
-                q.put((noisy, clean))
-            q.put(None)
+            try:
+                for b in range(n_batches):
+                    batch_idx = indices[b * self.batch_size:
+                                        (b + 1) * self.batch_size]
+                    if use_native:
+                        # C++ thread-pool decode straight into batch buffers
+                        from sparsernns_tpu.data import native
+                        noisy_paths, clean_paths = self.dataset.batch_paths(
+                            batch_idx)
+                        noisy = native.decode_batch(noisy_paths, length)
+                        clean = native.decode_batch(clean_paths, length)
+                    else:
+                        noisy = np.empty((len(batch_idx), length), np.float32)
+                        clean = np.empty_like(noisy)
+                        for i, j in enumerate(batch_idx):
+                            noisy[i], clean[i] = self.dataset[int(j)]
+                    q.put((noisy, clean))
+                q.put(None)
+            except BaseException as e:  # surface errors to the consumer
+                q.put(e)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
@@ -209,6 +213,8 @@ class NDNSLoader:
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

@@ -228,9 +228,14 @@ class FxpSigmoid(FxpModule):
             x = fxp_change_cfg(x, max(x.bits, 16), k + 2, x.signed)
         shift = x.exp - k  # fractional bits within a segment
         offset = self.RANGE << k
-        idx = (x.data >> shift) + offset
+        # saturate the input to the table domain so out-of-range values
+        # don't extrapolate past the last segment
+        lo = -(self.RANGE << x.exp)
+        hi = (self.RANGE << x.exp) - 1
+        data = jnp.clip(x.data, lo, hi)
+        idx = (data >> shift) + offset
         idx = jnp.clip(idx, 0, n_seg - 1)
-        frac = x.data - ((idx - offset) << shift)  # in [0, 2^shift)
+        frac = data - ((idx - offset) << shift)  # in [0, 2^shift)
         y = self.y0[idx] + fxp_rshift_round(
             self.slope[idx] * frac, shift, RoundingMode.ROUND)
         out = FxpArray(y, self.out_spec.bits, self.out_spec.exp,

@@ -239,11 +239,15 @@ class S5SSM(nn.Module):
                 ys = ys + d_bias
             return ys, None
 
-        # Input projection: ONE (..., L, H) @ (H, 2P) matmul.
+        # Input projection: ONE (..., L, H) @ (H, 2P) matmul. Each operand
+        # is fake-quantized exactly once (re/im weight halves on their own
+        # per-tensor grids), then multiplied in float — mathematically the
+        # integer matmul with per-tensor scales.
         w_b = jnp.concatenate(
             [fake_quant(b_bar[0], cfg.b_precision).T,
              fake_quant(b_bar[1], cfg.b_precision).T], axis=-1)
-        bu_cat = self.q_ops.b_dot(fake_quant(u, cfg.ssm_act_precision), w_b)
+        bu_cat = jnp.matmul(fake_quant(u, cfg.ssm_act_precision), w_b,
+                            precision=jax.lax.Precision.HIGHEST)
         bu = (bu_cat[..., :self.p], bu_cat[..., self.p:])
         if b_bias is not None:
             bu = (bu[0] + b_bias[0], bu[1] + b_bias[1])
@@ -286,13 +290,14 @@ class S5SSM(nn.Module):
     def _output_projection(self, xs, u, d, d_bias, cfg):
         cr, ci = self._c_tilde()
         # ys = Re(C x) = x_re @ C_re^T - x_im @ C_im^T: ONE (..., 2P)@(2P, H).
+        # Single fake-quant per operand part (see _apply).
         w_c = jnp.concatenate(
             [fake_quant(cr, cfg.c_precision).T,
              -fake_quant(ci, cfg.c_precision).T], axis=0)
         xs_cat = jnp.concatenate(
             [fake_quant(xs[0], cfg.ssm_act_precision),
              fake_quant(xs[1], cfg.ssm_act_precision)], axis=-1)
-        ys = self.q_ops.c_dot(xs_cat, w_c)
+        ys = jnp.matmul(xs_cat, w_c, precision=jax.lax.Precision.HIGHEST)
         if self.conj_sym:
             ys = 2.0 * ys
         ys = ys + self.q_ops.d_had(d, u)

@@ -22,7 +22,14 @@ N_FREQ = NFFT // 2 + 1  # = 257 = NDNS feature dim
 @partial(jax.jit, static_argnames=("nfft", "hop_length"))
 def stft_splitter(audio: jax.Array, nfft: int = NFFT,
                   hop_length: int = HOP_LENGTH) -> Tuple[jax.Array, jax.Array]:
-    """audio (..., T) -> (magnitude, phase), each (..., nfft//2+1, n_frames)."""
+    """audio (..., T) -> (magnitude, phase), each (..., nfft//2+1, n_frames).
+
+    Magnitudes use the torch.stft convention (raw frame rFFT, no 1/N
+    window normalization) — the convention the reference trained with
+    (train_helpers.py:1381-1396 via torch parity, and the 0.0007
+    mean-subtraction constant at :1434). scipy's stft scales by
+    1/win.sum(); we undo that here and re-apply it in stft_mixer.
+    """
     _, _, spec = jax.scipy.signal.stft(
         audio,
         nperseg=nfft,
@@ -31,6 +38,7 @@ def stft_splitter(audio: jax.Array, nfft: int = NFFT,
         window="boxcar",
         return_onesided=True,
     )
+    spec = spec * nfft  # scipy 1/win.sum() -> torch convention
     return jnp.abs(spec), jnp.angle(spec)
 
 
@@ -39,7 +47,7 @@ def stft_mixer(mag: jax.Array, phase: jax.Array, nfft: int = NFFT,
                hop_length: int = HOP_LENGTH) -> jax.Array:
     """(magnitude, phase) -> audio (..., T). Inverse of stft_splitter."""
     _, audio = jax.scipy.signal.istft(
-        mag * jnp.exp(1j * phase),
+        (mag / nfft) * jnp.exp(1j * phase),
         nperseg=nfft,
         nfft=nfft,
         noverlap=nfft - hop_length,

@@ -42,6 +42,8 @@ def make_sp_forward(engine: W8A16Engine, mesh: Mesh):
         p = layer.w_b.shape[-1] // 2
         xs = seq_chunk_scan(layer.lam, (bu[..., :p], bu[..., p:]),
                             axis_name=SEQ_AXIS)
+        if cfg.relufication:  # state relu before C, matching the model
+            xs = (jax.nn.relu(xs[0]), jax.nn.relu(xs[1]))
         y = jnp.concatenate(xs, axis=-1) @ layer.w_c + layer.d * z
 
         x1 = jax.nn.relu(y) if cfg.relufication else jax.nn.gelu(y)
@@ -101,6 +103,8 @@ def make_tp_forward(engine: W8A16Engine, mesh: Mesh):
             bu = z @ w_b_s
             xs = associative_diag_scan(
                 (lam_re, lam_im), (bu[..., :p_loc], bu[..., p_loc:]))
+            if cfg.relufication:  # state relu before C
+                xs = (jax.nn.relu(xs[0]), jax.nn.relu(xs[1]))
             y_part = jnp.concatenate(xs, axis=-1) @ w_c_s
             y = jax.lax.psum(y_part, MODEL_AXIS) + layer.d * z
             x1 = jax.nn.relu(y) if cfg.relufication else jax.nn.gelu(y)

@@ -119,16 +119,21 @@ def convert(cfg: RunConfig) -> Dict[str, Any]:
         logger.info("naive scan: %s", results["naive_scan"])
 
     # -- stage: QAT fake-quant validation / finetuning (convert.py:416-861)
+    # QAT stages run the associative scan: the fused-kernel path skips the
+    # in-scan activation fake-quant, which would overstate QAT accuracy
+    # relative to what calibration/serving actually quantize.
     q_recipe = quantization_recipes[cfg.convert_quantization]
     if cfg.validate_aqt:
         aqt_model = build_model(cfg, d_input, n_out, training=False,
-                                q_config=q_recipe())
+                                q_config=q_recipe(),
+                                scan_mode="associative")
         results["qat"] = validate(aqt_model)
         logger.info("QAT fake-quant: %s", results["qat"])
     if cfg.train_aqt:
         results["qaft"] = _finetune(
             cfg, state, build_model(cfg, d_input, n_out, training=True,
-                                    q_config=q_recipe()),
+                                    q_config=q_recipe(),
+                                    scan_mode="associative"),
             trainloader, valloader, pruner, epochs=cfg.qaft_epochs,
             static_quant=False)
         state = results["qaft"].pop("state")

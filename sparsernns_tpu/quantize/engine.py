@@ -180,7 +180,8 @@ class W8A16Engine:
             # computes in f32
             z = z.astype(self.act_dtype)
             y = fused_s5_apply(z, layer.lam, layer.w_b, layer.w_c, layer.d,
-                               block_t=block_t, relu_state=False,
+                               block_t=block_t,
+                               relu_state=cfg.relufication,
                                block_requant=layer.state_requant)
             x1 = jax.nn.relu(y) if cfg.relufication else jax.nn.gelu(y)
             if cfg.glu_variant in ("half1", "half2", "full"):

@@ -91,7 +91,9 @@ def calculate_qparams(
         scale = jnp.maximum((maxval - minval) / quant_max, eps)
         if pow2scale:
             scale = 2.0 ** jnp.round(jnp.log2(scale))
-        zero_point = jnp.round(-minval / scale)
+        # zero_point in the SIGNED integer range used by quant_dequant
+        # (qmin = -2^(b-1)): x_q = round(x/scale) + zp ∈ [qmin, qmax]
+        zero_point = jnp.round(-minval / scale) - 2.0 ** (bits - 1)
         return scale, zero_point
     raise NotImplementedError(f"qscheme {qscheme} not implemented")
 

@@ -99,7 +99,14 @@ def create_optimizer(
     def clipped(opt_cls, **kw):
         tx = optax.inject_hyperparams(opt_cls)(**kw)
         if grad_clip_threshold is not None:
-            tx = optax.chain(tx, optax.clip_by_global_norm(grad_clip_threshold))
+            # Clip the RAW gradients before they enter the optimizer (the
+            # reference chains clipping after the update, where Adam's
+            # normalized step makes a threshold like 1.0 a silent no-op —
+            # train_helpers.py:213-218; fixed here). Still per
+            # multi_transform group, which is the granularity available
+            # inside a partitioned transform.
+            tx = optax.chain(
+                optax.clip_by_global_norm(grad_clip_threshold), tx)
         return tx
 
     if opt_config == "qaft":

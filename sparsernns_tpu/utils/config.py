@@ -132,6 +132,17 @@ class RunConfig:
         return dataclasses.asdict(self)
 
 
+def _optional_type(annotation) -> type:
+    """Element type for Optional[...] annotations (stringified under
+    `from __future__ import annotations` or plain)."""
+    text = str(annotation)
+    if "float" in text:
+        return float
+    if "int" in text:
+        return int
+    return str
+
+
 def add_config_args(parser: argparse.ArgumentParser):
     """Generate CLI flags from the dataclass fields."""
     for f in dataclasses.fields(RunConfig):
@@ -140,7 +151,10 @@ def add_config_args(parser: argparse.ArgumentParser):
             parser.add_argument(name, type=lambda s: s.lower() in
                                 ("1", "true", "yes"), default=f.default)
         elif f.default is None:
-            parser.add_argument(name, default=None)
+            # Optional fields still need their element type — otherwise
+            # "--grad_clip_threshold 0.5" arrives as the string "0.5"
+            parser.add_argument(name, type=_optional_type(f.type),
+                                default=None)
         else:
             parser.add_argument(name, type=type(f.default),
                                 default=f.default)

@@ -26,13 +26,10 @@ def test_stft_magnitude_matches_torch():
     t_mag = t.abs().numpy()
 
     n = min(mag.shape[-1], t_mag.shape[-1])
-    # scipy normalizes by window sum; torch doesn't — rescale
-    ratio = np.asarray(mag)[..., 1:n - 1] / np.maximum(t_mag[..., 1:n - 1],
-                                                       1e-9)
-    scale = np.median(ratio)
+    # stft_splitter emits torch-convention magnitudes directly
     np.testing.assert_allclose(np.asarray(mag)[..., 1:n - 1],
-                               t_mag[..., 1:n - 1] * scale,
-                               atol=2e-3 * scale * t_mag.max())
+                               t_mag[..., 1:n - 1],
+                               atol=2e-3 * t_mag.max())
 
 
 def test_istft_roundtrip_matches_torch_roundtrip():
