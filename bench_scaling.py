@@ -1,0 +1,70 @@
+"""Multi-chip scaling-efficiency benchmark (BASELINE.md north star:
+≥90% efficiency 1 host -> 2 hosts for continuous-batched streaming audio).
+
+Runs the flagship forward data-parallel over 1, 2, 4, ... of the available
+devices (per-device batch held constant — weak scaling of a continuous
+batch) and reports throughput + efficiency. Single-chip environments just
+print the 1-device row; run under a pod slice (and with
+jax.distributed across hosts) for the real numbers.
+
+Usage: python bench_scaling.py [per_device_batch]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def main(per_device_batch: int = 4, seq_len: int = 3751, d_io: int = 257):
+    from __graft_entry__ import _flagship_model
+    from sparsernns_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    n_total = len(jax.devices())
+    model = _flagship_model(training=False, scan_mode="fused")
+
+    results = {}
+    n = 1
+    while n <= n_total:
+        devices = jax.devices()[:n]
+        mesh = make_mesh(MeshConfig(data=n, model=1, seq=1),
+                         devices=devices)
+        batch = per_device_batch * n
+        x = jax.device_put(
+            jnp.zeros((batch, seq_len, d_io), jnp.float32),
+            NamedSharding(mesh, P("data")))
+        variables = model.init(jax.random.PRNGKey(0), x)
+
+        fwd = jax.jit(lambda v, x: model.apply(v, x))
+        fwd(variables, x).block_until_ready()
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fwd(variables, x)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        fps = batch * seq_len * iters / dt
+        results[n] = fps
+        eff = fps / (results[1] * n) if 1 in results and n > 1 else 1.0
+        print(f"[scaling] {n} device(s): {fps:,.0f} frames/s "
+              f"(efficiency {eff:.1%})", file=sys.stderr)
+        n *= 2
+
+    best_n = max(results)
+    print(json.dumps({
+        "metric": "ndns_s5_scaling_efficiency",
+        "value": round(results[best_n] / (results[1] * best_n), 4)
+        if best_n > 1 else 1.0,
+        "unit": "fraction",
+        "devices": best_n,
+        "frames_per_sec": {str(k): round(v, 1) for k, v in results.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 4)

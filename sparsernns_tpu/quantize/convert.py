@@ -174,6 +174,37 @@ def convert(cfg: RunConfig) -> Dict[str, Any]:
             json.dump({k: v for k, v in results.items()
                        if isinstance(v, dict)}, f, indent=2, default=float)
 
+    # -- stage: serving-engine validation (greenfield: the kernel path the
+    # reference only emulates) --------------------------------------------
+    if cfg.validate_engine and frozen_params is not None:
+        from sparsernns_tpu.fxp.derive import FxpModelConfig
+        from sparsernns_tpu.quantize.engine import W8A16Engine
+        host_params = jax.tree_util.tree_map(np.asarray, frozen_params)
+        host_stats = jax.tree_util.tree_map(np.asarray, frozen_stats)
+        engine = W8A16Engine(
+            host_params, host_stats,
+            q_recipe(static_quant=True, calibrating=False),
+            FxpModelConfig.infer(
+                host_params, glu_variant=cfg.glu_variant,
+                relufication=cfg.relufication, prenorm=cfg.prenorm,
+                clip_eigs=cfg.clip_eigs, conj_sym=cfg.conj_sym,
+                discretization=cfg.discretization))
+        losses, snrs = [], []
+        from sparsernns_tpu.train.losses import ndns_loss_from_mask
+        for noisy, clean in valloader:
+            noisy = jnp.asarray(noisy)
+            clean = jnp.asarray(clean)
+            noisy_mag, noisy_phase, clean_mag = prep_ndns_batch(noisy, clean)
+            x = jnp.transpose(noisy_mag - 0.0007, (0, 2, 1))
+            mask = jnp.transpose(engine(x), (0, 2, 1))
+            loss, snr, _ = ndns_loss_from_mask(
+                mask, noisy_mag, noisy_phase, clean_mag, clean)
+            losses.append(float(loss))
+            snrs.append(float(snr))
+        results["engine"] = {"loss": float(np.mean(losses)),
+                             "si_snr": float(np.mean(snrs))}
+        logger.info("w8a16 engine: %s", results["engine"])
+
     # -- stage: QAFT with frozen scales (convert.py:1058-1468) -------------
     if cfg.train_static_quant and frozen_params is not None:
         sq_cfg = q_recipe(static_quant=True, calibrating=False)

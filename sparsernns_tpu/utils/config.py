@@ -92,6 +92,7 @@ class RunConfig:
     train_aqt: bool = False
     calibrate_quant: bool = True
     validate_static_quant: bool = True
+    validate_engine: bool = True
     train_static_quant: bool = False
     qaft_epochs: int = 10
 

@@ -147,3 +147,12 @@ def test_classification_training_loop(tmp_path):
     out = train(cfg)
     assert out["metadata"]["best_val_loss"] < float("inf")
     assert 0.0 <= out["metadata"]["best_si_snr"] <= 1.0  # accuracy slot
+
+
+def test_convert_engine_stage(converted_run):
+    cfg, results = converted_run
+    assert "engine" in results
+    assert np.isfinite(results["engine"]["loss"])
+    # serving engine tracks the static-quant emulation on the val set
+    assert abs(results["engine"]["loss"]
+               - results["static_quant"]["loss"]) < 30.0
