@@ -49,6 +49,8 @@ class FxpModelConfig:
     prenorm: bool = True
     relufication: bool = True
     fuse_batchnorm_linear: bool = False
+    topk: float = 1.0
+    approx_topk: bool = False
     task: str = "regression"  # or "classification"
 
     @staticmethod
@@ -158,6 +160,11 @@ def build_fxp_model(
     if model_cfg is None:
         model_cfg = FxpModelConfig.infer(params, **cfg_overrides)
     cfg = model_cfg
+    if cfg.topk < 1.0:
+        raise NotImplementedError(
+            "top-k activation sparsity is not implemented in the fxp "
+            "integer engine (serve topk models with the W8A16Engine, "
+            "which applies it)")
     act_bits = q_config.non_ssm_act_precision or 16
     ssm_act_bits = q_config.ssm_act_precision or 16
     w_bits = q_config.non_ssm_precision or 8

@@ -52,22 +52,21 @@ def run_inference(cfg: RunConfig) -> Dict[str, float]:
     fxp_model, _, _ = load_fxp_model(cfg)
     _, valloader, _, _, _, _, _ = build_dataset(cfg)
 
+    from sparsernns_tpu.train.losses import (STFT_MAG_MEAN,
+                                             ndns_loss_from_mask)
     losses, snrs = [], []
     t0 = time.perf_counter()
     for noisy, clean in valloader:
         noisy = jnp.asarray(noisy)
         clean = jnp.asarray(clean)
         noisy_mag, noisy_phase, clean_mag = prep_ndns_batch(noisy, clean)
-        x = jnp.transpose(noisy_mag - 0.0007, (0, 2, 1))
+        x = jnp.transpose(noisy_mag - STFT_MAG_MEAN, (0, 2, 1))
         mask = fxp_model(x).to_float()
         mask = jnp.transpose(mask, (0, 2, 1))
-        cleaned_mag = noisy_mag * (1.0 + mask)
-        cleaned = stft_mixer(cleaned_mag, noisy_phase)
-        snr = si_snr(cleaned, clean)
-        loss = 0.001 * jnp.mean((cleaned_mag - clean_mag) ** 2) + (
-            100.0 - jnp.mean(snr))
+        loss, snr, _ = ndns_loss_from_mask(
+            mask, noisy_mag, noisy_phase, clean_mag, clean)
         losses.append(float(loss))
-        snrs.append(float(jnp.mean(snr)))
+        snrs.append(float(snr))
     wall = time.perf_counter() - t0
     metrics = {"Val Loss - fxp": float(np.mean(losses)),
                "Val Acc - fxp": float(np.mean(snrs)),

@@ -217,9 +217,15 @@ class S5SSM(nn.Module):
         streaming = (not self.is_initializing()) and (
             self.is_mutable_collection("cache")
             or self.has_variable("cache", "carry_re"))
+        # The fused kernel fake-quants the projection weights but has no
+        # in-scan activation fake-quant; using it under activation-QAT
+        # would train against float activations. Fall back to the faithful
+        # paths whenever activation/A/D precisions are set.
+        act_qat = any(p is not None and p < 32 for p in (
+            cfg.ssm_act_precision, cfg.a_precision, cfg.d_precision))
         if (self.scan_mode == "fused" and not self.bidirectional
                 and b_bias is None and not (self.topk < 1.0)
-                and not streaming):
+                and not streaming and not act_qat):
             # Single fused Pallas kernel: B-proj + scan + C-proj (+ relu on
             # the state). The state dim never touches HBM in the forward;
             # the custom VJP rematerializes it (fused_vjp.py).
@@ -233,10 +239,10 @@ class S5SSM(nn.Module):
             w_c = scale * jnp.concatenate(
                 [fake_quant(cr, cfg.c_precision).T,
                  -fake_quant(ci, cfg.c_precision).T], axis=0)
+            # (d_bias is always None here: it is only set together with
+            # b_bias, and b_bias routes to the non-fused path above)
             ys = fused_s5_apply_diff(u, lam_bar, w_b, w_c, d, 256,
                                      self.relufication)
-            if d_bias is not None:
-                ys = ys + d_bias
             return ys, None
 
         # Input projection: ONE (..., L, H) @ (H, 2P) matmul. Each operand
@@ -335,12 +341,31 @@ class S5SSM(nn.Module):
         """
         s_re = self.quant_xt.quant_real.calibration_scale()
         s_im = self.quant_xt.quant_imag.calibration_scale()
-        if s_re is None or s_im is None:
+        gate = None
+        if s_re is not None and s_im is not None:
+            # Calibration: requant only once the observers have seen real
+            # (nonzero) data. Model.init runs on a dummy input whose zeros
+            # seed min=max=0 -> eps scale; requantizing with that scale
+            # would clip states to ~qmax*eps, the observers would only ever
+            # see clipped states, and the scale could never grow (a
+            # self-referential lock). Gating on observed absmax > 0 makes
+            # the first real batch pass through unclipped.
+            obs_r = self.quant_xt.quant_real.get_variable(
+                "batch_stats", "observer")
+            obs_i = self.quant_xt.quant_imag.get_variable(
+                "batch_stats", "observer")
+            absmax = jnp.maximum(
+                jnp.maximum(jnp.abs(obs_r["observer_min"]),
+                            jnp.abs(obs_r["observer_max"])).max(),
+                jnp.maximum(jnp.abs(obs_i["observer_min"]),
+                            jnp.abs(obs_i["observer_max"])).max())
+            gate = jnp.isfinite(absmax) & (absmax > 0.0)
+        else:
             s_re = self.quant_xt.quant_real.frozen_scale()
             s_im = self.quant_xt.quant_imag.frozen_scale()
         if s_re is None or s_im is None:
             return None
-        return s_re, s_im
+        return s_re, s_im, gate
 
     def _apply_static_quant(self, u, bn_fusion):
         from sparsernns_tpu.quantize.static import quant_dequant
@@ -364,11 +389,16 @@ class S5SSM(nn.Module):
         scales = self._state_scales()
         state_requant = None
         if scales is not None:
+            s_re, s_im, gate = scales
             bits = cfg.ssm_act_precision
 
             def state_requant(x):
-                return (quant_dequant(x[0], scales[0], 0.0, bits),
-                        quant_dequant(x[1], scales[1], 0.0, bits))
+                qr = quant_dequant(x[0], s_re, 0.0, bits)
+                qi = quant_dequant(x[1], s_im, 0.0, bits)
+                if gate is None:
+                    return qr, qi
+                return (jnp.where(gate, qr, x[0]),
+                        jnp.where(gate, qi, x[1]))
 
         xs = diag_ssm_scan(lam_q, bu, mode="sequential",
                            state_requant=state_requant)

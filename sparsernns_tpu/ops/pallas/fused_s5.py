@@ -46,47 +46,18 @@ def _fused_kernel(
     *, num_passes: int, block_t: int, p: int, relu_state: bool,
     block_requant=None,
 ):
+    from sparsernns_tpu.ops.pallas.scan_kernel import scan_block_body
+
     j = pl.program_id(1)
     # input block may be stored bf16 (halved HBM traffic); compute in f32
     u = u_ref[0].astype(jnp.float32)  # (T, H)
 
     bu = jnp.dot(u, wb_ref[...], preferred_element_type=jnp.float32)
-    x_re = bu[:, :p]
-    x_im = bu[:, p:]
-
-    for k in range(num_passes):
-        d = 1 << k
-        lr = pow_re_ref[k:k + 1, :]
-        li = pow_im_ref[k:k + 1, :]
-        pad = jnp.zeros((d, p), dtype=x_re.dtype)
-        sh_re = jnp.concatenate([pad, x_re[: block_t - d]], axis=0)
-        sh_im = jnp.concatenate([pad, x_im[: block_t - d]], axis=0)
-        x_re = x_re + (lr * sh_re - li * sh_im)
-        x_im = x_im + (lr * sh_im + li * sh_re)
-
-    @pl.when(j == 0)
-    def _():
-        carry_re[...] = jnp.zeros_like(carry_re)
-        carry_im[...] = jnp.zeros_like(carry_im)
-
-    cr = carry_re[...]
-    ci = carry_im[...]
-    tr = ctab_re_ref[...]
-    ti = ctab_im_ref[...]
-    x_re = x_re + (tr * cr - ti * ci)
-    x_im = x_im + (tr * ci + ti * cr)
-
-    if block_requant is not None:
-        # frozen-scale state requant at block granularity (see
-        # scan_kernel._scan_block_kernel)
-        s_re, s_im, bits = block_requant
-        qmax = float(2 ** (bits - 1) - 1)
-        qmin = float(-(2 ** (bits - 1)))
-        x_re = jnp.clip(jnp.round(x_re / s_re), qmin, qmax) * s_re
-        x_im = jnp.clip(jnp.round(x_im / s_im), qmin, qmax) * s_im
-
-    carry_re[...] = x_re[block_t - 1:block_t, :]
-    carry_im[...] = x_im[block_t - 1:block_t, :]
+    x_re, x_im = scan_block_body(
+        bu[:, :p], bu[:, p:], pow_re_ref, pow_im_ref,
+        ctab_re_ref, ctab_im_ref, carry_re, carry_im, j,
+        num_passes=num_passes, block_t=block_t,
+        block_requant=block_requant)
 
     if relu_state:
         x_re = jnp.maximum(x_re, 0.0)

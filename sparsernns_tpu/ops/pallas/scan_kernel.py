@@ -39,20 +39,17 @@ from sparsernns_tpu.ops.scan import Pair, lambda_powers
 DEFAULT_BLOCK_T = 256
 
 
-def _scan_block_kernel(
-    bu_re_ref, bu_im_ref,          # (1, T, P) inputs
+def scan_block_body(
+    x_re, x_im,                    # (T, P) block values (bu)
     pow_re_ref, pow_im_ref,        # (K, P) per-pass offset operators λ^(2^k)
     ctab_re_ref, ctab_im_ref,      # (T, P) carry fold table λ^(t+1)
-    out_re_ref, out_im_ref,        # (1, T, P) outputs
     carry_re, carry_im,            # (1, P) VMEM scratch — persists over grid
-    *, num_passes: int, block_t: int,
-    block_requant=None,            # (scale_re, scale_im, bits) or None
+    j,                             # time-block index within the grid
+    *, num_passes: int, block_t: int, block_requant=None,
 ):
-    j = pl.program_id(1)
-
-    x_re = bu_re_ref[0]
-    x_im = bu_im_ref[0]
-
+    """Shared in-kernel scan block: doubling passes + carry reset/fold +
+    optional block requant + carry store. Used by both the standalone scan
+    kernel and the fused S5 kernel. Returns the block's states."""
     # Intra-block inclusive scan: x += λ^d ⊙ shift(x, d), d = 1,2,4,...
     for k in range(num_passes):
         d = 1 << k
@@ -93,6 +90,23 @@ def _scan_block_kernel(
 
     carry_re[...] = x_re[block_t - 1:block_t, :]
     carry_im[...] = x_im[block_t - 1:block_t, :]
+    return x_re, x_im
+
+
+def _scan_block_kernel(
+    bu_re_ref, bu_im_ref,          # (1, T, P) inputs
+    pow_re_ref, pow_im_ref,
+    ctab_re_ref, ctab_im_ref,
+    out_re_ref, out_im_ref,        # (1, T, P) outputs
+    carry_re, carry_im,
+    *, num_passes: int, block_t: int,
+    block_requant=None,            # (scale_re, scale_im, bits) or None
+):
+    x_re, x_im = scan_block_body(
+        bu_re_ref[0], bu_im_ref[0], pow_re_ref, pow_im_ref,
+        ctab_re_ref, ctab_im_ref, carry_re, carry_im, pl.program_id(1),
+        num_passes=num_passes, block_t=block_t,
+        block_requant=block_requant)
     out_re_ref[0] = x_re
     out_im_ref[0] = x_im
 

@@ -31,6 +31,7 @@ from sparsernns_tpu.train.checkpoint import ArtifactStore, CheckpointManager
 from sparsernns_tpu.train.loop import (build_dataset, build_model,
                                        create_run_state, prep_ndns_batch,
                                        validate_ndns)
+from sparsernns_tpu.train.losses import STFT_MAG_MEAN
 from sparsernns_tpu.train.pruning import MagnitudePruner, pruning_recipes
 from sparsernns_tpu.train.steps import (capture_intermediates,
                                         make_mask_update_fn,
@@ -60,14 +61,15 @@ def convert(cfg: RunConfig) -> Dict[str, Any]:
 
     trainloader, valloader, testloader, n_out, seq_len, d_input, train_size \
         = build_dataset(cfg)
-    steps_per_epoch = max(1, train_size // cfg.bsz)
+    steps_per_epoch = max(1, len(trainloader))
     example = jnp.zeros((cfg.bsz, seq_len, d_input), jnp.float32)
 
     # -- restore the trained float model (naive-scan eval variant) --------
     fp_model = build_model(cfg, d_input, n_out, training=False)
     state, pruner = create_run_state(cfg, fp_model, example, steps_per_epoch)
     if cfg.checkpoint_dir:
-        mngr = CheckpointManager(cfg.checkpoint_dir)
+        mngr = CheckpointManager(
+            cfg.checkpoint_dir, best_fn=lambda m: m.get("val_quality", 0.0))
         step = mngr.best_step() or mngr.latest_step()
         if step is not None:
             state, _ = mngr.restore(state, step)
@@ -102,7 +104,7 @@ def convert(cfg: RunConfig) -> Dict[str, Any]:
         noisy, clean = next(iter(valloader))
         noisy_mag, _, _ = prep_ndns_batch(jnp.asarray(noisy),
                                           jnp.asarray(clean))
-        x = jnp.transpose(noisy_mag - 0.0007, (0, 2, 1))
+        x = jnp.transpose(noisy_mag - STFT_MAG_MEAN, (0, 2, 1))
         _, intermediates = capture_intermediates(fp_model, state, x)
         store.save("activations", _numeric_only(intermediates))
         store.save("activation_inputs", {"x": np.asarray(x),
@@ -149,7 +151,7 @@ def convert(cfg: RunConfig) -> Dict[str, Any]:
             for noisy, clean in valloader:
                 noisy_mag, _, _ = prep_ndns_batch(jnp.asarray(noisy),
                                                   jnp.asarray(clean))
-                yield jnp.transpose(noisy_mag - 0.0007, (0, 2, 1))
+                yield jnp.transpose(noisy_mag - STFT_MAG_MEAN, (0, 2, 1))
 
         frozen_params, frozen_stats = run_calibrate(
             cal_model, jax.random.PRNGKey(cfg.jax_seed), example,
@@ -195,7 +197,7 @@ def convert(cfg: RunConfig) -> Dict[str, Any]:
             noisy = jnp.asarray(noisy)
             clean = jnp.asarray(clean)
             noisy_mag, noisy_phase, clean_mag = prep_ndns_batch(noisy, clean)
-            x = jnp.transpose(noisy_mag - 0.0007, (0, 2, 1))
+            x = jnp.transpose(noisy_mag - STFT_MAG_MEAN, (0, 2, 1))
             mask = jnp.transpose(engine(x), (0, 2, 1))
             loss, snr, _ = ndns_loss_from_mask(
                 mask, noisy_mag, noisy_phase, clean_mag, clean)
@@ -207,11 +209,23 @@ def convert(cfg: RunConfig) -> Dict[str, Any]:
 
     # -- stage: QAFT with frozen scales (convert.py:1058-1468) -------------
     if cfg.train_static_quant and frozen_params is not None:
+        from sparsernns_tpu.quantize.static import \
+            merge_trained_params_into_calibrated
+        from sparsernns_tpu.train.state import TrainState
         sq_cfg = q_recipe(static_quant=True, calibrating=False)
         sq_train = build_model(cfg, d_input, n_out, training=True,
                                q_config=sq_cfg, scan_mode="sequential")
-        qaft_state = state.replace(params=frozen_params,
-                                   batch_stats=frozen_stats)
+        # Fresh optimizer/mask state over the FROZEN tree — it contains
+        # new 'scale' leaves the float-tree opt state doesn't know about.
+        masks = None
+        if state.masks is not None:
+            ones = jax.tree_util.tree_map(jnp.ones_like, frozen_params)
+            masks = merge_trained_params_into_calibrated(state.masks, ones)
+        qaft_state = TrainState.create(
+            apply_fn=sq_train.apply, params=frozen_params, tx=state.tx,
+            batch_stats=frozen_stats, masks=masks)
+        if pruner is not None:
+            pruner.relative_sparsity = None  # rebuild for the frozen tree
         results["qaft_static"] = _finetune(
             cfg, qaft_state, sq_train, trainloader, valloader, pruner,
             epochs=cfg.qaft_epochs, static_quant=True)

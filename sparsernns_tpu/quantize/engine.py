@@ -65,6 +65,56 @@ class _LayerPack:
     state_requant: Any = None  # (scale_re, scale_im, bits) or None
 
 
+def engine_layer_forward(cfg, layer: "_LayerPack", h, mixer_fn,
+                         act_dtype=jnp.float32):
+    """Shared serving-layer body: norm -> mixer -> GLU -> residual
+    (-> postnorm) -> relu/top-k. ``mixer_fn(z)`` computes the S5 mixer
+    output (B-proj + scan + C-proj + D) for this layer; the single-device
+    engine passes the fused Pallas kernel, the sp/tp paths pass their
+    shard_map scans. One implementation keeps the numerically-validated
+    paths in sync."""
+    from sparsernns_tpu.ops.topk import relu_top_k_sparsity, top_k_sparsity
+
+    d_model = h.shape[-1]
+    use_topk = cfg.topk < 1.0
+    k = int(cfg.topk * d_model) if use_topk else d_model
+
+    skip = h
+    z = h * layer.norm_w + layer.norm_b if cfg.prenorm else h
+    y = mixer_fn(z.astype(act_dtype))
+
+    if cfg.relufication:
+        x1 = (relu_top_k_sparsity(y, k) if use_topk else jax.nn.relu(y))
+    else:
+        x1 = jax.nn.gelu(y)
+    if cfg.glu_variant in ("half1", "half2", "full"):
+        gate = jax.nn.sigmoid(x1 @ layer.out2_kernel + layer.out2_bias)
+        base = x1 if cfg.glu_variant == "half1" else (
+            y if cfg.glu_variant == "half2" else
+            x1 @ layer.out1_kernel + layer.out1_bias)
+        h = base * gate
+    else:
+        h = x1
+    h = h + skip
+    if not cfg.prenorm:
+        h = h * layer.norm_w + layer.norm_b
+    if cfg.relufication:
+        h = jax.nn.relu(h)
+    if use_topk:
+        h = top_k_sparsity(h, k)
+    return h
+
+
+def engine_encode(cfg, encoder_kernel, encoder_bias, x):
+    from sparsernns_tpu.ops.topk import relu_top_k_sparsity
+    h = x @ encoder_kernel + encoder_bias
+    if cfg.topk < 1.0:
+        return relu_top_k_sparsity(h, int(cfg.topk * h.shape[-1]))
+    if cfg.relufication:
+        return jax.nn.relu(h)
+    return h
+
+
 class W8A16Engine:
     """Quantized NDNS inference engine over frozen conversion artifacts."""
 
@@ -170,34 +220,18 @@ class W8A16Engine:
     def _apply(self, x, block_t: int):
         """x: (B, L, d_input) f32 -> mask (B, L, d_output)."""
         cfg = self.cfg
-        h = x @ self.encoder_kernel + self.encoder_bias
-        if cfg.relufication:
-            h = jax.nn.relu(h)
+        h = engine_encode(cfg, self.encoder_kernel, self.encoder_bias, x)
         for layer in self.layers:
-            skip = h
-            z = h * layer.norm_w + layer.norm_b if cfg.prenorm else h
-            # a16 activations: the kernel reads bf16 blocks from HBM and
-            # computes in f32
-            z = z.astype(self.act_dtype)
-            y = fused_s5_apply(z, layer.lam, layer.w_b, layer.w_c, layer.d,
-                               block_t=block_t,
-                               relu_state=cfg.relufication,
-                               block_requant=layer.state_requant)
-            x1 = jax.nn.relu(y) if cfg.relufication else jax.nn.gelu(y)
-            if cfg.glu_variant in ("half1", "half2", "full"):
-                gate = jax.nn.sigmoid(x1 @ layer.out2_kernel
-                                      + layer.out2_bias)
-                base = x1 if cfg.glu_variant == "half1" else (
-                    y if cfg.glu_variant == "half2" else
-                    x1 @ layer.out1_kernel + layer.out1_bias)
-                h = base * gate
-            else:
-                h = x1
-            h = h + skip
-            if not cfg.prenorm:
-                h = h * layer.norm_w + layer.norm_b
-            if cfg.relufication:
-                h = jax.nn.relu(h)
+            def mixer(z, layer=layer):
+                # a16 activations: the kernel reads bf16 blocks from HBM
+                # and computes in f32
+                return fused_s5_apply(
+                    z, layer.lam, layer.w_b, layer.w_c, layer.d,
+                    block_t=block_t, relu_state=cfg.relufication,
+                    block_requant=layer.state_requant)
+
+            h = engine_layer_forward(cfg, layer, h, mixer,
+                                     act_dtype=self.act_dtype)
         return h @ self.decoder_kernel + self.decoder_bias
 
     def __call__(self, x) -> jax.Array:

@@ -187,7 +187,10 @@ def train(cfg: RunConfig) -> Dict[str, Any]:
     trainloader, valloader, testloader, n_out, seq_len, d_input, train_size \
         = build_dataset(cfg, num_shards=jax.process_count(),
                         shard_index=jax.process_index())
-    steps_per_epoch = max(1, train_size // cfg.bsz)
+    # Optimizer steps per epoch = LOCAL batches (each host sees its shard);
+    # using the global size would stretch warmup/cosine/pruning schedules
+    # by process_count.
+    steps_per_epoch = max(1, len(trainloader))
 
     model = build_model(cfg, d_input, n_out, training=True)
     eval_model = model.clone(training=False)
@@ -205,7 +208,8 @@ def train(cfg: RunConfig) -> Dict[str, Any]:
     metadata = {"best_val_loss": float("inf"), "best_si_snr": -float("inf"),
                 "next_epoch": 0}
     if cfg.checkpoint_dir:
-        mngr = CheckpointManager(cfg.checkpoint_dir)
+        mngr = CheckpointManager(
+            cfg.checkpoint_dir, best_fn=lambda m: m.get("val_quality", 0.0))
         if cfg.restore_checkpoint:
             if cfg.reset_optimizer:
                 state = mngr.restore_params_only(state)

@@ -72,13 +72,22 @@ def pruning_recipes(epochs: int, steps_per_epoch: int) -> dict:
     return recipes
 
 
+_NEVER_PRUNE = (
+    # quantization scales / norm parameters
+    "scale", "bias", "mean", "var",
+    # SSM dynamics: zeroing timescales or eigenvalues corrupts the model
+    # rather than sparsifying compute (log_step is (P,1) so ndim alone
+    # doesn't exclude it)
+    "log_step", "Lambda_re", "Lambda_im",
+)
+
+
 def _prunable(path_leaf, cfg: PruningConfig) -> bool:
     path, leaf = path_leaf
     if leaf.ndim < cfg.min_ndim:
         return False
-    # Never prune quantization scales or norm parameters.
     names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
-    if any(n in ("scale", "bias", "mean", "var") for n in names):
+    if any(n in _NEVER_PRUNE for n in names):
         return False
     return True
 

@@ -103,3 +103,24 @@ def test_tensor_parallel_engine(pipeline):  # noqa: F811
     assert y_tp.shape == y_single.shape
     denom = max(np.abs(y_single).max(), 1.0)
     assert np.abs(y_tp - y_single).max() / denom < 0.1
+
+
+def test_engine_topk_applied(pipeline):  # noqa: F811
+    """topk<1 models: the engine sparsifies activations like the flax
+    model does (review regression: it used to silently drop top-k)."""
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True, topk=0.5, approx_topk=True)
+    engine = W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                         act_dtype=jnp.float32, block_t=32)
+    y = np.asarray(engine(x))
+    assert np.isfinite(y).all()
+    # fxp engine honestly refuses topk
+    from sparsernns_tpu.fxp.derive import build_fxp_model
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        build_fxp_model(frozen_params, frozen_stats, inf_cfg,
+                        model_cfg=model_cfg)

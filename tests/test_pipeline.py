@@ -64,7 +64,8 @@ def converted_run(trained_run):
     cfg = dataclasses.replace(
         cfg, validate_baseline=True, store_activations=True,
         validate_naive_scan=True, validate_aqt=True,
-        calibrate_quant=True, validate_static_quant=True)
+        calibrate_quant=True, validate_static_quant=True,
+        train_static_quant=True, qaft_epochs=1)
     results = convert(cfg)
     return cfg, results
 
@@ -147,6 +148,15 @@ def test_classification_training_loop(tmp_path):
     out = train(cfg)
     assert out["metadata"]["best_val_loss"] < float("inf")
     assert 0.0 <= out["metadata"]["best_si_snr"] <= 1.0  # accuracy slot
+
+
+def test_convert_qaft_stage(converted_run):
+    """QAFT with frozen scales runs (requires the optimizer state to be
+    rebuilt over the frozen tree with its extra scale leaves)."""
+    cfg, results = converted_run
+    assert "qaft_static" in results
+    hist = results["qaft_static"]["history"]
+    assert len(hist) == 1 and np.isfinite(hist[0]["train_loss"])
 
 
 def test_convert_engine_stage(converted_run):

@@ -110,3 +110,31 @@ def test_qat_single_quantization_is_scale_exact(rng):
     vs = m.init(jax.random.PRNGKey(0), x)
     y = m.apply(vs, x)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_calibration_not_locked_by_zeros_init(rng):
+    """Initializing the calibration model on an all-zeros example must not
+    lock the in-scan state-requant scale at the eps floor (the
+    self-referential clipping lock found in review round 2)."""
+    import jax.numpy as jnp
+    from tests.test_static_quant import _model, D_IO
+    from sparsernns_tpu.quantize.calibrate import calibrate
+    from sparsernns_tpu.quantize.config import quantization_recipes
+
+    x = jnp.asarray(rng.randn(2, 24, D_IO) * 0.5, jnp.float32)
+    fp = _model(quantization_recipes["none"]())
+    vs = fp.init(jax.random.PRNGKey(0), x)
+    _, mv = fp.apply(vs, x, mutable=["intermediates"])
+    pre_c = mv["intermediates"]["encoder"]["layers_0"]["pre_C"][0]
+    float_absmax = float(jnp.abs(pre_c[0]).max())
+
+    cal = _model(quantization_recipes["w8a16"](static_quant=True,
+                                               calibrating=True))
+    zeros_example = jnp.zeros_like(x)  # convert.py uses a zeros example
+    fparams, _ = calibrate(cal, jax.random.PRNGKey(1), zeros_example,
+                           vs["params"], vs.get("batch_stats"), [x, x])
+    s = float(np.asarray(
+        fparams["encoder"]["layers_0"]["mixer"]["quant_xt"]["quant_real"]
+        ["scale"]))
+    qmax = 2 ** 15 - 1
+    assert s * qmax > 0.5 * float_absmax, (s, float_absmax)
