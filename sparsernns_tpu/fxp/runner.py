@@ -41,7 +41,8 @@ def load_fxp_model(cfg: RunConfig, **cfg_overrides):
         relufication=cfg.relufication, prenorm=cfg.prenorm,
         clip_eigs=cfg.clip_eigs, conj_sym=cfg.conj_sym,
         discretization=cfg.discretization,
-        fuse_batchnorm_linear=cfg.fuse_batchnorm_linear)
+        fuse_batchnorm_linear=cfg.fuse_batchnorm_linear,
+        topk=cfg.topk, approx_topk=cfg.approx_topk)
     return build_fxp_model(frozen_params, frozen_stats, q_config,
                            model_cfg=model_cfg), frozen_params, frozen_stats
 

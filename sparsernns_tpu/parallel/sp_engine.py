@@ -29,13 +29,11 @@ from sparsernns_tpu.ops.scan import associative_diag_scan
 from sparsernns_tpu.parallel.mesh import MODEL_AXIS, SEQ_AXIS
 from sparsernns_tpu.parallel.seqscan import seq_chunk_scan
 from sparsernns_tpu.quantize.engine import (W8A16Engine, engine_encode,
-                                            engine_layer_forward)
+                                            engine_layer_forward,
+                                            state_activation)
 
 
-def _relu_state_maybe(cfg, xs):
-    if cfg.relufication:  # state relu before C, matching the model
-        return jax.nn.relu(xs[0]), jax.nn.relu(xs[1])
-    return xs
+
 
 
 def make_sp_forward(engine: W8A16Engine, mesh: Mesh):
@@ -53,7 +51,7 @@ def make_sp_forward(engine: W8A16Engine, mesh: Mesh):
                 p = layer.w_b.shape[-1] // 2
                 xs = seq_chunk_scan(layer.lam, (bu[..., :p], bu[..., p:]),
                                     axis_name=SEQ_AXIS)
-                xs = _relu_state_maybe(cfg, xs)
+                xs = state_activation(cfg, xs)
                 return jnp.concatenate(xs, axis=-1) @ layer.w_c \
                     + layer.d * z
 
@@ -86,7 +84,7 @@ def make_tp_forward(engine: W8A16Engine, mesh: Mesh):
                 bu = z @ w_b_s
                 xs = associative_diag_scan(
                     (lam_re, lam_im), (bu[..., :p_loc], bu[..., p_loc:]))
-                xs = _relu_state_maybe(cfg, xs)
+                xs = state_activation(cfg, xs)
                 y_part = jnp.concatenate(xs, axis=-1) @ w_c_s
                 return jax.lax.psum(y_part, MODEL_AXIS) + layer.d * z
 

@@ -68,11 +68,19 @@ def convert(cfg: RunConfig) -> Dict[str, Any]:
     fp_model = build_model(cfg, d_input, n_out, training=False)
     state, pruner = create_run_state(cfg, fp_model, example, steps_per_epoch)
     if cfg.checkpoint_dir:
-        mngr = CheckpointManager(
-            cfg.checkpoint_dir, best_fn=lambda m: m.get("val_quality", 0.0))
-        step = mngr.best_step() or mngr.latest_step()
+        mngr = CheckpointManager(cfg.checkpoint_dir)
+        step = mngr.latest_step()
+        metadata = None
         if step is not None:
-            state, _ = mngr.restore(state, step)
+            state, metadata = mngr.restore(state, step)
+        # Prefer the best epoch (by val quality, recorded in metadata) when
+        # that checkpoint is still retained — reference convert.py:278-283.
+        best = (metadata or {}).get("best_epoch")
+        if best is not None and best != step and best in set(
+                mngr.all_steps()):
+            state, _ = mngr.restore(state, best)
+            step = best
+        if step is not None:
             logger.info("restored checkpoint step %s", step)
         mngr.close()
 
@@ -190,7 +198,8 @@ def convert(cfg: RunConfig) -> Dict[str, Any]:
                 host_params, glu_variant=cfg.glu_variant,
                 relufication=cfg.relufication, prenorm=cfg.prenorm,
                 clip_eigs=cfg.clip_eigs, conj_sym=cfg.conj_sym,
-                discretization=cfg.discretization))
+                discretization=cfg.discretization,
+                topk=cfg.topk, approx_topk=cfg.approx_topk))
         losses, snrs = [], []
         from sparsernns_tpu.train.losses import ndns_loss_from_mask
         for noisy, clean in valloader:
@@ -224,8 +233,10 @@ def convert(cfg: RunConfig) -> Dict[str, Any]:
         qaft_state = TrainState.create(
             apply_fn=sq_train.apply, params=frozen_params, tx=state.tx,
             batch_stats=frozen_stats, masks=masks)
-        if pruner is not None:
-            pruner.relative_sparsity = None  # rebuild for the frozen tree
+        # keep the global step: restarting at 0 would rewind the LR warmup
+        # and (worse) make an early pruning-schedule update recompute the
+        # masks at ~zero sparsity, silently un-pruning the model
+        qaft_state = qaft_state.replace(step=state.step)
         results["qaft_static"] = _finetune(
             cfg, qaft_state, sq_train, trainloader, valloader, pruner,
             epochs=cfg.qaft_epochs, static_quant=True)
@@ -246,7 +257,9 @@ def _finetune(cfg, state, model, trainloader, valloader, pruner,
                                    static_quant=static_quant)
     eval_fn = make_ndns_eval_step(model.clone(training=False),
                                   batchnorm=cfg.batchnorm, pruner=pruner)
-    mask_update = make_mask_update_fn(pruner)
+    # masks are FROZEN during finetuning (the reference likewise only
+    # re-applies existing masks during conversion, convert.py:314-329)
+    mask_update = lambda s: s
     rng = jax.random.PRNGKey(cfg.jax_seed + 1)
     history = []
     for epoch in range(epochs):

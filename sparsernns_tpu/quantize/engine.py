@@ -65,6 +65,19 @@ class _LayerPack:
     state_requant: Any = None  # (scale_re, scale_im, bits) or None
 
 
+def state_activation(cfg, xs):
+    """Activation applied to the SSM state pair before the C projection —
+    matches the model path exactly (models/ssm.py: relu_top_k on states
+    when topk<1 & approx_topk, plain relu otherwise)."""
+    from sparsernns_tpu.ops.topk import relu_top_k_sparsity
+    if not cfg.relufication:
+        return xs
+    if cfg.topk < 1.0 and cfg.approx_topk:
+        k = int(cfg.topk * xs[0].shape[-1])
+        return (relu_top_k_sparsity(xs[0], k), relu_top_k_sparsity(xs[1], k))
+    return jax.nn.relu(xs[0]), jax.nn.relu(xs[1])
+
+
 def engine_layer_forward(cfg, layer: "_LayerPack", h, mixer_fn,
                          act_dtype=jnp.float32):
     """Shared serving-layer body: norm -> mixer -> GLU -> residual
@@ -214,21 +227,40 @@ class W8A16Engine:
             params, glu_variant=cfg.glu_variant,
             relufication=cfg.relufication, prenorm=cfg.prenorm,
             clip_eigs=cfg.clip_eigs, conj_sym=cfg.conj_sym,
-            discretization=cfg.discretization)
+            discretization=cfg.discretization,
+            topk=cfg.topk, approx_topk=cfg.approx_topk)
         return W8A16Engine(params, stats, q_config, model_cfg)
 
     def _apply(self, x, block_t: int):
         """x: (B, L, d_input) f32 -> mask (B, L, d_output)."""
         cfg = self.cfg
         h = engine_encode(cfg, self.encoder_kernel, self.encoder_bias, x)
+        state_topk = cfg.relufication and cfg.topk < 1.0 and cfg.approx_topk
         for layer in self.layers:
-            def mixer(z, layer=layer):
-                # a16 activations: the kernel reads bf16 blocks from HBM
-                # and computes in f32
-                return fused_s5_apply(
-                    z, layer.lam, layer.w_b, layer.w_c, layer.d,
-                    block_t=block_t, relu_state=cfg.relufication,
-                    block_requant=layer.state_requant)
+            if state_topk:
+                # The fused kernel can't top-k the state in VMEM; use the
+                # pallas scan + explicit state activation for exact parity
+                # with the trained forward.
+                def mixer(z, layer=layer):
+                    from sparsernns_tpu.ops.pallas.scan_kernel import \
+                        pallas_diag_scan
+                    z = z.astype(jnp.float32)
+                    bu = z @ layer.w_b
+                    p = layer.w_b.shape[-1] // 2
+                    xs = pallas_diag_scan(layer.lam,
+                                          (bu[..., :p], bu[..., p:]),
+                                          block_t=block_t)
+                    xs = state_activation(cfg, xs)
+                    return (jnp.concatenate(xs, axis=-1) @ layer.w_c
+                            + layer.d * z)
+            else:
+                def mixer(z, layer=layer):
+                    # a16 activations: the kernel reads bf16 blocks from
+                    # HBM and computes in f32
+                    return fused_s5_apply(
+                        z, layer.lam, layer.w_b, layer.w_c, layer.d,
+                        block_t=block_t, relu_state=cfg.relufication,
+                        block_requant=layer.state_requant)
 
             h = engine_layer_forward(cfg, layer, h, mixer,
                                      act_dtype=self.act_dtype)

@@ -51,6 +51,9 @@ class CheckpointManager:
     def best_step(self) -> Optional[int]:
         return self._mngr.best_step()
 
+    def all_steps(self):
+        return self._mngr.all_steps()
+
     def restore(self, state: TrainState, step: Optional[int] = None
                 ) -> Tuple[TrainState, Optional[Dict[str, Any]]]:
         """Restore into the structure of ``state`` (the reference's

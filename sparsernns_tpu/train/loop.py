@@ -208,8 +208,11 @@ def train(cfg: RunConfig) -> Dict[str, Any]:
     metadata = {"best_val_loss": float("inf"), "best_si_snr": -float("inf"),
                 "next_epoch": 0}
     if cfg.checkpoint_dir:
-        mngr = CheckpointManager(
-            cfg.checkpoint_dir, best_fn=lambda m: m.get("val_quality", 0.0))
+        # Retention keeps the LATEST checkpoints (crash-resume safety);
+        # the best epoch is recorded in metadata and convert() prefers it
+        # when still retained. A best_fn retention policy would GC recent
+        # checkpoints and silently roll resume back to the best epoch.
+        mngr = CheckpointManager(cfg.checkpoint_dir)
         if cfg.restore_checkpoint:
             if cfg.reset_optimizer:
                 state = mngr.restore_params_only(state)
