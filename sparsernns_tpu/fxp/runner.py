@@ -19,11 +19,9 @@ import numpy as np
 
 from sparsernns_tpu.fxp.derive import FxpModelConfig, build_fxp_model
 from sparsernns_tpu.fxp.reporter import Reporter
-from sparsernns_tpu.ops.stft import stft_mixer
 from sparsernns_tpu.quantize.config import quantization_recipes
 from sparsernns_tpu.train.checkpoint import ArtifactStore
 from sparsernns_tpu.train.loop import build_dataset, prep_ndns_batch
-from sparsernns_tpu.train.losses import si_snr
 from sparsernns_tpu.utils.config import RunConfig
 from sparsernns_tpu.utils.logging import logger
 

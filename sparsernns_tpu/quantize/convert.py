@@ -16,10 +16,9 @@ reference's pickles (convert.py:882-971): ``calibrated_params``,
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -32,9 +31,7 @@ from sparsernns_tpu.train.loop import (build_dataset, build_model,
                                        create_run_state, prep_ndns_batch,
                                        validate_ndns)
 from sparsernns_tpu.train.losses import STFT_MAG_MEAN
-from sparsernns_tpu.train.pruning import MagnitudePruner, pruning_recipes
 from sparsernns_tpu.train.steps import (capture_intermediates,
-                                        make_mask_update_fn,
                                         make_ndns_eval_step,
                                         make_ndns_train_step)
 from sparsernns_tpu.utils.config import RunConfig

@@ -249,7 +249,8 @@ class W8A16Engine:
                     p = layer.w_b.shape[-1] // 2
                     xs = pallas_diag_scan(layer.lam,
                                           (bu[..., :p], bu[..., p:]),
-                                          block_t=block_t)
+                                          block_t=block_t,
+                                          block_requant=layer.state_requant)
                     xs = state_activation(cfg, xs)
                     return (jnp.concatenate(xs, axis=-1) @ layer.w_c
                             + layer.d * z)

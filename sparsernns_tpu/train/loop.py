@@ -13,15 +13,12 @@ overlaps via the loader's prefetch thread.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from sparsernns_tpu.data.ndns import AUDIO_LEN, create_ndns_dataset
+from sparsernns_tpu.data.ndns import create_ndns_dataset
 from sparsernns_tpu.models.seq_model import (ClassificationModel,
                                              RegressionModel)
 from sparsernns_tpu.models.ssm import make_ssm_init_fn
