@@ -108,24 +108,29 @@ def _act_spec(params, stats, path, bits: int,
 
 def _discretize(mixer_params, cfg: FxpModelConfig):
     """Float discretization + BN-independent operand prep (mirrors the
-    model's own discretized(); reference fxpmodel.py:426-608)."""
-    import jax.numpy as jnp
-
-    from sparsernns_tpu.models.ssm import discretize_bilinear, discretize_zoh
-
-    lam_re = np.asarray(mixer_params["Lambda_re"])
-    lam_im = np.asarray(mixer_params["Lambda_im"])
+    model's own discretized(); reference fxpmodel.py:426-608). Pure
+    numpy — engine/fxp packing is host-side and must not round-trip
+    through the device."""
+    lam_re = np.asarray(mixer_params["Lambda_re"], np.float64)
+    lam_im = np.asarray(mixer_params["Lambda_im"], np.float64)
     if cfg.clip_eigs:
         lam_re = np.minimum(lam_re, -1e-4)
-    b = np.asarray(mixer_params["B"])
-    log_step = np.asarray(mixer_params["log_step"])
+    lam = lam_re + 1j * lam_im
+    b = np.asarray(mixer_params["B"], np.float64)
+    b_c = b[..., 0] + 1j * b[..., 1]
+    log_step = np.asarray(mixer_params["log_step"], np.float64)
     step = cfg.step_rescale * np.exp(log_step[:, 0])
-    fn = discretize_zoh if cfg.discretization == "zoh" else discretize_bilinear
-    lam_bar, b_bar = fn((jnp.asarray(lam_re), jnp.asarray(lam_im)),
-                        (jnp.asarray(b[..., 0]), jnp.asarray(b[..., 1])),
-                        jnp.asarray(step))
-    lam_bar = (np.asarray(lam_bar[0]), np.asarray(lam_bar[1]))
-    b_bar = (np.asarray(b_bar[0]), np.asarray(b_bar[1]))
+    if cfg.discretization == "zoh":
+        lam_bar_c = np.exp(lam * step)
+        b_bar_c = ((lam_bar_c - 1.0) / lam)[:, None] * b_c
+    else:  # bilinear
+        bl = 1.0 / (1.0 - 0.5 * step * lam)
+        lam_bar_c = bl * (1.0 + 0.5 * step * lam)
+        b_bar_c = (bl * step)[:, None] * b_c
+    lam_bar = (lam_bar_c.real.astype(np.float32),
+               lam_bar_c.imag.astype(np.float32))
+    b_bar = (b_bar_c.real.astype(np.float32),
+             b_bar_c.imag.astype(np.float32))
     if "C" in mixer_params:
         c = np.asarray(mixer_params["C"])
         c_tilde = (c[..., 0], c[..., 1])

@@ -33,18 +33,20 @@ import numpy as np
 from sparsernns_tpu.fxp.derive import FxpModelConfig, _discretize, _get
 from sparsernns_tpu.ops.pallas.fused_s5 import fused_s5_apply
 from sparsernns_tpu.quantize.config import QuantizationConfig
-from sparsernns_tpu.quantize.static import calculate_qparams
 
 
 def _pow2_quant_values(w: np.ndarray, bits: Optional[int]) -> np.ndarray:
     """Weight values after symmetric pow2-scale int quantization — exactly
-    the values the int8 storage dequantizes to."""
+    the values the int8 storage dequantizes to. Pure numpy (engine packing
+    is host-side; no device round trips), same rule as
+    quantize.static.calculate_qparams(pow2scale=True)."""
     if bits is None or bits >= 32:
         return np.asarray(w, np.float32)
+    w = np.asarray(w)
     absmax = float(np.abs(w).max())
-    scale, _ = calculate_qparams(
-        jnp.asarray(-absmax), jnp.asarray(absmax), bits, pow2scale=True)
-    s = float(scale)
+    qmax = 2.0 ** (bits - 1) - 1.0
+    s = max(absmax / qmax, 1e-6)
+    s = 2.0 ** round(np.log2(s))
     q = np.clip(np.round(w / s), -(2 ** (bits - 1)), 2 ** (bits - 1) - 1)
     return (q * s).astype(np.float32)
 
