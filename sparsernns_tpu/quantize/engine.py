@@ -51,20 +51,27 @@ def _pow2_quant_values(w: np.ndarray, bits: Optional[int]) -> np.ndarray:
     return (q * s).astype(np.float32)
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class _LayerPack:
+    """Per-layer packed operands. A pytree so the jitted engine forward
+    takes the weights as ARGUMENTS (closure-captured device arrays would
+    be baked into the executable as constants — bloating it and requiring
+    host readback at lowering). ``state_requant`` is static metadata (it
+    parameterizes the kernel)."""
+
     lam: Any          # (P,) pair f32
     w_b: Any          # (H, 2P) quantized-value weights
     w_c: Any          # (2P, H) incl. conj-sym 2x and sign fold
     d: Any            # (H,)
-    d_bias: Any       # (H,) or None (BN fold)
-    norm_w: Any       # (H,) BN scale/sqrt(var+eps) or None
+    norm_w: Any       # (H,) BN scale/sqrt(var+eps)
     norm_b: Any       # (H,)
-    out2_kernel: Any  # GLU gate dense
-    out2_bias: Any
+    out2_kernel: Any = None  # GLU gate dense
+    out2_bias: Any = None
     out1_kernel: Any = None  # "full" GLU value dense
     out1_bias: Any = None
-    state_requant: Any = None  # (scale_re, scale_im, bits) or None
+    state_requant: Any = dataclasses.field(
+        metadata=dict(static=True), default=None)
 
 
 def state_activation(cfg, xs):
@@ -205,15 +212,24 @@ class W8A16Engine:
             self.layers.append(_LayerPack(
                 lam=(jnp.asarray(lam_bar[0]), jnp.asarray(lam_bar[1])),
                 w_b=jnp.asarray(w_b), w_c=jnp.asarray(w_c),
-                d=jnp.asarray(d_q), d_bias=None,
+                d=jnp.asarray(d_q),
                 norm_w=jnp.asarray(nw.astype(np.float32)),
                 norm_b=jnp.asarray(nb.astype(np.float32)),
                 out2_kernel=out2_k, out2_bias=out2_b,
                 out1_kernel=out1_k, out1_bias=out1_b,
                 state_requant=requant))
 
-        self._forward = jax.jit(partial(self._apply,
-                                        block_t=block_t))
+        # Weights are pytree ARGUMENTS of the jitted forward (not closure
+        # constants): smaller executables, donation-friendly, no host
+        # readback at lowering.
+        self.weights = {
+            "encoder_kernel": self.encoder_kernel,
+            "encoder_bias": self.encoder_bias,
+            "decoder_kernel": self.decoder_kernel,
+            "decoder_bias": self.decoder_bias,
+            "layers": tuple(self.layers),
+        }
+        self._forward = jax.jit(partial(self._apply, block_t=block_t))
 
     @staticmethod
     def from_artifacts(checkpoint_dir: str, cfg) -> "W8A16Engine":
@@ -233,12 +249,13 @@ class W8A16Engine:
             topk=cfg.topk, approx_topk=cfg.approx_topk)
         return W8A16Engine(params, stats, q_config, model_cfg)
 
-    def _apply(self, x, block_t: int):
+    def _apply(self, weights, x, block_t: int):
         """x: (B, L, d_input) f32 -> mask (B, L, d_output)."""
         cfg = self.cfg
-        h = engine_encode(cfg, self.encoder_kernel, self.encoder_bias, x)
+        h = engine_encode(cfg, weights["encoder_kernel"],
+                          weights["encoder_bias"], x)
         state_topk = cfg.relufication and cfg.topk < 1.0 and cfg.approx_topk
-        for layer in self.layers:
+        for layer in weights["layers"]:
             if state_topk:
                 # The fused kernel can't top-k the state in VMEM; use the
                 # pallas scan + explicit state activation for exact parity
@@ -267,7 +284,7 @@ class W8A16Engine:
 
             h = engine_layer_forward(cfg, layer, h, mixer,
                                      act_dtype=self.act_dtype)
-        return h @ self.decoder_kernel + self.decoder_bias
+        return h @ weights["decoder_kernel"] + weights["decoder_bias"]
 
     def __call__(self, x) -> jax.Array:
-        return self._forward(x)
+        return self._forward(self.weights, x)
