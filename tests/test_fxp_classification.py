@@ -1,0 +1,65 @@
+"""Fxp classification engine + alternate bit-width (w8a8) static pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsernns_tpu.fxp.derive import FxpModelConfig, build_fxp_model
+from sparsernns_tpu.models.seq_model import ClassificationModel
+from sparsernns_tpu.models.ssm import make_ssm_init_fn
+from sparsernns_tpu.models.ssm_init import blocked_dplr_init
+from sparsernns_tpu.quantize.calibrate import calibrate
+from sparsernns_tpu.quantize.config import quantization_recipes
+
+
+def _cls_model(q_config, h=12, d_in=6, n_cls=4, training=False):
+    init = blocked_dplr_init(16, 2, conj_sym=True)
+    mixer = make_ssm_init_fn(
+        h=h, p=init["P"], lambda_init=init["Lambda"], v=init["V"],
+        vinv=init["Vinv"], clip_eigs=True, relufication=True,
+        q_config=q_config)
+    return ClassificationModel(
+        mixer_cls=mixer, n_layers=1, d_model=h, d_output=n_cls,
+        dropout=0.0, prenorm=True, batchnorm=True, glu_variant="half1",
+        training=training, relufication=True, q_config=q_config,
+        mode="pool")
+
+
+@pytest.mark.parametrize("recipe", ["w8a16", "w8a8"])
+def test_fxp_classification_pipeline(rng, recipe):
+    x = jnp.asarray(rng.randn(3, 16, 6) * 0.5, jnp.float32)
+    fp = _cls_model(quantization_recipes["none"]())
+    vs = fp.init(jax.random.PRNGKey(0), x)
+    y_fp = np.asarray(fp.apply(vs, x))  # log-probs (3, 4)
+
+    cal = _cls_model(quantization_recipes[recipe](static_quant=True,
+                                                  calibrating=True))
+    fparams, fstats = calibrate(cal, jax.random.PRNGKey(1), x,
+                                vs["params"], vs.get("batch_stats"), [x])
+
+    inf_cfg = quantization_recipes[recipe](static_quant=True,
+                                           calibrating=False)
+    fxp = build_fxp_model(
+        fparams, fstats, inf_cfg,
+        model_cfg=FxpModelConfig.infer(
+            fparams, glu_variant="half1", relufication=True,
+            prenorm=True, clip_eigs=True, task="classification"))
+    logits_fxp = np.asarray(fxp(x).to_float())
+    assert logits_fxp.shape == y_fp.shape
+    # integer classifier agrees with the float model on most predictions
+    agree = np.mean(logits_fxp.argmax(-1) == y_fp.argmax(-1))
+    assert agree >= 2 / 3, (agree, logits_fxp.argmax(-1), y_fp.argmax(-1))
+
+
+def test_profiling_cost_model():
+    from sparsernns_tpu.utils.profiling import S5Cost, StepTimer
+    c = S5Cost.forward(b=8, l=3751, h=192, p=128)
+    assert c.flops > 0
+    assert c.hbm_bytes_fused < c.hbm_bytes_unfused
+    assert c.speed_of_light_us() > 0
+    t = StepTimer(warmup=1)
+    for _ in range(3):
+        with t:
+            pass
+    assert t.mean >= 0 and len(t.times) == 2
