@@ -123,11 +123,12 @@ def create_run_state(cfg: RunConfig, model, example_input,
 
 
 def run_ndns_epoch(state, step_fn, mask_update, loader, rng,
-                   profile_ctx=None) -> Tuple[TrainState, Dict[str, float]]:
+                   place_batch=None) -> Tuple[TrainState, Dict[str, float]]:
+    place_batch = place_batch or (lambda t: jax.tree_util.tree_map(
+        jnp.asarray, t))
     losses, snrs = [], []
     for noisy, clean in loader:
-        noisy = jnp.asarray(noisy)
-        clean = jnp.asarray(clean)
+        noisy, clean = place_batch((noisy, clean))
         noisy_mag, noisy_phase, clean_mag = prep_ndns_batch(noisy, clean)
         state = mask_update(state)
         state, metrics = step_fn(state, rng, noisy_mag, noisy_phase,
@@ -138,11 +139,13 @@ def run_ndns_epoch(state, step_fn, mask_update, loader, rng,
                    "train_si_snr": float(jnp.mean(jnp.stack(snrs)))}
 
 
-def validate_ndns(state, eval_fn, loader) -> Dict[str, float]:
+def validate_ndns(state, eval_fn, loader,
+                  place_batch=None) -> Dict[str, float]:
+    place_batch = place_batch or (lambda t: jax.tree_util.tree_map(
+        jnp.asarray, t))
     losses, snrs = [], []
     for noisy, clean in loader:
-        noisy = jnp.asarray(noisy)
-        clean = jnp.asarray(clean)
+        noisy, clean = place_batch((noisy, clean))
         noisy_mag, noisy_phase, clean_mag = prep_ndns_batch(noisy, clean)
         metrics = eval_fn(state, noisy_mag, noisy_phase, clean_mag, clean)
         losses.append(metrics["loss"])
@@ -151,22 +154,29 @@ def validate_ndns(state, eval_fn, loader) -> Dict[str, float]:
             "si_snr": float(jnp.mean(jnp.stack(snrs)))}
 
 
-def run_classification_epoch(state, step_fn, mask_update, loader, rng):
+def run_classification_epoch(state, step_fn, mask_update, loader, rng,
+                             place_batch=None):
+    place_batch = place_batch or (lambda t: jax.tree_util.tree_map(
+        jnp.asarray, t))
     losses, accs = [], []
     for xs, ys in loader:
         state = mask_update(state)
-        state, metrics = step_fn(state, rng, jnp.asarray(xs),
-                                 jnp.asarray(ys))
+        xs, ys = place_batch((xs, jnp.asarray(ys)))
+        state, metrics = step_fn(state, rng, xs, ys)
         losses.append(metrics["loss"])
         accs.append(metrics["accuracy"])
     return state, {"train_loss": float(jnp.mean(jnp.stack(losses))),
                    "train_acc": float(jnp.mean(jnp.stack(accs)))}
 
 
-def validate_classification(state, eval_fn, loader) -> Dict[str, float]:
+def validate_classification(state, eval_fn, loader,
+                            place_batch=None) -> Dict[str, float]:
+    place_batch = place_batch or (lambda t: jax.tree_util.tree_map(
+        jnp.asarray, t))
     losses, accs = [], []
     for xs, ys in loader:
-        metrics = eval_fn(state, jnp.asarray(xs), jnp.asarray(ys))
+        xs, ys = place_batch((xs, jnp.asarray(ys)))
+        metrics = eval_fn(state, xs, ys)
         losses.append(metrics["loss"])
         accs.append(metrics["accuracy"])
     return {"loss": float(jnp.mean(jnp.stack(losses))),
@@ -218,6 +228,23 @@ def train(cfg: RunConfig) -> Dict[str, Any]:
                 if restored_meta:
                     metadata.update(restored_meta)
 
+    # --- SPMD placement: honor the mesh flags when >1 device is visible.
+    # Params get the TP sharding rules (P dim on "model"), batches shard
+    # over "data"; the SAME jitted step then runs SPMD — XLA inserts the
+    # collectives (see parallel/).
+    place_batch = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
+    n_devices = len(jax.devices())
+    if n_devices > 1 and (cfg.mesh_data != 1 or cfg.mesh_model > 1
+                          or cfg.mesh_seq > 1):
+        from sparsernns_tpu.parallel.mesh import MeshConfig, make_mesh
+        from sparsernns_tpu.parallel.sharding import (shard_batch,
+                                                      shard_train_state)
+        mesh = make_mesh(MeshConfig(data=cfg.mesh_data, model=cfg.mesh_model,
+                                    seq=cfg.mesh_seq))
+        state = shard_train_state(state, mesh)
+        place_batch = lambda tree: shard_batch(tree, mesh)
+        logger.info("SPMD mesh: %s", dict(mesh.shape))
+
     is_ndns = cfg.dataset == "ndns"
     static_q = quantization_recipes[cfg.quantization]().static_quant
     if is_ndns:
@@ -244,9 +271,12 @@ def train(cfg: RunConfig) -> Dict[str, Any]:
             jax.profiler.start_trace(cfg.profile_dir)
         rng, epoch_rng = jax.random.split(rng)
         state, train_metrics = epoch_fn(
-            state, step_fn, mask_update, trainloader, epoch_rng)
-        val_metrics = val_fn(state, eval_fn, valloader)
-        test_metrics = val_fn(state, eval_fn, testloader)
+            state, step_fn, mask_update, trainloader, epoch_rng,
+            place_batch=place_batch)
+        val_metrics = val_fn(state, eval_fn, valloader,
+                             place_batch=place_batch)
+        test_metrics = val_fn(state, eval_fn, testloader,
+                              place_batch=place_batch)
         if cfg.profile and epoch == start_epoch + 1:
             jax.profiler.stop_trace()
 

@@ -25,11 +25,12 @@ def warmup_cosine(base_lr: float, total_steps: int, warmup_steps: int,
                   end_value: float = 1e-6):
     if total_steps <= 0:
         return optax.constant_schedule(base_lr)
+    warmup = max(min(warmup_steps, total_steps - 1), 0)
     return optax.warmup_cosine_decay_schedule(
-        init_value=base_lr / warmup_steps if warmup_steps > 0 else base_lr,
+        init_value=base_lr / warmup if warmup > 0 else base_lr,
         peak_value=base_lr,
-        warmup_steps=max(warmup_steps, 1),
-        decay_steps=total_steps,
+        warmup_steps=max(warmup, 1) if total_steps > 1 else 0,
+        decay_steps=max(total_steps, 2),
         end_value=end_value,
     )
 

@@ -82,3 +82,21 @@ def test_param_sharding_rules(rng):
     assert shardings["mixer"]["C"].spec[1] == MODEL_AXIS
     assert shardings["mixer"]["D"].spec == ()
     assert shardings["encoder"]["kernel"].spec == ()
+
+
+def test_train_loop_with_mesh_flags(tmp_path):
+    """train() honors the --mesh_* flags: params TP-sharded, batches
+    data-sharded, same orchestrator code."""
+    from sparsernns_tpu.train.loop import train
+    from sparsernns_tpu.utils.config import RunConfig
+
+    cfg = RunConfig(
+        dataset="ndns", synthetic_data=True, synthetic_size=4,
+        synthetic_seconds=0.5, n_layers=1, d_model=12, ssm_size_base=16,
+        blocks=2, bsz=4, epochs=1, opt_config="standard", logger="none",
+        checkpoint_dir=None, p_dropout=0.0, jax_seed=0,
+        mesh_data=4, mesh_model=2, mesh_seq=1)
+    out = train(cfg)
+    assert out["metadata"]["best_val_loss"] < float("inf")
+    b = out["state"].params["encoder"]["layers_0"]["mixer"]["B"]
+    assert b.sharding.spec[0] == MODEL_AXIS
