@@ -234,8 +234,9 @@ def train(cfg: RunConfig) -> Dict[str, Any]:
     # collectives (see parallel/).
     place_batch = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
     n_devices = len(jax.devices())
-    if n_devices > 1 and (cfg.mesh_data != 1 or cfg.mesh_model > 1
-                          or cfg.mesh_seq > 1):
+    mesh_requested = (cfg.mesh_data > 1 or cfg.mesh_model > 1
+                      or cfg.mesh_seq > 1)
+    if n_devices > 1 and mesh_requested:
         from sparsernns_tpu.parallel.mesh import MeshConfig, make_mesh
         from sparsernns_tpu.parallel.sharding import (shard_batch,
                                                       shard_train_state)
