@@ -69,6 +69,41 @@ def _fused_kernel(
     out_ref[0] = y
 
 
+def _fused_carry_kernel(
+    u_ref, ci_re_ref, ci_im_ref,  # input block + (1, 1, P) incoming carries
+    wb_ref, wc_ref, d_ref,
+    pow_re_ref, pow_im_ref, ctab_re_ref, ctab_im_ref,
+    out_ref, co_re_ref, co_im_ref,  # output block + (1,1,P) outgoing carries
+    carry_re, carry_im,
+    *, num_passes: int, block_t: int, p: int, relu_state: bool,
+    block_requant=None,
+):
+    """Fused S5 kernel with explicit carry I/O — the streaming-serving
+    variant: chunked inference at fused-kernel speed with the recurrent
+    state flowing between chunks."""
+    from sparsernns_tpu.ops.pallas.scan_kernel import scan_block_body
+
+    j = pl.program_id(1)
+    u = u_ref[0].astype(jnp.float32)
+    bu = jnp.dot(u, wb_ref[...], preferred_element_type=jnp.float32)
+    x_re, x_im = scan_block_body(
+        bu[:, :p], bu[:, p:], pow_re_ref, pow_im_ref,
+        ctab_re_ref, ctab_im_ref, carry_re, carry_im, j,
+        num_passes=num_passes, block_t=block_t,
+        block_requant=block_requant,
+        carry_init=(ci_re_ref[0], ci_im_ref[0]))
+
+    co_re_ref[0] = carry_re[...]
+    co_im_ref[0] = carry_im[...]
+
+    if relu_state:
+        x_re = jnp.maximum(x_re, 0.0)
+        x_im = jnp.maximum(x_im, 0.0)
+    xs_cat = jnp.concatenate([x_re, x_im], axis=-1)
+    y = jnp.dot(xs_cat, wc_ref[...], preferred_element_type=jnp.float32)
+    out_ref[0] = y + d_ref[...] * u
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -155,3 +190,109 @@ def fused_s5_apply(
     )(u, w_b_packed, w_c_packed, d_packed, pow_re, pow_im, ctab[0], ctab[1])
 
     return out[:, :l, :h]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_t", "relu_state", "interpret",
+                              "block_requant"))
+def fused_s5_apply_carry(
+    u: jax.Array,          # (B, L, H) float32/bf16
+    lam: Pair,             # (P,) pair — discretized λ̄
+    w_b: jax.Array,        # (H, 2P)
+    w_c: jax.Array,        # (2P, H)
+    d: jax.Array,          # (H,)
+    carry: Pair,           # (B, P) incoming state
+    block_t: int = 256,
+    relu_state: bool = False,
+    interpret: Optional[bool] = None,
+    block_requant: Optional[Tuple[float, float, int]] = None,
+) -> Tuple[jax.Array, Pair]:
+    """Streaming fused S5: like fused_s5_apply but the scan starts from
+    ``carry`` and the final state is returned — chunked serving at
+    fused-kernel speed with the recurrent state flowing between chunks.
+
+    Returns (y (B, L, H), new_carry (B, P) pair).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    b, l, h = u.shape
+    p = w_b.shape[-1] // 2
+
+    t = min(block_t, _round_up(l, 8))
+    l_pad = _round_up(l, t)
+    if l_pad != l:
+        # Padded (zero-input) steps would advance the carry past the true
+        # final state; streaming callers must chunk to a multiple of the
+        # time block.
+        raise ValueError(
+            f"fused_s5_apply_carry needs L divisible by the time block "
+            f"(L={l}, block={t}); pad or re-chunk the input")
+    p_pad = _round_up(p, 128)
+    h_pad = _round_up(h, 128)
+
+    if h_pad != h:
+        u = jnp.pad(u, ((0, 0), (0, 0), (0, h_pad - h)))
+    wb_re = jnp.pad(w_b[:, :p], ((0, h_pad - h), (0, p_pad - p)))
+    wb_im = jnp.pad(w_b[:, p:], ((0, h_pad - h), (0, p_pad - p)))
+    w_b_packed = jnp.concatenate([wb_re, wb_im], axis=-1)
+    wc_re = jnp.pad(w_c[:p, :], ((0, p_pad - p), (0, h_pad - h)))
+    wc_im = jnp.pad(w_c[p:, :], ((0, p_pad - p), (0, h_pad - h)))
+    w_c_packed = jnp.concatenate([wc_re, wc_im], axis=0)
+    d_packed = jnp.pad(d, (0, h_pad - h))[None, :]
+
+    # carries as (B, 1, P): Mosaic wants the trailing block dims divisible
+    # by (8, 128) or equal to the array dims
+    ci_re = jnp.pad(carry[0].astype(jnp.float32),
+                    ((0, 0), (0, p_pad - p)))[:, None, :]
+    ci_im = jnp.pad(carry[1].astype(jnp.float32),
+                    ((0, 0), (0, p_pad - p)))[:, None, :]
+
+    lam_re = jnp.pad(lam[0], (0, p_pad - p))
+    lam_im = jnp.pad(lam[1], (0, p_pad - p))
+
+    num_passes = max(1, (t - 1).bit_length())
+
+    def sq(c):
+        return (c[0] * c[0] - c[1] * c[1], 2.0 * c[0] * c[1])
+
+    pows_re, pows_im = [], []
+    cur = (lam_re, lam_im)
+    for _ in range(num_passes):
+        pows_re.append(cur[0])
+        pows_im.append(cur[1])
+        cur = sq(cur)
+    pow_re = jnp.stack(pows_re)
+    pow_im = jnp.stack(pows_im)
+    ctab = lambda_powers((lam_re, lam_im), t)
+
+    grid = (b, l_pad // t)
+    io_block = pl.BlockSpec((1, t, h_pad), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    carry_block = pl.BlockSpec((1, 1, p_pad), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _fused_carry_kernel, num_passes=num_passes, block_t=t, p=p_pad,
+        relu_state=relu_state, block_requant=block_requant)
+    out, co_re, co_im = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[io_block, carry_block, carry_block,
+                  full((h_pad, 2 * p_pad)), full((2 * p_pad, h_pad)),
+                  full((1, h_pad)),
+                  full((num_passes, p_pad)), full((num_passes, p_pad)),
+                  full((t, p_pad)), full((t, p_pad))],
+        out_specs=[io_block, carry_block, carry_block],
+        out_shape=[jax.ShapeDtypeStruct((b, l_pad, h_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 1, p_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 1, p_pad), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, p_pad), jnp.float32),
+                        pltpu.VMEM((1, p_pad), jnp.float32)],
+        interpret=interpret,
+    )(u, ci_re, ci_im, w_b_packed, w_c_packed, d_packed,
+      pow_re, pow_im, ctab[0], ctab[1])
+
+    return out[:, :l, :h], (co_re[:, 0, :p], co_im[:, 0, :p])

@@ -46,10 +46,15 @@ def scan_block_body(
     carry_re, carry_im,            # (1, P) VMEM scratch — persists over grid
     j,                             # time-block index within the grid
     *, num_passes: int, block_t: int, block_requant=None,
+    carry_init=None,               # optional (re, im) (1, P) VALUES
 ):
     """Shared in-kernel scan block: doubling passes + carry reset/fold +
     optional block requant + carry store. Used by both the standalone scan
-    kernel and the fused S5 kernel. Returns the block's states."""
+    kernel and the fused S5 kernel. Returns the block's states.
+
+    ``carry_init``: when given, the first time-block of each batch row
+    starts from these values instead of zero — streaming/chunked serving.
+    """
     # Intra-block inclusive scan: x += λ^d ⊙ shift(x, d), d = 1,2,4,...
     for k in range(num_passes):
         d = 1 << k
@@ -61,11 +66,15 @@ def scan_block_body(
         x_re = x_re + (lr * sh_re - li * sh_im)
         x_im = x_im + (lr * sh_im + li * sh_re)
 
-    # Reset carry at the first block of each batch row.
+    # Reset (or load) the carry at the first block of each batch row.
     @pl.when(j == 0)
     def _():
-        carry_re[...] = jnp.zeros_like(carry_re)
-        carry_im[...] = jnp.zeros_like(carry_im)
+        if carry_init is None:
+            carry_re[...] = jnp.zeros_like(carry_re)
+            carry_im[...] = jnp.zeros_like(carry_im)
+        else:
+            carry_re[...] = carry_init[0]
+            carry_im[...] = carry_init[1]
 
     # Fold incoming carry: x_t += λ^{t+1} ⊙ carry.
     cr = carry_re[...]  # (1, P)

@@ -288,3 +288,47 @@ class W8A16Engine:
 
     def __call__(self, x) -> jax.Array:
         return self._forward(self.weights, x)
+
+    # ---------------- streaming (chunked) serving ----------------
+
+    def init_stream_state(self, batch: int):
+        """Zero carries for a new stream: per-layer (B, P) state pairs."""
+        return tuple(
+            (jnp.zeros((batch, layer.w_b.shape[-1] // 2), jnp.float32),
+             jnp.zeros((batch, layer.w_b.shape[-1] // 2), jnp.float32))
+            for layer in self.layers)
+
+    def _apply_chunk(self, weights, x, carries, block_t: int):
+        """Chunked forward: like _apply but each layer's scan starts from
+        its carry and returns the updated one (fused_s5_apply_carry —
+        streaming at fused-kernel speed). L must divide the time block."""
+        from sparsernns_tpu.ops.pallas.fused_s5 import fused_s5_apply_carry
+        cfg = self.cfg
+        h = engine_encode(cfg, weights["encoder_kernel"],
+                          weights["encoder_bias"], x)
+        new_carries = []
+        for layer, carry in zip(weights["layers"], carries):
+            def mixer(z, layer=layer, carry=carry):
+                y, new_c = fused_s5_apply_carry(
+                    z, layer.lam, layer.w_b, layer.w_c, layer.d, carry,
+                    block_t=min(block_t, x.shape[1]),
+                    relu_state=cfg.relufication,
+                    block_requant=layer.state_requant)
+                new_carries.append(new_c)
+                return y
+
+            h = engine_layer_forward(cfg, layer, h, mixer,
+                                     act_dtype=self.act_dtype)
+        out = h @ weights["decoder_kernel"] + weights["decoder_bias"]
+        return out, tuple(new_carries)
+
+    def process_chunk(self, x, carries=None):
+        """x: (B, L_chunk, d_input) -> (mask chunk, new carries). Chunked
+        calls are bit-identical to one whole-sequence call (the carry is
+        the exact recurrent state)."""
+        if carries is None:
+            carries = self.init_stream_state(x.shape[0])
+        if not hasattr(self, "_chunk_forward"):
+            self._chunk_forward = jax.jit(
+                partial(self._apply_chunk, block_t=self.block_t))
+        return self._chunk_forward(self.weights, x, carries)

@@ -5,6 +5,7 @@ path within the quantization error budget (SURVEY.md §7 hard part #1)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sparsernns_tpu.fxp.derive import FxpModelConfig
 from sparsernns_tpu.quantize.config import quantization_recipes
@@ -124,3 +125,35 @@ def test_engine_topk_applied(pipeline):  # noqa: F811
     with _pytest.raises(NotImplementedError):
         build_fxp_model(frozen_params, frozen_stats, inf_cfg,
                         model_cfg=model_cfg)
+
+
+def test_engine_chunked_streaming_matches_whole(pipeline):  # noqa: F811
+    """process_chunk with carry flow == one whole-sequence engine call
+    (the streaming serving path at fused-kernel speed)."""
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True)
+    engine = W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                         act_dtype=jnp.float32, block_t=8)
+    y_whole = np.asarray(engine(x))  # L = 24
+
+    c = None
+    chunks = []
+    for start in (0, 8, 16):
+        y_c, c = engine.process_chunk(x[:, start:start + 8], c)
+        chunks.append(np.asarray(y_c))
+    y_chunked = np.concatenate(chunks, axis=1)
+    np.testing.assert_allclose(y_chunked, y_whole, atol=2e-3)
+
+    # chunk size not divisible by the block raises a clear error
+    from sparsernns_tpu.ops.pallas.fused_s5 import fused_s5_apply_carry
+    lam = (jnp.ones(4) * 0.5, jnp.zeros(4))
+    with pytest.raises(ValueError, match="divisible"):
+        fused_s5_apply_carry(jnp.zeros((1, 12, 8)), lam,
+                             jnp.zeros((8, 8)), jnp.zeros((8, 8)),
+                             jnp.zeros(8), (jnp.zeros((1, 4)),
+                                            jnp.zeros((1, 4))),
+                             block_t=8)
