@@ -107,6 +107,46 @@ def bench_w8a16_engine(batch=8, seq_len=3751, d_io=257, iters=10):
     return batch * seq_len * iters / elapsed
 
 
+def bench_train_step(batch=8, seq_len=3751, d_io=257, iters=5,
+                     scan_mode="fused"):
+    """Training-step throughput (forward + backward through the custom-VJP
+    fused kernel + optimizer update)."""
+    import numpy as np
+
+    from __graft_entry__ import _flagship_model
+    from sparsernns_tpu.train.optim import create_optimizer
+    from sparsernns_tpu.train.state import TrainState
+    from sparsernns_tpu.train.steps import make_ndns_train_step
+
+    model = _flagship_model(training=True, scan_mode=scan_mode)
+    x = jnp.zeros((batch, seq_len, d_io), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    tx = create_optimizer("noBCdecay", lr=1e-3, ssm_lr=1e-3,
+                          total_steps=1000, warmup_steps=10)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx,
+        batch_stats=variables.get("batch_stats"))
+    step = make_ndns_train_step(model, batchnorm=True)
+
+    rng = np.random.RandomState(0)
+    noisy_mag = jnp.asarray(np.abs(rng.randn(batch, d_io, seq_len)),
+                            jnp.float32)
+    noisy_phase = jnp.zeros_like(noisy_mag)
+    clean_mag = noisy_mag * 0.9
+    clean = jnp.asarray(rng.randn(batch, (seq_len - 1) * 128), jnp.float32)
+    key = jax.random.PRNGKey(1)
+
+    state, _ = step(state, key, noisy_mag, noisy_phase, clean_mag, clean)
+    jax.block_until_ready(state.params)
+    start = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, key, noisy_mag, noisy_phase,
+                              clean_mag, clean)
+    jax.block_until_ready(state.params)
+    elapsed = time.perf_counter() - start
+    return batch * seq_len * iters / elapsed
+
+
 def main():
     results = {}
     for mode in ("associative", "pallas", "fused"):
@@ -124,6 +164,13 @@ def main():
               "frames/s", file=sys.stderr)
     except Exception as e:
         print(f"[bench] w8a16-engine failed: {e}", file=sys.stderr)
+    try:
+        with _alarm(BENCH_MODE_TIMEOUT_S):
+            train_fps = bench_train_step()
+        print(f"[bench] train-step (fused VJP): {train_fps:,.0f} "
+              "frames/s", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] train-step failed: {e}", file=sys.stderr)
 
     if not results:
         print(json.dumps({"metric": "ndns_s5_frames_per_sec_per_chip",
