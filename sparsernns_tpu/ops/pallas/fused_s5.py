@@ -108,6 +108,62 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _prep_fused_operands(u, lam, w_b, w_c, d, block_t, allow_l_pad):
+    """Shared operand prep for the fused wrappers: padding, weight packing,
+    λ^(2^k) offset-operator table, carry-fold table, grid + block specs."""
+    b, l, h = u.shape
+    p = w_b.shape[-1] // 2
+
+    t = min(block_t, _round_up(l, 8))
+    l_pad = _round_up(l, t)
+    if l_pad != l and not allow_l_pad:
+        # Padded (zero-input) steps would advance the carry past the true
+        # final state; streaming callers must chunk to a multiple of the
+        # time block.
+        raise ValueError(
+            f"fused_s5_apply_carry needs L divisible by the time block "
+            f"(L={l}, block={t}); pad or re-chunk the input")
+    p_pad = _round_up(p, 128)
+    h_pad = _round_up(h, 128)
+
+    if l_pad != l or h_pad != h:
+        u = jnp.pad(u, ((0, 0), (0, l_pad - l), (0, h_pad - h)))
+    # Repack W_b (H, 2P) -> (H_pad, 2*P_pad) keeping re|im halves separate.
+    wb_re = jnp.pad(w_b[:, :p], ((0, h_pad - h), (0, p_pad - p)))
+    wb_im = jnp.pad(w_b[:, p:], ((0, h_pad - h), (0, p_pad - p)))
+    wc_re = jnp.pad(w_c[:p, :], ((0, p_pad - p), (0, h_pad - h)))
+    wc_im = jnp.pad(w_c[p:, :], ((0, p_pad - p), (0, h_pad - h)))
+
+    lam_re = jnp.pad(lam[0], (0, p_pad - p))
+    lam_im = jnp.pad(lam[1], (0, p_pad - p))
+
+    num_passes = max(1, (t - 1).bit_length())
+
+    def sq(c):
+        return (c[0] * c[0] - c[1] * c[1], 2.0 * c[0] * c[1])
+
+    pows_re, pows_im = [], []
+    cur = (lam_re, lam_im)
+    for _ in range(num_passes):
+        pows_re.append(cur[0])
+        pows_im.append(cur[1])
+        cur = sq(cur)
+    ctab = lambda_powers((lam_re, lam_im), t)
+
+    io_block = pl.BlockSpec((1, t, h_pad), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    return dict(
+        u=u, w_b=jnp.concatenate([wb_re, wb_im], axis=-1),
+        w_c=jnp.concatenate([wc_re, wc_im], axis=0),
+        d=jnp.pad(d, (0, h_pad - h))[None, :],
+        pow_re=jnp.stack(pows_re), pow_im=jnp.stack(pows_im), ctab=ctab,
+        b=b, l=l, h=h, p=p, t=t, l_pad=l_pad, p_pad=p_pad, h_pad=h_pad,
+        num_passes=num_passes, grid=(b, l_pad // t),
+        io_block=io_block, full=full)
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_t", "relu_state", "interpret",
                               "block_requant"))
@@ -127,69 +183,31 @@ def fused_s5_apply(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    b, l, h = u.shape
-    p2 = w_b.shape[-1]
-    p = p2 // 2
-
-    t = min(block_t, _round_up(l, 8))
-    l_pad = _round_up(l, t)
-    p_pad = _round_up(p, 128)
-    h_pad = _round_up(h, 128)
-
-    if l_pad != l or h_pad != h:
-        u = jnp.pad(u, ((0, 0), (0, l_pad - l), (0, h_pad - h)))
-    # Repack W_b (H, 2P) -> (H_pad, 2*P_pad) keeping re|im halves separate.
-    wb_re = jnp.pad(w_b[:, :p], ((0, h_pad - h), (0, p_pad - p)))
-    wb_im = jnp.pad(w_b[:, p:], ((0, h_pad - h), (0, p_pad - p)))
-    w_b_packed = jnp.concatenate([wb_re, wb_im], axis=-1)
-    wc_re = jnp.pad(w_c[:p, :], ((0, p_pad - p), (0, h_pad - h)))
-    wc_im = jnp.pad(w_c[p:, :], ((0, p_pad - p), (0, h_pad - h)))
-    w_c_packed = jnp.concatenate([wc_re, wc_im], axis=0)
-    d_packed = jnp.pad(d, (0, h_pad - h))[None, :]
-
-    lam_re = jnp.pad(lam[0], (0, p_pad - p))
-    lam_im = jnp.pad(lam[1], (0, p_pad - p))
-
-    num_passes = max(1, (t - 1).bit_length())
-
-    def sq(c):
-        return (c[0] * c[0] - c[1] * c[1], 2.0 * c[0] * c[1])
-
-    pows_re, pows_im = [], []
-    cur = (lam_re, lam_im)
-    for _ in range(num_passes):
-        pows_re.append(cur[0])
-        pows_im.append(cur[1])
-        cur = sq(cur)
-    pow_re = jnp.stack(pows_re)
-    pow_im = jnp.stack(pows_im)
-    ctab = lambda_powers((lam_re, lam_im), t)
-
-    grid = (b, l_pad // t)
-    io_block = pl.BlockSpec((1, t, h_pad), lambda i, j: (i, j, 0),
-                            memory_space=pltpu.VMEM)
-    full = lambda shape: pl.BlockSpec(
-        shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
-
+    o = _prep_fused_operands(u, lam, w_b, w_c, d, block_t, allow_l_pad=True)
     kernel = functools.partial(
-        _fused_kernel, num_passes=num_passes, block_t=t, p=p_pad,
-        relu_state=relu_state, block_requant=block_requant)
+        _fused_kernel, num_passes=o["num_passes"], block_t=o["t"],
+        p=o["p_pad"], relu_state=relu_state, block_requant=block_requant)
     out = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[io_block,
-                  full((h_pad, 2 * p_pad)), full((2 * p_pad, h_pad)),
-                  full((1, h_pad)),
-                  full((num_passes, p_pad)), full((num_passes, p_pad)),
-                  full((t, p_pad)), full((t, p_pad))],
-        out_specs=io_block,
-        out_shape=jax.ShapeDtypeStruct((b, l_pad, h_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, p_pad), jnp.float32),
-                        pltpu.VMEM((1, p_pad), jnp.float32)],
+        grid=o["grid"],
+        in_specs=[o["io_block"],
+                  o["full"]((o["h_pad"], 2 * o["p_pad"])),
+                  o["full"]((2 * o["p_pad"], o["h_pad"])),
+                  o["full"]((1, o["h_pad"])),
+                  o["full"]((o["num_passes"], o["p_pad"])),
+                  o["full"]((o["num_passes"], o["p_pad"])),
+                  o["full"]((o["t"], o["p_pad"])),
+                  o["full"]((o["t"], o["p_pad"]))],
+        out_specs=o["io_block"],
+        out_shape=jax.ShapeDtypeStruct((o["b"], o["l_pad"], o["h_pad"]),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, o["p_pad"]), jnp.float32),
+                        pltpu.VMEM((1, o["p_pad"]), jnp.float32)],
         interpret=interpret,
-    )(u, w_b_packed, w_c_packed, d_packed, pow_re, pow_im, ctab[0], ctab[1])
+    )(o["u"], o["w_b"], o["w_c"], o["d"], o["pow_re"], o["pow_im"],
+      o["ctab"][0], o["ctab"][1])
 
-    return out[:, :l, :h]
+    return out[:, :o["l"], :o["h"]]
 
 
 @functools.partial(
@@ -216,83 +234,40 @@ def fused_s5_apply_carry(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    b, l, h = u.shape
-    p = w_b.shape[-1] // 2
-
-    t = min(block_t, _round_up(l, 8))
-    l_pad = _round_up(l, t)
-    if l_pad != l:
-        # Padded (zero-input) steps would advance the carry past the true
-        # final state; streaming callers must chunk to a multiple of the
-        # time block.
-        raise ValueError(
-            f"fused_s5_apply_carry needs L divisible by the time block "
-            f"(L={l}, block={t}); pad or re-chunk the input")
-    p_pad = _round_up(p, 128)
-    h_pad = _round_up(h, 128)
-
-    if h_pad != h:
-        u = jnp.pad(u, ((0, 0), (0, 0), (0, h_pad - h)))
-    wb_re = jnp.pad(w_b[:, :p], ((0, h_pad - h), (0, p_pad - p)))
-    wb_im = jnp.pad(w_b[:, p:], ((0, h_pad - h), (0, p_pad - p)))
-    w_b_packed = jnp.concatenate([wb_re, wb_im], axis=-1)
-    wc_re = jnp.pad(w_c[:p, :], ((0, p_pad - p), (0, h_pad - h)))
-    wc_im = jnp.pad(w_c[p:, :], ((0, p_pad - p), (0, h_pad - h)))
-    w_c_packed = jnp.concatenate([wc_re, wc_im], axis=0)
-    d_packed = jnp.pad(d, (0, h_pad - h))[None, :]
-
+    o = _prep_fused_operands(u, lam, w_b, w_c, d, block_t, allow_l_pad=False)
     # carries as (B, 1, P): Mosaic wants the trailing block dims divisible
     # by (8, 128) or equal to the array dims
     ci_re = jnp.pad(carry[0].astype(jnp.float32),
-                    ((0, 0), (0, p_pad - p)))[:, None, :]
+                    ((0, 0), (0, o["p_pad"] - o["p"])))[:, None, :]
     ci_im = jnp.pad(carry[1].astype(jnp.float32),
-                    ((0, 0), (0, p_pad - p)))[:, None, :]
-
-    lam_re = jnp.pad(lam[0], (0, p_pad - p))
-    lam_im = jnp.pad(lam[1], (0, p_pad - p))
-
-    num_passes = max(1, (t - 1).bit_length())
-
-    def sq(c):
-        return (c[0] * c[0] - c[1] * c[1], 2.0 * c[0] * c[1])
-
-    pows_re, pows_im = [], []
-    cur = (lam_re, lam_im)
-    for _ in range(num_passes):
-        pows_re.append(cur[0])
-        pows_im.append(cur[1])
-        cur = sq(cur)
-    pow_re = jnp.stack(pows_re)
-    pow_im = jnp.stack(pows_im)
-    ctab = lambda_powers((lam_re, lam_im), t)
-
-    grid = (b, l_pad // t)
-    io_block = pl.BlockSpec((1, t, h_pad), lambda i, j: (i, j, 0),
-                            memory_space=pltpu.VMEM)
-    carry_block = pl.BlockSpec((1, 1, p_pad), lambda i, j: (i, 0, 0),
+                    ((0, 0), (0, o["p_pad"] - o["p"])))[:, None, :]
+    carry_block = pl.BlockSpec((1, 1, o["p_pad"]), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM)
-    full = lambda shape: pl.BlockSpec(
-        shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
-        _fused_carry_kernel, num_passes=num_passes, block_t=t, p=p_pad,
-        relu_state=relu_state, block_requant=block_requant)
+        _fused_carry_kernel, num_passes=o["num_passes"], block_t=o["t"],
+        p=o["p_pad"], relu_state=relu_state, block_requant=block_requant)
     out, co_re, co_im = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[io_block, carry_block, carry_block,
-                  full((h_pad, 2 * p_pad)), full((2 * p_pad, h_pad)),
-                  full((1, h_pad)),
-                  full((num_passes, p_pad)), full((num_passes, p_pad)),
-                  full((t, p_pad)), full((t, p_pad))],
-        out_specs=[io_block, carry_block, carry_block],
-        out_shape=[jax.ShapeDtypeStruct((b, l_pad, h_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((b, 1, p_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((b, 1, p_pad), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((1, p_pad), jnp.float32),
-                        pltpu.VMEM((1, p_pad), jnp.float32)],
+        grid=o["grid"],
+        in_specs=[o["io_block"], carry_block, carry_block,
+                  o["full"]((o["h_pad"], 2 * o["p_pad"])),
+                  o["full"]((2 * o["p_pad"], o["h_pad"])),
+                  o["full"]((1, o["h_pad"])),
+                  o["full"]((o["num_passes"], o["p_pad"])),
+                  o["full"]((o["num_passes"], o["p_pad"])),
+                  o["full"]((o["t"], o["p_pad"])),
+                  o["full"]((o["t"], o["p_pad"]))],
+        out_specs=[o["io_block"], carry_block, carry_block],
+        out_shape=[jax.ShapeDtypeStruct((o["b"], o["l_pad"], o["h_pad"]),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((o["b"], 1, o["p_pad"]), jnp.float32),
+                   jax.ShapeDtypeStruct((o["b"], 1, o["p_pad"]), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, o["p_pad"]), jnp.float32),
+                        pltpu.VMEM((1, o["p_pad"]), jnp.float32)],
         interpret=interpret,
-    )(u, ci_re, ci_im, w_b_packed, w_c_packed, d_packed,
-      pow_re, pow_im, ctab[0], ctab[1])
+    )(o["u"], ci_re, ci_im, o["w_b"], o["w_c"], o["d"],
+      o["pow_re"], o["pow_im"], o["ctab"][0], o["ctab"][1])
 
+    p, l, h = o["p"], o["l"], o["h"]
     return out[:, :l, :h], (co_re[:, 0, :p], co_im[:, 0, :p])

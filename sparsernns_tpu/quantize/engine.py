@@ -323,9 +323,21 @@ class W8A16Engine:
         return out, tuple(new_carries)
 
     def process_chunk(self, x, carries=None):
-        """x: (B, L_chunk, d_input) -> (mask chunk, new carries). Chunked
-        calls are bit-identical to one whole-sequence call (the carry is
-        the exact recurrent state)."""
+        """x: (B, L_chunk, d_input) -> (mask chunk, new carries).
+
+        Chunked calls match one whole-sequence call exactly when the chunk
+        length equals the engine's ``block_t`` (the state-requant /
+        doubling granularity); for other chunk lengths the recurrence is
+        still exact but block-boundary requantization happens at chunk
+        granularity instead. L_chunk must be a multiple of the effective
+        time block.
+        """
+        cfg = self.cfg
+        if cfg.relufication and cfg.topk < 1.0 and cfg.approx_topk:
+            raise NotImplementedError(
+                "chunked streaming with state top-k is not supported (the "
+                "fused carry kernel applies plain state relu); serve topk "
+                "models with whole-sequence engine calls")
         if carries is None:
             carries = self.init_stream_state(x.shape[0])
         if not hasattr(self, "_chunk_forward"):

@@ -122,10 +122,13 @@ def create_run_state(cfg: RunConfig, model, example_input,
     return state, pruner
 
 
+def _default_place_batch(tree):
+    return jax.tree_util.tree_map(jnp.asarray, tree)
+
+
 def run_ndns_epoch(state, step_fn, mask_update, loader, rng,
                    place_batch=None) -> Tuple[TrainState, Dict[str, float]]:
-    place_batch = place_batch or (lambda t: jax.tree_util.tree_map(
-        jnp.asarray, t))
+    place_batch = place_batch or _default_place_batch
     losses, snrs = [], []
     for noisy, clean in loader:
         noisy, clean = place_batch((noisy, clean))
@@ -141,8 +144,7 @@ def run_ndns_epoch(state, step_fn, mask_update, loader, rng,
 
 def validate_ndns(state, eval_fn, loader,
                   place_batch=None) -> Dict[str, float]:
-    place_batch = place_batch or (lambda t: jax.tree_util.tree_map(
-        jnp.asarray, t))
+    place_batch = place_batch or _default_place_batch
     losses, snrs = [], []
     for noisy, clean in loader:
         noisy, clean = place_batch((noisy, clean))
@@ -156,8 +158,7 @@ def validate_ndns(state, eval_fn, loader,
 
 def run_classification_epoch(state, step_fn, mask_update, loader, rng,
                              place_batch=None):
-    place_batch = place_batch or (lambda t: jax.tree_util.tree_map(
-        jnp.asarray, t))
+    place_batch = place_batch or _default_place_batch
     losses, accs = [], []
     for xs, ys in loader:
         state = mask_update(state)
@@ -171,8 +172,7 @@ def run_classification_epoch(state, step_fn, mask_update, loader, rng,
 
 def validate_classification(state, eval_fn, loader,
                             place_batch=None) -> Dict[str, float]:
-    place_batch = place_batch or (lambda t: jax.tree_util.tree_map(
-        jnp.asarray, t))
+    place_batch = place_batch or _default_place_batch
     losses, accs = [], []
     for xs, ys in loader:
         xs, ys = place_batch((xs, jnp.asarray(ys)))
@@ -232,11 +232,16 @@ def train(cfg: RunConfig) -> Dict[str, Any]:
     # Params get the TP sharding rules (P dim on "model"), batches shard
     # over "data"; the SAME jitted step then runs SPMD — XLA inserts the
     # collectives (see parallel/).
-    place_batch = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
+    place_batch = _default_place_batch
     n_devices = len(jax.devices())
     mesh_requested = (cfg.mesh_data > 1 or cfg.mesh_model > 1
                       or cfg.mesh_seq > 1)
-    if n_devices > 1 and mesh_requested:
+    if mesh_requested and n_devices == 1:
+        raise ValueError(
+            f"mesh ({cfg.mesh_data},{cfg.mesh_model},{cfg.mesh_seq}) "
+            "requested but only 1 device is visible — silent fallback "
+            "would fake an SPMD run")
+    if mesh_requested:
         from sparsernns_tpu.parallel.mesh import MeshConfig, make_mesh
         from sparsernns_tpu.parallel.sharding import (shard_batch,
                                                       shard_train_state)
