@@ -70,6 +70,69 @@ class S5Cost:
         return max(t_mem, t_flops)
 
 
+#: Rough per-chip peaks for speed-of-light accounting, keyed by substrings
+#: of `jax.devices()[0].device_kind`. (bf16 matmul TFLOP/s, HBM GB/s.)
+CHIP_PEAKS = {
+    "v5 lite": (197e12, 819e9),
+    "v5e": (197e12, 819e9),
+    "v5p": (459e12, 2765e9),
+    "v4": (275e12, 1228e9),
+    "v6": (918e12, 1640e9),
+}
+DEFAULT_PEAKS = (197e12, 819e9)  # v5e
+
+
+def chip_peaks(device=None):
+    """(bf16 flops/s, HBM bytes/s) for the current accelerator; v5e
+    defaults when unknown (CPU runs report vs the TPU target)."""
+    try:
+        kind = (device or jax.devices()[0]).device_kind.lower()
+    except Exception:
+        return DEFAULT_PEAKS
+    for key, peaks in CHIP_PEAKS.items():
+        if key in kind:
+            return peaks
+    return DEFAULT_PEAKS
+
+
+def model_forward_flops(b: int, l: int, d_io: int, h: int, p: int,
+                        n_layers: int, glu_variant: str = "half1") -> float:
+    """Analytic forward FLOPs for the NDNS S5 stack (encoder + n_layers
+    mixers + decoder). Needed because XLA's cost model cannot see inside
+    Pallas custom calls; used for MFU and speed-of-light checks
+    (VERDICT.md round-1 item 1).
+
+    ``p`` is the number of complex states actually scanned (the B
+    projection is (H, 2P): re|im stacked)."""
+    bl = b * l
+    flops = 2.0 * bl * d_io * h            # encoder
+    per_layer = (
+        2.0 * bl * h * (2 * p)             # B projection
+        + 8.0 * bl * p                     # scan: complex mul-add per step
+        + 2.0 * bl * (2 * p) * h           # C projection
+        + 8.0 * bl * h                     # D, residual, norm, relu
+    )
+    if glu_variant in ("half1", "half2", "full"):
+        per_layer += 2.0 * bl * h * h + 3.0 * bl * h   # gate dense + sigmoid
+    if glu_variant == "full":
+        per_layer += 2.0 * bl * h * h
+    flops += n_layers * per_layer
+    flops += 2.0 * bl * h * d_io           # decoder
+    return flops
+
+
+def compiled_cost(lowerable, *args, **kw):
+    """(flops, bytes_accessed) from XLA's cost model for a jitted callable.
+    Host-side only (no execution / readback). Pallas custom-call FLOPs are
+    NOT counted by XLA; bytes ARE (kernel HBM traffic = operand/result
+    I/O), which is what makes the bytes number the trustworthy one."""
+    compiled = jax.jit(lowerable).lower(*args, **kw).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+
 class StepTimer:
     """Wall-clock step timer with warmup discard."""
 

@@ -1,0 +1,136 @@
+"""Benchmark self-validation: the speed-of-light gate and the cost model.
+
+VERDICT.md round-1 item 1: BENCH_r01 reported 488.8M frames/s — 13x over
+the HBM-bandwidth bound — because the tunnel backend's block_until_ready
+does not synchronize and nothing in the bench noticed. These tests pin the
+property that bench.py now REJECTS physically-impossible wall-clocks and
+falls back to a clearly-labelled cost-model bound.
+"""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, ".")  # repo root for bench.py
+
+import bench  # noqa: E402
+from sparsernns_tpu.utils.profiling import (S5Cost, chip_peaks,  # noqa: E402
+                                            model_forward_flops)
+
+PEAKS = (197e12, 819e9)  # v5e
+
+
+def _rec(name, t_iter_s, xla_bytes, frames=8 * 3751, synced=True,
+         flops=1e10):
+    elapsed = t_iter_s
+    return bench._finalize(name, elapsed, synced, 1, frames, flops,
+                           xla_bytes, PEAKS)
+
+
+def test_impossible_timing_rejected():
+    # 61us for 0.65 GB of traffic => ~13x over the 820 GB/s bound
+    rec = _rec("engine", 61e-6, 6.5e8)
+    assert not rec["valid"]
+
+
+def test_plausible_timing_accepted():
+    # 1.0 ms for 0.65 GB => ~0.79 HBM utilization: physically fine
+    rec = _rec("engine", 1.0e-3, 6.5e8)
+    assert rec["valid"]
+    assert 0.5 < rec["hbm_util"] < 1.0
+
+
+def test_unsynced_timing_rejected_even_if_plausible():
+    rec = _rec("engine", 1.0e-3, 6.5e8, synced=False)
+    assert not rec["valid"]
+
+
+def test_summary_prefers_valid_wallclock():
+    recs = {
+        "associative": _rec("associative", 5.0e-3, 3.5e9),
+        "fused": _rec("fused", 1.2e-3, 8.6e8),
+    }
+    s = bench.summarize(recs, PEAKS)
+    assert s["timing_valid"] and s["measurement"] == "wall-clock"
+    assert s["best_config"] == "fused"
+    assert s["vs_baseline"] == pytest.approx(5.0 / 1.2, rel=0.01)
+    assert s["value"] <= recs["fused"]["sol_frames_per_sec"]
+
+
+def test_summary_falls_back_to_cost_model():
+    # dispatch-only timings: everything invalid
+    recs = {
+        "associative": _rec("associative", 80e-6, 3.5e9),
+        "w8a16-engine": _rec("w8a16-engine", 61e-6, 6.5e8),
+    }
+    s = bench.summarize(recs, PEAKS)
+    assert not s["timing_valid"]
+    assert s["measurement"] == "hbm-bound-cost-model"
+    # the reported value is the HBM bound for the best (fewest-bytes)
+    # config — ~38M frames/s for the engine at 0.65 GB/forward — and the
+    # ratio is the bytes ratio vs the associative baseline
+    assert s["value"] == pytest.approx(8 * 3751 / (6.5e8 / 819e9), rel=0.01)
+    assert s["value"] < 40e6
+    assert s["vs_baseline"] == pytest.approx(3.5e9 / 6.5e8, rel=0.01)
+
+
+def test_summary_never_reports_above_sol():
+    """Whatever the inputs, the reported value must not exceed the bound
+    computed from the same record's bytes."""
+    for t in (10e-6, 100e-6, 1e-3, 10e-3):
+        recs = {"associative": _rec("associative", t, 3.5e9),
+                "fused": _rec("fused", t / 2, 8.6e8)}
+        s = bench.summarize(recs, PEAKS)
+        best = recs[s["best_config"]]
+        assert s["value"] <= best["sol_frames_per_sec"] * 1.01
+
+
+def test_model_forward_flops_flagship_scale():
+    # flagship: B=8 L=3751 d_io=257 H=192 P=128 n=3 — ~30.5 GFLOP forward,
+    # matching XLA's own count for the associative path (3.09e10, PERF.md)
+    f = model_forward_flops(8, 3751, 257, 192, 128, 3)
+    assert 2.5e10 < f < 3.5e10
+
+
+def test_chip_peaks_has_defaults():
+    flops, bw = chip_peaks()
+    assert flops > 1e13 and bw > 1e11
+
+
+def test_s5cost_speed_of_light_positive():
+    c = S5Cost.forward(8, 3751, 192, 128)
+    assert c.speed_of_light_us() > 0
+
+
+def test_broken_sync_backend_distrusts_plain_wallclocks():
+    """Once any mode times below the speed of light (proof the backend's
+    sync lies), a slow-dispatch mode that happens to pass the gate must
+    NOT be reported as a wall-clock measurement."""
+    recs = {
+        # plain associative: slow per-dispatch overhead, passes the gate
+        "associative": _rec("associative", 45e-3, 3.5e9),
+        # engine: dispatch-only, impossible => proves sync is broken
+        "w8a16-engine": _rec("w8a16-engine", 61e-6, 6.5e8),
+    }
+    s = bench.summarize(recs, PEAKS)
+    assert s["measurement"] == "hbm-bound-cost-model"
+    assert not s["timing_valid"]
+    # bytes-ratio baseline, engine bound value
+    assert s["vs_baseline"] == pytest.approx(3.5e9 / 6.5e8, rel=0.01)
+
+
+def test_broken_sync_backend_accepts_saturated_wallclock():
+    """Saturated-queue timings are paced by the allocator, not by sync —
+    they stay admissible on a proven-broken backend."""
+    sat = bench._finalize("fused (saturated)", 20e-3, True, 1, 8 * 3751,
+                          1e10, 8.6e8, PEAKS, saturated=True)
+    assert sat["valid"] and sat["saturated"]
+    recs = {
+        "associative": _rec("associative", 80e-6, 3.5e9),  # broken proof
+        "fused": sat,
+    }
+    s = bench.summarize(recs, PEAKS)
+    assert s["measurement"] == "wall-clock"
+    assert s["best_config"] == "fused"
+    # baseline falls back to the associative HBM bound (conservative)
+    assert s["value"] == pytest.approx(8 * 3751 / 20e-3, rel=0.01)
