@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sparsernns_tpu.ops.scan import Pair, lambda_powers
+from sparsernns_tpu.ops.scan import Pair
 
 
 def _fused_kernel(
@@ -44,7 +44,7 @@ def _fused_kernel(
     out_ref,                      # (1, T, H) output block
     carry_re, carry_im,           # (1, P) scratch
     *, num_passes: int, block_t: int, p: int, relu_state: bool,
-    block_requant=None,
+    block_requant=None, wb_scales=None, wc_scales=None, qat_bits=None,
 ):
     from sparsernns_tpu.ops.pallas.scan_kernel import scan_block_body
 
@@ -52,19 +52,39 @@ def _fused_kernel(
     # input block may be stored bf16 (halved HBM traffic); compute in f32
     u = u_ref[0].astype(jnp.float32)  # (T, H)
 
-    bu = jnp.dot(u, wb_ref[...], preferred_element_type=jnp.float32)
+    # int8 weights dequantize ON THE VPU in VMEM: the per-half pow2
+    # scales are static, applied to the dot RESULT halves (per-tensor
+    # scale commutes with the contraction) — the fused dequant+matmul of
+    # SURVEY.md §2.3, replacing the reference's AQT emulation
+    # (/root/reference/sparseRNNs/utils/quantization.py:221-283).
+    wb = wb_ref[...]
+    if wb_scales is not None:
+        wb = wb.astype(jnp.float32)
+    bu = jnp.dot(u, wb, preferred_element_type=jnp.float32)
+    bu_re, bu_im = bu[:, :p], bu[:, p:]
+    if wb_scales is not None:
+        bu_re = bu_re * wb_scales[0]
+        bu_im = bu_im * wb_scales[1]
     x_re, x_im = scan_block_body(
-        bu[:, :p], bu[:, p:], pow_re_ref, pow_im_ref,
+        bu_re, bu_im, pow_re_ref, pow_im_ref,
         ctab_re_ref, ctab_im_ref, carry_re, carry_im, j,
         num_passes=num_passes, block_t=block_t,
-        block_requant=block_requant)
+        block_requant=block_requant, qat_bits=qat_bits)
 
     if relu_state:
         x_re = jnp.maximum(x_re, 0.0)
         x_im = jnp.maximum(x_im, 0.0)
 
-    xs_cat = jnp.concatenate([x_re, x_im], axis=-1)  # (T, 2P)
-    y = jnp.dot(xs_cat, wc_ref[...], preferred_element_type=jnp.float32)
+    # C-side dequant rides on the state operand (positive per-half scale,
+    # applied after relu/requant so the carried state stays in true units)
+    if wc_scales is not None:
+        xs_cat = jnp.concatenate([x_re * wc_scales[0],
+                                  x_im * wc_scales[1]], axis=-1)
+        wc = wc_ref[...].astype(jnp.float32)
+    else:
+        xs_cat = jnp.concatenate([x_re, x_im], axis=-1)  # (T, 2P)
+        wc = wc_ref[...]
+    y = jnp.dot(xs_cat, wc, preferred_element_type=jnp.float32)
     y = y + d_ref[...] * u
     out_ref[0] = y
 
@@ -76,7 +96,7 @@ def _fused_carry_kernel(
     out_ref, co_re_ref, co_im_ref,  # output block + (1,1,P) outgoing carries
     carry_re, carry_im,
     *, num_passes: int, block_t: int, p: int, relu_state: bool,
-    block_requant=None,
+    block_requant=None, wb_scales=None, wc_scales=None,
 ):
     """Fused S5 kernel with explicit carry I/O — the streaming-serving
     variant: chunked inference at fused-kernel speed with the recurrent
@@ -85,9 +105,16 @@ def _fused_carry_kernel(
 
     j = pl.program_id(1)
     u = u_ref[0].astype(jnp.float32)
-    bu = jnp.dot(u, wb_ref[...], preferred_element_type=jnp.float32)
+    wb = wb_ref[...]
+    if wb_scales is not None:
+        wb = wb.astype(jnp.float32)
+    bu = jnp.dot(u, wb, preferred_element_type=jnp.float32)
+    bu_re, bu_im = bu[:, :p], bu[:, p:]
+    if wb_scales is not None:
+        bu_re = bu_re * wb_scales[0]
+        bu_im = bu_im * wb_scales[1]
     x_re, x_im = scan_block_body(
-        bu[:, :p], bu[:, p:], pow_re_ref, pow_im_ref,
+        bu_re, bu_im, pow_re_ref, pow_im_ref,
         ctab_re_ref, ctab_im_ref, carry_re, carry_im, j,
         num_passes=num_passes, block_t=block_t,
         block_requant=block_requant,
@@ -99,8 +126,14 @@ def _fused_carry_kernel(
     if relu_state:
         x_re = jnp.maximum(x_re, 0.0)
         x_im = jnp.maximum(x_im, 0.0)
-    xs_cat = jnp.concatenate([x_re, x_im], axis=-1)
-    y = jnp.dot(xs_cat, wc_ref[...], preferred_element_type=jnp.float32)
+    if wc_scales is not None:
+        xs_cat = jnp.concatenate([x_re * wc_scales[0],
+                                  x_im * wc_scales[1]], axis=-1)
+        wc = wc_ref[...].astype(jnp.float32)
+    else:
+        xs_cat = jnp.concatenate([x_re, x_im], axis=-1)
+        wc = wc_ref[...]
+    y = jnp.dot(xs_cat, wc, preferred_element_type=jnp.float32)
     out_ref[0] = y + d_ref[...] * u
 
 
@@ -108,9 +141,11 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _prep_fused_operands(u, lam, w_b, w_c, d, block_t, allow_l_pad):
+def _prep_fused_operands(u, lam, w_b, w_c, d, block_t, allow_l_pad,
+                         qat_bits=None):
     """Shared operand prep for the fused wrappers: padding, weight packing,
     λ^(2^k) offset-operator table, carry-fold table, grid + block specs."""
+    from sparsernns_tpu.ops.pallas.scan_kernel import lambda_power_tables
     b, l, h = u.shape
     p = w_b.shape[-1] // 2
 
@@ -138,17 +173,8 @@ def _prep_fused_operands(u, lam, w_b, w_c, d, block_t, allow_l_pad):
     lam_im = jnp.pad(lam[1], (0, p_pad - p))
 
     num_passes = max(1, (t - 1).bit_length())
-
-    def sq(c):
-        return (c[0] * c[0] - c[1] * c[1], 2.0 * c[0] * c[1])
-
-    pows_re, pows_im = [], []
-    cur = (lam_re, lam_im)
-    for _ in range(num_passes):
-        pows_re.append(cur[0])
-        pows_im.append(cur[1])
-        cur = sq(cur)
-    ctab = lambda_powers((lam_re, lam_im), t)
+    pow_re, pow_im, ctab = lambda_power_tables(
+        lam_re, lam_im, t, num_passes, qat_bits)
 
     io_block = pl.BlockSpec((1, t, h_pad), lambda i, j: (i, j, 0),
                             memory_space=pltpu.VMEM)
@@ -158,7 +184,7 @@ def _prep_fused_operands(u, lam, w_b, w_c, d, block_t, allow_l_pad):
         u=u, w_b=jnp.concatenate([wb_re, wb_im], axis=-1),
         w_c=jnp.concatenate([wc_re, wc_im], axis=0),
         d=jnp.pad(d, (0, h_pad - h))[None, :],
-        pow_re=jnp.stack(pows_re), pow_im=jnp.stack(pows_im), ctab=ctab,
+        pow_re=pow_re, pow_im=pow_im, ctab=ctab,
         b=b, l=l, h=h, p=p, t=t, l_pad=l_pad, p_pad=p_pad, h_pad=h_pad,
         num_passes=num_passes, grid=(b, l_pad // t),
         io_block=io_block, full=full)
@@ -166,27 +192,40 @@ def _prep_fused_operands(u, lam, w_b, w_c, d, block_t, allow_l_pad):
 
 @functools.partial(
     jax.jit, static_argnames=("block_t", "relu_state", "interpret",
-                              "block_requant"))
+                              "block_requant", "wb_scales", "wc_scales",
+                              "qat_bits"))
 def fused_s5_apply(
     u: jax.Array,          # (B, L, H) float32
     lam: Pair,             # (P,) pair — discretized λ̄
-    w_b: jax.Array,        # (H, 2P) stacked [B̄_re^T | B̄_im^T]
+    w_b: jax.Array,        # (H, 2P) stacked [B̄_re^T | B̄_im^T]; int8 when
+                           # wb_scales is given
     w_c: jax.Array,        # (2P, H) stacked [C_re^T; -C_im^T], conj-sym 2x
-                           # pre-folded by the caller
+                           # pre-folded by the caller (into wc_scales when
+                           # int8)
     d: jax.Array,          # (H,)
     block_t: int = 256,
     relu_state: bool = False,
     interpret: Optional[bool] = None,
     block_requant: Optional[Tuple[float, float, int]] = None,
+    wb_scales: Optional[Tuple[float, float]] = None,
+    wc_scales: Optional[Tuple[float, float]] = None,
+    qat_bits: Optional[Tuple[Optional[int], Optional[int]]] = None,
 ) -> jax.Array:
-    """y = Re(C x) + D ⊙ u with x the scanned state. Returns (B, L, H)."""
+    """y = Re(C x) + D ⊙ u with x the scanned state. Returns (B, L, H).
+
+    ``wb_scales``/``wc_scales``: static per-half pow2 scales for int8
+    weight storage — weights stay 8-bit in HBM/VMEM and dequantize on the
+    VPU inside the kernel. ``qat_bits``: in-kernel activation QAT (see
+    scan_kernel.scan_block_body)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    o = _prep_fused_operands(u, lam, w_b, w_c, d, block_t, allow_l_pad=True)
+    o = _prep_fused_operands(u, lam, w_b, w_c, d, block_t, allow_l_pad=True,
+                             qat_bits=qat_bits)
     kernel = functools.partial(
         _fused_kernel, num_passes=o["num_passes"], block_t=o["t"],
-        p=o["p_pad"], relu_state=relu_state, block_requant=block_requant)
+        p=o["p_pad"], relu_state=relu_state, block_requant=block_requant,
+        wb_scales=wb_scales, wc_scales=wc_scales, qat_bits=qat_bits)
     out = pl.pallas_call(
         kernel,
         grid=o["grid"],
@@ -212,7 +251,7 @@ def fused_s5_apply(
 
 @functools.partial(
     jax.jit, static_argnames=("block_t", "relu_state", "interpret",
-                              "block_requant"))
+                              "block_requant", "wb_scales", "wc_scales"))
 def fused_s5_apply_carry(
     u: jax.Array,          # (B, L, H) float32/bf16
     lam: Pair,             # (P,) pair — discretized λ̄
@@ -224,6 +263,8 @@ def fused_s5_apply_carry(
     relu_state: bool = False,
     interpret: Optional[bool] = None,
     block_requant: Optional[Tuple[float, float, int]] = None,
+    wb_scales: Optional[Tuple[float, float]] = None,
+    wc_scales: Optional[Tuple[float, float]] = None,
 ) -> Tuple[jax.Array, Pair]:
     """Streaming fused S5: like fused_s5_apply but the scan starts from
     ``carry`` and the final state is returned — chunked serving at
@@ -246,7 +287,8 @@ def fused_s5_apply_carry(
 
     kernel = functools.partial(
         _fused_carry_kernel, num_passes=o["num_passes"], block_t=o["t"],
-        p=o["p_pad"], relu_state=relu_state, block_requant=block_requant)
+        p=o["p_pad"], relu_state=relu_state, block_requant=block_requant,
+        wb_scales=wb_scales, wc_scales=wc_scales)
     out, co_re, co_im = pl.pallas_call(
         kernel,
         grid=o["grid"],

@@ -26,12 +26,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from sparsernns_tpu.ops.scan import associative_diag_scan
 from sparsernns_tpu.parallel.mesh import MODEL_AXIS, SEQ_AXIS
 from sparsernns_tpu.parallel.seqscan import seq_chunk_scan
-from sparsernns_tpu.quantize.engine import (W8A16Engine, engine_encode,
+from sparsernns_tpu.quantize.engine import (W8A16Engine, _deq, engine_encode,
                                             engine_layer_forward,
                                             state_activation)
-
-
-
 
 
 def make_sp_forward(engine: W8A16Engine, mesh: Mesh):
@@ -45,22 +42,22 @@ def make_sp_forward(engine: W8A16Engine, mesh: Mesh):
         for layer in engine.layers:
             def mixer(z, layer=layer):
                 z = z.astype(jnp.float32)
-                bu = z @ layer.w_b
-                p = layer.w_b.shape[-1] // 2
+                # int8 stays in HBM; dequant is traced inside the jit
+                bu = z @ layer.wb_f32()
+                p = layer.p
                 xs = seq_chunk_scan(layer.lam, (bu[..., :p], bu[..., p:]),
                                     axis_name=SEQ_AXIS)
                 xs = state_activation(cfg, xs)
-                return jnp.concatenate(xs, axis=-1) @ layer.w_c \
+                return jnp.concatenate(xs, axis=-1) @ layer.wc_f32() \
                     + layer.d * z
 
             h = engine_layer_forward(cfg, layer, h, mixer,
                                      act_dtype=engine.act_dtype)
-        return h @ engine.decoder_kernel + engine.decoder_bias
+        return h @ _deq(engine.decoder_kernel) + engine.decoder_bias
 
     spec = P(None, SEQ_AXIS, None)
     sharded = jax.shard_map(_chunk_forward, mesh=mesh,
-                            in_specs=spec, out_specs=spec,
-                            check_vma=False)
+                            in_specs=spec, out_specs=spec)
     return jax.jit(sharded)
 
 
@@ -88,15 +85,18 @@ def make_tp_forward(engine: W8A16Engine, mesh: Mesh):
 
             h = engine_layer_forward(cfg, layer, h, mixer,
                                      act_dtype=engine.act_dtype)
-        return h @ engine.decoder_kernel + engine.decoder_bias
+        return h @ _deq(engine.decoder_kernel) + engine.decoder_bias
 
-    # Pre-split each layer's P-dim operands into shard-layout arrays.
+    # Pre-split each layer's P-dim operands into shard-layout arrays
+    # (dequantized: TP shards the float operands — the int8 packing is a
+    # per-chip serving optimization, kept out of the cross-chip layout).
     shard_args = []
     for layer in engine.layers:
-        p = layer.w_b.shape[-1] // 2
+        p = layer.p
+        w_b, w_c = layer.wb_f32(), layer.wc_f32()
         shard_args.append((layer.lam[0], layer.lam[1],
-                           layer.w_b[:, :p], layer.w_b[:, p:],
-                           layer.w_c[:p, :], layer.w_c[p:, :]))
+                           w_b[:, :p], w_b[:, p:],
+                           w_c[:p, :], w_c[p:, :]))
 
     lam_spec = P(MODEL_AXIS)
     in_layer_specs = tuple(
@@ -116,7 +116,6 @@ def make_tp_forward(engine: W8A16Engine, mesh: Mesh):
     sharded = jax.shard_map(
         _wrapper, mesh=mesh,
         in_specs=(P(),) + in_layer_specs,
-        out_specs=P(),
-        check_vma=False)
+        out_specs=P())
     f = jax.jit(sharded)
     return lambda x: f(x, *shard_args)
