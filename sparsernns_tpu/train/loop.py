@@ -109,7 +109,8 @@ def create_run_state(cfg: RunConfig, model, example_input,
         weight_decay=cfg.weight_decay, total_steps=total_steps,
         warmup_steps=warmup_steps,
         grad_clip_threshold=cfg.grad_clip_threshold,
-        dt_global=cfg.dt_global, lr_min=cfg.lr_min)
+        dt_global=cfg.dt_global, lr_min=cfg.lr_min,
+        schedule="constant" if cfg.lr_schedule == "plateau" else "cosine")
 
     prune_cfg = pruning_recipes(cfg.epochs, steps_per_epoch)[cfg.pruning]
     pruner = MagnitudePruner(prune_cfg) if prune_cfg.enabled else None
@@ -126,20 +127,47 @@ def _default_place_batch(tree):
     return jax.tree_util.tree_map(jnp.asarray, tree)
 
 
+def _epoch_means(acc: Dict[str, list]) -> Dict[str, float]:
+    return {f"train_{k}": float(jnp.mean(jnp.stack(v)))
+            for k, v in acc.items()}
+
+
+def _accumulate(acc: Dict[str, list], metrics: Dict[str, Any]):
+    for k, v in metrics.items():
+        acc.setdefault(k, []).append(v)
+
+
 def run_ndns_epoch(state, step_fn, mask_update, loader, rng,
                    place_batch=None) -> Tuple[TrainState, Dict[str, float]]:
     place_batch = place_batch or _default_place_batch
-    losses, snrs = [], []
+    acc: Dict[str, list] = {}
     for noisy, clean in loader:
         noisy, clean = place_batch((noisy, clean))
         noisy_mag, noisy_phase, clean_mag = prep_ndns_batch(noisy, clean)
         state = mask_update(state)
         state, metrics = step_fn(state, rng, noisy_mag, noisy_phase,
                                  clean_mag, clean)
-        losses.append(metrics["loss"])
-        snrs.append(metrics["si_snr"])
-    return state, {"train_loss": float(jnp.mean(jnp.stack(losses))),
-                   "train_si_snr": float(jnp.mean(jnp.stack(snrs)))}
+        _accumulate(acc, metrics)
+    return state, _epoch_means(acc)
+
+
+def act_sparsity_metrics(eval_model, state, x, prefix: str) -> Dict[str, float]:
+    """Per-epoch activation-sparsity telemetry: a captured-intermediates
+    forward on one batch, reduced to zero-fractions per module (reference
+    train_helpers.py:783-801, gated by log_act_sparsity train.py:38)."""
+    from sparsernns_tpu.train.steps import capture_intermediates
+    from sparsernns_tpu.utils.logging import activation_sparsity
+    _, inter = capture_intermediates(eval_model, state, x)
+    sp = activation_sparsity(inter)
+    out = {}
+    total, n = 0.0, 0
+    for key, frac in sp.items():
+        clean = key.replace("['", "/").replace("']", "").strip("/")
+        out[f"{prefix}/{clean}"] = frac
+        total, n = total + frac, n + 1
+    if n:
+        out[f"{prefix}/mean"] = total / n
+    return out
 
 
 def validate_ndns(state, eval_fn, loader,
@@ -159,15 +187,16 @@ def validate_ndns(state, eval_fn, loader,
 def run_classification_epoch(state, step_fn, mask_update, loader, rng,
                              place_batch=None):
     place_batch = place_batch or _default_place_batch
-    losses, accs = [], []
+    acc: Dict[str, list] = {}
     for xs, ys in loader:
         state = mask_update(state)
         xs, ys = place_batch((xs, jnp.asarray(ys)))
         state, metrics = step_fn(state, rng, xs, ys)
-        losses.append(metrics["loss"])
-        accs.append(metrics["accuracy"])
-    return state, {"train_loss": float(jnp.mean(jnp.stack(losses))),
-                   "train_acc": float(jnp.mean(jnp.stack(accs)))}
+        _accumulate(acc, metrics)
+    out = _epoch_means(acc)
+    if "train_accuracy" in out:  # keep the historical key
+        out["train_acc"] = out.pop("train_accuracy")
+    return state, out
 
 
 def validate_classification(state, eval_fn, loader,
@@ -270,6 +299,26 @@ def train(cfg: RunConfig) -> Dict[str, Any]:
         epoch_fn, val_fn = run_classification_epoch, validate_classification
     mask_update = make_mask_update_fn(pruner)
 
+    # Example model inputs for the per-epoch activation-sparsity capture
+    # (one batch each; reference capture_intermediates path,
+    # train_helpers.py:783-801).
+    cap_val = cap_train = None
+    if cfg.log_act_sparsity != "none":
+        from sparsernns_tpu.train.losses import STFT_MAG_MEAN
+
+        def _model_input(loader):
+            batch = next(iter(loader))
+            if is_ndns:
+                noisy, clean = place_batch(batch)
+                nm, _, _ = prep_ndns_batch(noisy, clean)
+                return jnp.transpose(nm - STFT_MAG_MEAN, (0, 2, 1))
+            return place_batch((jnp.asarray(batch[0]),))[0]
+
+        if cfg.log_act_sparsity in ("val", "both"):
+            cap_val = _model_input(valloader)
+        if cfg.log_act_sparsity in ("train", "both"):
+            cap_train = _model_input(trainloader)
+
     patience = 0
     start_epoch = int(metadata.get("next_epoch", 0))
     for epoch in range(start_epoch, cfg.epochs):
@@ -286,6 +335,30 @@ def train(cfg: RunConfig) -> Dict[str, Any]:
         if cfg.profile and epoch == start_epoch + 1:
             jax.profiler.stop_trace()
 
+        quality_key = "si_snr" if is_ndns else "accuracy"
+
+        # Reduce-on-plateau LR control (reference train_helpers.py:100-148):
+        # host-side decay state persists in checkpoint metadata; the live
+        # LRs live in the optimizer state's injected hyperparams.
+        if cfg.lr_schedule == "plateau":
+            from sparsernns_tpu.train.optim import (reduce_lr_on_plateau,
+                                                    set_learning_rates)
+            lr_now = float(metadata.get("plateau_lr", cfg.lr))
+            ssm_now = float(metadata.get("plateau_ssm_lr", cfg.ssm_lr_base))
+            new_lr, new_ssm, count, best = reduce_lr_on_plateau(
+                lr_now, ssm_now, int(metadata.get("plateau_count", 0)),
+                float(val_metrics[quality_key]),
+                float(metadata.get("plateau_best", -float("inf"))),
+                factor=cfg.plateau_factor, patience=cfg.plateau_patience,
+                lr_min=cfg.lr_min)
+            metadata.update(plateau_lr=new_lr, plateau_ssm_lr=new_ssm,
+                            plateau_count=count, plateau_best=best)
+            if (new_lr, new_ssm) != (lr_now, ssm_now):
+                state = state.replace(opt_state=set_learning_rates(
+                    state.opt_state, new_lr, new_ssm))
+                logger.info("plateau: lr -> %.3e, ssm_lr -> %.3e",
+                            new_lr, new_ssm)
+
         log = dict(train_metrics)
         log.update({f"val_{k}": v for k, v in val_metrics.items()})
         log.update({f"test_{k}": v for k, v in test_metrics.items()})
@@ -294,8 +367,24 @@ def train(cfg: RunConfig) -> Dict[str, Any]:
         if pruner is not None:
             log["weight_sparsity"] = summarize_sparsity(
                 state.params, state.masks)["_total_sparsity"]
+        if cap_val is not None:
+            log.update(act_sparsity_metrics(eval_model, state, cap_val,
+                                            "act_sparsity_val"))
+        if cap_train is not None:
+            log.update(act_sparsity_metrics(eval_model, state, cap_train,
+                                            "act_sparsity_train"))
+
+        gn = log.get("train_grad_norm")
+        if gn is not None and gn > cfg.grad_norm_warn_threshold:
+            detail = {k.split("/", 1)[1]: round(float(v), 3)
+                      for k, v in log.items()
+                      if k.startswith("train_grad_norm/")}
+            logger.warning(
+                "epoch %d: gradient norm %.3f exceeds threshold %.1f "
+                "(per-branch: %s)", epoch, gn,
+                cfg.grad_norm_warn_threshold, detail)
+
         sink.log(log, step=epoch)
-        quality_key = "si_snr" if is_ndns else "accuracy"
         logger.info("epoch %d: train %.4f val %.4f (%s %.3f)",
                     epoch, log["train_loss"], log["val_loss"],
                     quality_key, val_metrics[quality_key])

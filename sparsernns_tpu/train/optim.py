@@ -84,15 +84,22 @@ def create_optimizer(
     grad_clip_threshold: Optional[float] = None,
     dt_global: bool = False,
     lr_min: float = 1e-6,
+    schedule: str = "cosine",
 ) -> optax.GradientTransformation:
+    """``schedule="constant"`` keeps the LRs flat regardless of opt_config
+    — the base for reduce-on-plateau control, where the loop overrides
+    the injected hyperparams per epoch via set_learning_rates()."""
     if opt_config not in _OPT_CONFIG_RULES:
         raise ValueError(
             f"opt_config {opt_config!r} not in {sorted(_OPT_CONFIG_RULES)}")
     _, _, regular_adamw = _OPT_CONFIG_RULES[opt_config]
 
-    if opt_config == "constant":
-        ssm_sched = optax.constant_schedule(ssm_lr)
-        lr_sched = optax.constant_schedule(lr)
+    if opt_config == "constant" or schedule == "constant":
+        # plain floats, NOT constant_schedule: inject_hyperparams
+        # re-evaluates callables every step, which would undo the
+        # plateau override written by set_learning_rates
+        ssm_sched = ssm_lr
+        lr_sched = lr
     else:
         ssm_sched = warmup_cosine(ssm_lr, total_steps, warmup_steps, lr_min)
         lr_sched = warmup_cosine(lr, total_steps, warmup_steps, lr_min)

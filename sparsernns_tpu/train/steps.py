@@ -25,6 +25,19 @@ from sparsernns_tpu.train.pruning import MagnitudePruner
 from sparsernns_tpu.train.state import TrainState
 
 
+def _grad_norm_metrics(grads) -> dict:
+    """Global + per-top-level-branch gradient norms, computed in-graph so
+    every step carries them at negligible cost (reference logs them per
+    epoch with threshold-triggered dumps, train_helpers.py:692-741; the
+    epoch aggregation and the threshold warning live in train/loop.py)."""
+    import optax
+    out = {"grad_norm": optax.global_norm(grads)}
+    for key, sub in grads.items():
+        if jax.tree_util.tree_leaves(sub):
+            out[f"grad_norm/{key}"] = optax.global_norm(sub)
+    return out
+
+
 def _forward_params(state: TrainState, params,
                     pruner: Optional[MagnitudePruner]):
     if pruner is not None and pruner.cfg.enabled and state.masks is not None:
@@ -79,6 +92,7 @@ def make_ndns_train_step(
         (loss, (mod_vars, snr)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         metrics = {"loss": loss, "si_snr": snr}
+        metrics.update(_grad_norm_metrics(grads))
         if static_quant:
             from sparsernns_tpu.train.optim import scale_gradient_leak_norm
             metrics["scale_grad_leak"] = scale_gradient_leak_norm(grads)
@@ -145,11 +159,13 @@ def make_classification_train_step(
 
         (loss, (mod_vars, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        metrics = {"loss": loss, "accuracy": accuracy(logits, labels)}
+        metrics.update(_grad_norm_metrics(grads))
         if static_quant:
             grads = zero_scale_gradients(grads)
         state = state.apply_gradients_with_stats(
             grads=grads, batch_stats=mod_vars.get("batch_stats"))
-        return state, {"loss": loss, "accuracy": accuracy(logits, labels)}
+        return state, metrics
 
     return step
 

@@ -24,6 +24,7 @@ class RunConfig:
     restore_checkpoint: bool = True
     reset_optimizer: bool = False
     log_act_sparsity: str = "none"      # none | val | train | both
+    grad_norm_warn_threshold: float = 50.0  # epoch-mean grad-norm warning
     profile: bool = False
     profile_dir: str = "/tmp/sparsernns_profile"
 
@@ -72,6 +73,12 @@ class RunConfig:
     dt_global: bool = False
     grad_clip_threshold: Optional[float] = None
     lr_min: float = 1e-6
+    # LR schedule: "cosine" (warmup-cosine, the default) or "plateau"
+    # (constant LR decayed on val-quality plateaus — reference
+    # train_helpers.py:100-148 wired via reduce_lr_on_plateau)
+    lr_schedule: str = "cosine"
+    plateau_factor: float = 0.2
+    plateau_patience: int = 20
 
     # --- sparsity ---
     pruning: str = "no_prune"
