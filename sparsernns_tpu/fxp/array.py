@@ -62,7 +62,16 @@ def fxp_rshift_round(x: Array, rshift: int,
     if round_mode == RoundingMode.CEIL:
         return (x + (1 << rshift) - 1) >> rshift
     if round_mode == RoundingMode.ROUND:
-        return (x + (1 << (rshift - 1))) >> rshift
+        # round-half-to-EVEN, matching jnp.round: the float static-quant
+        # emulation this engine verifies against rounds ties to even, and
+        # on pow2 grids exact ties are common — half-up here would make
+        # the two realizations diverge by 1 LSB at every tie, which the
+        # near-resonant recurrence then preserves (this was the dominant
+        # term of the fxp-vs-static max error).
+        half = jnp.asarray(1 << (rshift - 1), x.dtype)
+        q = (x + half) >> rshift
+        tie = (x & ((1 << rshift) - 1)) == half
+        return jnp.where(tie, q - (q & 1), q)
     raise NotImplementedError(f"rounding mode {round_mode}")
 
 

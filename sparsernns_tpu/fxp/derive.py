@@ -232,12 +232,27 @@ def build_fxp_model(
             mp, ms, ("quant_yt",), ssm_act_bits,
             fallback_exp=ssm_act_bits - 3)
 
+        def _wspec(path, bits, values):
+            """Weight format: prefer the FROZEN calibration scale (the
+            exact grid the static-quant emulation dequantizes to —
+            fxputils.py:121-134 derives exps from scales the same way);
+            refit from values only when no scale was calibrated."""
+            s = _scale(mp, ms, *path)
+            if s is not None:
+                return FxpSpec(bits, exp_from_scale(s))
+            return spec_for(values, bits)
+
+        a_bits = q_config.a_precision or 16
+        w_b_bits = q_config.b_precision or 8
+        w_c_bits = q_config.c_precision or 8
         specs = FxpSSMSpecs(
-            a=(spec_for(lam_bar[0], q_config.a_precision or 16),
-               spec_for(lam_bar[1], q_config.a_precision or 16)),
-            b=spec_for(np.stack(b_bar), q_config.b_precision or 8),
-            c=spec_for(np.stack(c_tilde), q_config.c_precision or 8),
-            d=spec_for(d, q_config.d_precision or 8),
+            a=(_wspec(("quant_a", "quant_real"), a_bits, lam_bar[0]),
+               _wspec(("quant_a", "quant_imag"), a_bits, lam_bar[1])),
+            b=(_wspec(("quant_b", "quant_real"), w_b_bits, b_bar[0]),
+               _wspec(("quant_b", "quant_imag"), w_b_bits, b_bar[1])),
+            c=(_wspec(("quant_c", "quant_real"), w_c_bits, c_tilde[0]),
+               _wspec(("quant_c", "quant_imag"), w_c_bits, c_tilde[1])),
+            d=_wspec(("quant_d",), q_config.d_precision or 8, d),
             u=u_spec, bu=bu_specs, x=x_specs, y=y_spec)
 
         norm_p = lp.get("norm")
@@ -281,10 +296,21 @@ def build_fxp_model(
                 _act_spec(lp, ls, ("out1", "quant_output"), act_bits,
                           fallback_exp=act_bits - 4))
 
+        # GLU-multiply operand formats from the frozen QuantizedMultiply
+        # scales (quant_left/quant_right) — including the calibrated clip
+        # (see FxpSequenceLayer.mult_specs).
+        mult_specs = None
+        s_left = _scale(lp, ls, "mult_gate", "quant_left")
+        s_right = _scale(lp, ls, "mult_gate", "quant_right")
+        if s_left is not None and s_right is not None:
+            mult_specs = (FxpSpec(act_bits, exp_from_scale(s_left)),
+                          FxpSpec(act_bits, exp_from_scale(s_right)))
+
         layers.append(FxpSequenceLayer(
             ssm=ssm, norm=norm, out2=out2, out1=out1,
             glu_variant=cfg.glu_variant, act_spec=act_spec,
-            relufication=cfg.relufication, prenorm=cfg.prenorm))
+            relufication=cfg.relufication, prenorm=cfg.prenorm,
+            mult_specs=mult_specs))
 
     dec_in = ov.get("dec_in") or _act_spec(
         params, batch_stats, ("decoder", "quant_input"),

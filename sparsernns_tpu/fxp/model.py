@@ -249,8 +249,13 @@ class FxpSSMSpecs:
     """Formats for every tensor in the integer SSM."""
 
     a: Tuple[FxpSpec, FxpSpec]       # Λ̄ re/im
-    b: FxpSpec                        # B̄ weights (shared re/im format)
-    c: FxpSpec                        # C weights
+    b: Tuple[FxpSpec, FxpSpec]       # B̄ weights re/im (separate grids —
+                                     # matching FakeQuantComplex, which
+                                     # calibrates re/im per-tensor scales
+                                     # independently; a shared grid made
+                                     # the cancellation-heavy B̄u product
+                                     # diverge ~15% from the static path)
+    c: Tuple[FxpSpec, FxpSpec]       # C weights re/im
     d: FxpSpec                        # D
     u: FxpSpec                        # input activations
     bu: Tuple[FxpSpec, FxpSpec]      # B̄u re/im
@@ -277,10 +282,10 @@ class FxpSSM(FxpModule):
             real=specs.a[0].quantize(jnp.asarray(lam_bar[0])),
             imag=specs.a[1].quantize(jnp.asarray(lam_bar[1])))
         # store transposed for (L, H) @ (H, P) matmuls
-        self.b_re = specs.b.quantize(jnp.asarray(b_bar[0].T))
-        self.b_im = specs.b.quantize(jnp.asarray(b_bar[1].T))
-        self.c_re = specs.c.quantize(jnp.asarray(c_tilde[0].T))
-        self.c_im = specs.c.quantize(jnp.asarray(c_tilde[1].T))
+        self.b_re = specs.b[0].quantize(jnp.asarray(b_bar[0].T))
+        self.b_im = specs.b[1].quantize(jnp.asarray(b_bar[1].T))
+        self.c_re = specs.c[0].quantize(jnp.asarray(c_tilde[0].T))
+        self.c_im = specs.c[1].quantize(jnp.asarray(c_tilde[1].T))
         self.d = specs.d.quantize(jnp.asarray(d))
         self.d_bias = (spec_for(d_bias, 16).quantize(jnp.asarray(d_bias))
                        if d_bias is not None else None)
@@ -324,9 +329,15 @@ class FxpSSM(FxpModule):
         # path, which quant-dequants the full step result once per step
         # (ssm.py:287-310); rounding each of the 4 products separately
         # compounds through the resonant recurrence. g chosen so
-        # a·x >> (a_exp-g) and bu << g stay within int32.
-        g_re = max(0, min(8, a_re.exp, 29 - sp.x[0].bits))
-        g_im = max(0, min(8, a_im.exp, 29 - sp.x[1].bits))
+        # a·x >> (a_exp-g) and bu << g stay within int32: each of the
+        # three accumulands is bounded by 2^(bits-1+g), so the int32
+        # budget is g <= 29 - bits (three terms < 2^31). Near-resonant
+        # channels (|λ|→1, gain ~1/(1-|λ|)) amplify per-step rounding
+        # differences, so run at the largest affordable guard (was
+        # capped at 8: max rel error vs the static-quant emulation ~11%;
+        # 12 guard bits brings the worst channel under ~3%).
+        g_re = max(0, min(12, a_re.exp, 29 - sp.x[0].bits))
+        g_im = max(0, min(12, a_im.exp, 29 - sp.x[1].bits))
         g = min(g_re, g_im)
 
         def step(carry, bu_t):
@@ -383,7 +394,8 @@ class FxpSequenceLayer(FxpModule):
     def __init__(self, ssm: FxpSSM, norm: Optional[FxpBatchNorm],
                  out2: Optional[FxpDense], out1: Optional[FxpDense],
                  glu_variant: str, act_spec: FxpSpec,
-                 relufication: bool = True, prenorm: bool = True):
+                 relufication: bool = True, prenorm: bool = True,
+                 mult_specs: Optional[Tuple[FxpSpec, FxpSpec]] = None):
         super().__init__()
         self.ssm = ssm
         self.norm = norm
@@ -393,6 +405,13 @@ class FxpSequenceLayer(FxpModule):
         self.act_spec = act_spec
         self.relufication = relufication
         self.prenorm = prenorm
+        # Calibrated formats for the GLU multiply's operands: the static
+        # path's QuantizedMultiply quantizes BOTH operands on frozen
+        # per-tensor grids (quant_left/quant_right) — including the CLIP
+        # at the calibrated absmax. Skipping that clip made the fxp layer
+        # output diverge ~11% wherever the value stream exceeded the
+        # calibration range (the round-1 worst-case error).
+        self.mult_specs = mult_specs
         self.sigmoid = (FxpSigmoid(FxpSpec(act_spec.bits,
                                            min(act_spec.bits - 1, 14),
                                            signed=False))
@@ -411,22 +430,20 @@ class FxpSequenceLayer(FxpModule):
         x1 = fxp_relu(y) if self.relufication else y
         self.sow("pre_GLU", x1)
 
+        def mult(left, g):
+            if self.mult_specs is not None:
+                left = self.mult_specs[0].cast(left)
+                g = self.mult_specs[1].cast(g)
+            return fxp_mul(left, g, result_exp=self.act_spec.exp,
+                           result_bits=self.act_spec.bits,
+                           round_mode=RoundingMode.ROUND)
+
         if self.glu_variant == "full":
-            g = self.sigmoid(self.out2(x1))
-            h = self.out1(x1)
-            x = fxp_mul(h, g, result_exp=self.act_spec.exp,
-                        result_bits=self.act_spec.bits,
-                        round_mode=RoundingMode.ROUND)
+            x = mult(self.out1(x1), self.sigmoid(self.out2(x1)))
         elif self.glu_variant == "half1":
-            g = self.sigmoid(self.out2(x1))
-            x = fxp_mul(x1, g, result_exp=self.act_spec.exp,
-                        result_bits=self.act_spec.bits,
-                        round_mode=RoundingMode.ROUND)
+            x = mult(x1, self.sigmoid(self.out2(x1)))
         elif self.glu_variant == "half2":
-            g = self.sigmoid(self.out2(x1))
-            x = fxp_mul(y, g, result_exp=self.act_spec.exp,
-                        result_bits=self.act_spec.bits,
-                        round_mode=RoundingMode.ROUND)
+            x = mult(y, self.sigmoid(self.out2(x1)))
         else:
             x = self.act_spec.cast(x1)
 
