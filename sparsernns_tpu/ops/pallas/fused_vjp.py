@@ -30,20 +30,25 @@ from sparsernns_tpu.ops.pallas.scan_kernel import pallas_diag_scan
 from sparsernns_tpu.ops.scan import Pair
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def fused_s5_apply_diff(u, lam: Pair, w_b, w_c, d,
-                        block_t: int = 256, relu_state: bool = False):
+                        block_t: int = 256, relu_state: bool = False,
+                        qat_bits=None):
+    """``qat_bits`` (a_bits, act_bits): forward runs with in-kernel
+    activation QAT; the backward is the straight-through estimator — the
+    adjoint of the unquantized linear scan (quantization treated as
+    identity), rematerialized without fake-quant."""
     return fused_s5_apply(u, lam, w_b, w_c, d, block_t=block_t,
-                          relu_state=relu_state)
+                          relu_state=relu_state, qat_bits=qat_bits)
 
 
-def _fwd(u, lam, w_b, w_c, d, block_t, relu_state):
+def _fwd(u, lam, w_b, w_c, d, block_t, relu_state, qat_bits):
     y = fused_s5_apply(u, lam, w_b, w_c, d, block_t=block_t,
-                       relu_state=relu_state)
+                       relu_state=relu_state, qat_bits=qat_bits)
     return y, (u, lam, w_b, w_c, d)
 
 
-def _bwd(block_t, relu_state, res, g):
+def _bwd(block_t, relu_state, qat_bits, res, g):
     u, lam, w_b, w_c, d = res
     p = w_b.shape[-1] // 2
 

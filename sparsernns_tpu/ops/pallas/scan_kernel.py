@@ -39,6 +39,47 @@ from sparsernns_tpu.ops.scan import Pair, lambda_powers
 DEFAULT_BLOCK_T = 256
 
 
+def dyn_fake_quant(x, bits):
+    """Per-tensor dynamic symmetric quant-dequant (no STE — used inside
+    forward-only kernels whose gradients flow through custom VJPs, where
+    STE means the backward simply ignores the quantization)."""
+    if bits is None or bits >= 32:
+        return x
+    qmax = 2.0 ** (bits - 1) - 1.0
+    scale = jnp.maximum(jnp.max(jnp.abs(x)), 1e-20) / qmax
+    return jnp.clip(jnp.round(x / scale), -qmax - 1.0, qmax) * scale
+
+
+def lambda_power_tables(lam_re, lam_im, t: int, num_passes: int,
+                        qat_bits=None):
+    """Precompute the kernel's λ tables: per-pass offset operators λ^(2^k)
+    (by repeated squaring) and the carry-fold table λ^(t+1).
+
+    With ``qat_bits`` the λ operands are fake-quantized to a_bits at every
+    squaring level — each power is a product of QUANTIZED operands,
+    exactly as the associative combine's had_aa quantizes the Λ-product
+    operands level by level (reference ssm.py:54-77)."""
+    a_bits = qat_bits[0] if qat_bits is not None else None
+
+    def sq(c):
+        return (c[0] * c[0] - c[1] * c[1], 2.0 * c[0] * c[1])
+
+    pows_re, pows_im = [], []
+    cur = (lam_re, lam_im)
+    for _ in range(num_passes):
+        if a_bits is not None:
+            cur = (dyn_fake_quant(cur[0], a_bits),
+                   dyn_fake_quant(cur[1], a_bits))
+        pows_re.append(cur[0])
+        pows_im.append(cur[1])
+        cur = sq(cur)
+    ctab = lambda_powers((lam_re, lam_im), t)  # (T, P) λ^{t+1}
+    if a_bits is not None:
+        ctab = (dyn_fake_quant(ctab[0], a_bits),
+                dyn_fake_quant(ctab[1], a_bits))
+    return jnp.stack(pows_re), jnp.stack(pows_im), ctab
+
+
 def scan_block_body(
     x_re, x_im,                    # (T, P) block values (bu)
     pow_re_ref, pow_im_ref,        # (K, P) per-pass offset operators λ^(2^k)
@@ -47,6 +88,7 @@ def scan_block_body(
     j,                             # time-block index within the grid
     *, num_passes: int, block_t: int, block_requant=None,
     carry_init=None,               # optional (re, im) (1, P) VALUES
+    qat_bits=None,                 # (a_bits, act_bits): in-scan QAT
 ):
     """Shared in-kernel scan block: doubling passes + carry reset/fold +
     optional block requant + carry store. Used by both the standalone scan
@@ -54,7 +96,16 @@ def scan_block_body(
 
     ``carry_init``: when given, the first time-block of each batch row
     starts from these values instead of zero — streaming/chunked serving.
+
+    ``qat_bits``: activation-QAT inside the kernel (VERDICT round-1
+    item 5): the state operand of every doubling combine, the folded
+    carry, and the block's output states are dynamically fake-quantized
+    to ``act_bits`` with per-BLOCK scales — the doubling-form analog of
+    the reference's quant_binary_operator hadamards (ssm.py:54-77), whose
+    per-combine-level scales the associative path applies globally. The
+    λ-power tables are quantized to ``a_bits`` by the wrapper.
     """
+    act_bits = qat_bits[1] if qat_bits is not None else None
     # Intra-block inclusive scan: x += λ^d ⊙ shift(x, d), d = 1,2,4,...
     for k in range(num_passes):
         d = 1 << k
@@ -63,6 +114,9 @@ def scan_block_body(
         pad = jnp.zeros((d, x_re.shape[-1]), dtype=x_re.dtype)
         sh_re = jnp.concatenate([pad, x_re[: block_t - d]], axis=0)
         sh_im = jnp.concatenate([pad, x_im[: block_t - d]], axis=0)
+        if act_bits is not None:
+            sh_re = dyn_fake_quant(sh_re, act_bits)
+            sh_im = dyn_fake_quant(sh_im, act_bits)
         x_re = x_re + (lr * sh_re - li * sh_im)
         x_im = x_im + (lr * sh_im + li * sh_re)
 
@@ -79,10 +133,20 @@ def scan_block_body(
     # Fold incoming carry: x_t += λ^{t+1} ⊙ carry.
     cr = carry_re[...]  # (1, P)
     ci = carry_im[...]
+    if act_bits is not None:
+        cr = dyn_fake_quant(cr, act_bits)
+        ci = dyn_fake_quant(ci, act_bits)
     tr = ctab_re_ref[...]
     ti = ctab_im_ref[...]
     x_re = x_re + (tr * cr - ti * ci)
     x_im = x_im + (tr * ci + ti * cr)
+
+    if act_bits is not None:
+        # block-output state quantization: what the downstream C
+        # projection (and the next block's carry) sees — mirrors the
+        # fake_quant(xs) operand quantization of the faithful path
+        x_re = dyn_fake_quant(x_re, act_bits)
+        x_im = dyn_fake_quant(x_im, act_bits)
 
     if block_requant is not None:
         # Static-quant serving semantics at block granularity: requantize
@@ -110,12 +174,13 @@ def _scan_block_kernel(
     carry_re, carry_im,
     *, num_passes: int, block_t: int,
     block_requant=None,            # (scale_re, scale_im, bits) or None
+    qat_bits=None,
 ):
     x_re, x_im = scan_block_body(
         bu_re_ref[0], bu_im_ref[0], pow_re_ref, pow_im_ref,
         ctab_re_ref, ctab_im_ref, carry_re, carry_im, pl.program_id(1),
         num_passes=num_passes, block_t=block_t,
-        block_requant=block_requant)
+        block_requant=block_requant, qat_bits=qat_bits)
     out_re_ref[0] = x_re
     out_im_ref[0] = x_im
 
@@ -126,7 +191,8 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_t", "reverse", "interpret", "block_requant"))
+    static_argnames=("block_t", "reverse", "interpret", "block_requant",
+                     "qat_bits"))
 def pallas_diag_scan(
     lam: Pair,
     bu: Pair,
@@ -135,6 +201,7 @@ def pallas_diag_scan(
     block_t: int = DEFAULT_BLOCK_T,
     interpret: Optional[bool] = None,
     block_requant: Optional[Tuple[float, float, int]] = None,
+    qat_bits: Optional[Tuple[Optional[int], Optional[int]]] = None,
 ) -> Pair:
     """All-prefix states of x_t = λ x_{t-1} + bu_t. bu: (..., L, P) pair."""
     if interpret is None:
@@ -175,20 +242,8 @@ def pallas_diag_scan(
     lam_im = jnp.pad(lam[1], (0, p_pad - p))
 
     num_passes = max(1, (t - 1).bit_length())
-    # Offset operators λ^(2^k): computed by repeated squaring (log T work).
-    def sq(c):
-        return (c[0] * c[0] - c[1] * c[1], 2.0 * c[0] * c[1])
-
-    pows_re, pows_im = [], []
-    cur = (lam_re, lam_im)
-    for _ in range(num_passes):
-        pows_re.append(cur[0])
-        pows_im.append(cur[1])
-        cur = sq(cur)
-    pow_re = jnp.stack(pows_re)
-    pow_im = jnp.stack(pows_im)
-
-    ctab = lambda_powers((lam_re, lam_im), t)  # (T, P) λ^{t+1}
+    pow_re, pow_im, ctab = lambda_power_tables(
+        lam_re, lam_im, t, num_passes, qat_bits)
 
     grid = (b, l_pad // t)
     block = pl.BlockSpec((1, t, p_pad), lambda i, j: (i, j, 0),
@@ -198,7 +253,7 @@ def pallas_diag_scan(
 
     kernel = functools.partial(
         _scan_block_kernel, num_passes=num_passes, block_t=t,
-        block_requant=block_requant)
+        block_requant=block_requant, qat_bits=qat_bits)
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=grid,

@@ -1,4 +1,4 @@
-"""Differentiable wrapper for the Pallas diagonal scan.
+"""Differentiable wrappers for the Pallas diagonal scan (both directions).
 
 The recurrence x_t = λ ⊙ x_{t-1} + bu_t is linear, so its VJP is another
 diagonal scan: with cotangents g_t,
@@ -7,12 +7,17 @@ diagonal scan: with cotangents g_t,
     dbu_t = v_t
     dλ    = Σ_t v_t ⊙ conj(x_{t-1})          (x_{-1} = 0)
 
-Both passes run the same Pallas kernel, so training gets the same
+The REVERSE scan x_t = λ ⊙ x_{t+1} + bu_t is the mirror image: its VJP is
+a FORWARD scan of the cotangents with conj(λ), and dλ sums against
+conj(x_{t+1}) — this is what makes bidirectional models train entirely on
+the Pallas kernels (reference capability: ssm.py:161-177; VERDICT round-1
+item 6). Both passes run the same kernel, so training gets the same
 HBM-minimal scan as inference (pattern: custom VJP, pallas_guide.md).
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -22,17 +27,19 @@ from sparsernns_tpu.ops.pallas.scan_kernel import pallas_diag_scan
 from sparsernns_tpu.ops.scan import Pair
 
 
-@jax.custom_vjp
-def pallas_diag_scan_diff(lam: Pair, bu: Pair) -> Pair:
-    return pallas_diag_scan(lam, bu)
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def pallas_diag_scan_diff(lam: Pair, bu: Pair, qat_bits=None) -> Pair:
+    """``qat_bits``: in-kernel activation QAT on the forward; backward is
+    the straight-through adjoint of the unquantized scan."""
+    return pallas_diag_scan(lam, bu, qat_bits=qat_bits)
 
 
-def _fwd(lam: Pair, bu: Pair):
-    xs = pallas_diag_scan(lam, bu)
+def _fwd(lam: Pair, bu: Pair, qat_bits=None):
+    xs = pallas_diag_scan(lam, bu, qat_bits=qat_bits)
     return xs, (lam, xs)
 
 
-def _bwd(residuals, g: Pair):
+def _bwd(qat_bits, residuals, g: Pair):
     lam, xs = residuals
     lam_conj = (lam[0], -lam[1])
     v = pallas_diag_scan(lam_conj, g, reverse=True)
@@ -52,3 +59,35 @@ def _bwd(residuals, g: Pair):
 
 
 pallas_diag_scan_diff.defvjp(_fwd, _bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def pallas_diag_scan_diff_rev(lam: Pair, bu: Pair, qat_bits=None) -> Pair:
+    """Differentiable reverse scan: x_t = λ ⊙ x_{t+1} + bu_t."""
+    return pallas_diag_scan(lam, bu, reverse=True, qat_bits=qat_bits)
+
+
+def _fwd_rev(lam: Pair, bu: Pair, qat_bits=None):
+    xs = pallas_diag_scan(lam, bu, reverse=True, qat_bits=qat_bits)
+    return xs, (lam, xs)
+
+
+def _bwd_rev(qat_bits, residuals, g: Pair):
+    lam, xs = residuals
+    lam_conj = (lam[0], -lam[1])
+    v = pallas_diag_scan(lam_conj, g)  # cotangents flow FORWARD in time
+
+    # x_{t+1}: shift states left by one along time, zero at t = L-1.
+    def shift(a):
+        pad = [(0, 0)] * a.ndim
+        pad[-2] = (0, 1)
+        return jnp.pad(a, pad)[..., 1:, :]
+
+    xn_re, xn_im = shift(xs[0]), shift(xs[1])
+    axes = tuple(range(v[0].ndim - 1))
+    dlam_re = jnp.sum(v[0] * xn_re + v[1] * xn_im, axis=axes)
+    dlam_im = jnp.sum(v[1] * xn_re - v[0] * xn_im, axis=axes)
+    return (dlam_re, dlam_im), v
+
+
+pallas_diag_scan_diff_rev.defvjp(_fwd_rev, _bwd_rev)

@@ -151,8 +151,15 @@ def diag_ssm_scan(
     had_ax: Callable = jnp.multiply,
     state_requant: Optional[Callable[[Pair], Pair]] = None,
     unroll: int = 8,
+    qat_bits: Optional[Tuple[Optional[int], Optional[int]]] = None,
 ) -> Pair:
-    """Dispatch to a scan backend. Returns all-prefix states (..., L, P) pair."""
+    """Dispatch to a scan backend. Returns all-prefix states (..., L, P) pair.
+
+    ``qat_bits`` (a_bits, act_bits): the pallas mode's activation-QAT —
+    the doubling-kernel analog of the associative mode's had_aa/had_ax
+    fake-quant hadamards (reference ssm.py:54-77). Associative/sequential
+    modes express QAT through the hadamard callables instead.
+    """
     if state_requant is not None and mode != "sequential":
         raise NotImplementedError(
             "per-step state requantization requires mode='sequential' "
@@ -171,15 +178,13 @@ def diag_ssm_scan(
             had_ax=had_ax, state_requant=state_requant, unroll=unroll)
         return xs
     if mode == "pallas":
-        # NOTE: the Pallas kernel evaluates the float closed-form combine;
-        # the QAT in-scan fake-quant hadamards (had_aa/had_ax) are not
-        # applied in this mode — use "associative" for A-quantized QAT or
-        # "sequential" for static-quant per-step requant.
-        if carry_init is None and not reverse:
-            from sparsernns_tpu.ops.pallas.scan_vjp import \
-                pallas_diag_scan_diff
-            return pallas_diag_scan_diff(lam, bu)
+        if carry_init is None:
+            from sparsernns_tpu.ops.pallas.scan_vjp import (
+                pallas_diag_scan_diff, pallas_diag_scan_diff_rev)
+            fn = pallas_diag_scan_diff_rev if reverse \
+                else pallas_diag_scan_diff
+            return fn(lam, bu, qat_bits)
         from sparsernns_tpu.ops.pallas.scan_kernel import pallas_diag_scan
         return pallas_diag_scan(lam, bu, reverse=reverse,
-                                carry_init=carry_init)
+                                carry_init=carry_init, qat_bits=qat_bits)
     raise ValueError(f"unknown scan mode: {mode}")

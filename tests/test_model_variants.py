@@ -121,3 +121,38 @@ def test_dt_global_optimizer_grouping():
         # without, to "ssm" — both must produce finite updates
         assert np.isfinite(
             np.asarray(updates["mixer"]["log_step"])).all()
+
+
+def test_bidirectional_fused_grads_match_associative(rng):
+    """Bidirectional at kernel speed (VERDICT round-1 item 6): with
+    scan_mode='fused' the mixer routes both scan directions through the
+    Pallas kernels (fwd + reverse custom VJPs) — outputs and grads must
+    match the associative path."""
+    x = jnp.asarray(rng.randn(2, 16, 8) * 0.5, jnp.float32)
+
+    def build(scan_mode):
+        return RegressionModel(
+            mixer_cls=make_mixer(8, bidirectional=True,
+                                 scan_mode=scan_mode),
+            n_layers=1, d_model=8, d_output=17, dropout=0.0, prenorm=True,
+            batchnorm=True, training=False)
+
+    m_a = build("associative")
+    m_f = build("fused")
+    variables = m_a.init(jax.random.PRNGKey(0), x)
+
+    def loss(model, params):
+        out = model.apply({"params": params,
+                           "batch_stats": variables["batch_stats"]}, x)
+        return jnp.mean(out ** 2)
+
+    y_a = m_a.apply(variables, x)
+    y_f = m_f.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(y_a), np.asarray(y_f), atol=2e-3)
+
+    g_a = jax.grad(lambda p: loss(m_a, p))(variables["params"])
+    g_f = jax.grad(lambda p: loss(m_f, p))(variables["params"])
+    for ga, gf in zip(jax.tree_util.tree_leaves(g_a),
+                      jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gf),
+                                   rtol=5e-2, atol=2e-3)

@@ -124,3 +124,38 @@ def test_block_requant_scan(rng):
     err = np.abs(np.asarray(xs_blk[0]) - np.asarray(xs_seq[0])).max()
     ref = np.abs(np.asarray(xs_seq[0])).max()
     assert err < 0.02 * ref + 50 * s_re, (err, ref)
+
+
+def test_pallas_reverse_vjp_matches_associative_grads(rng):
+    """Reverse-scan custom VJP (bidirectional at kernel speed, VERDICT
+    round-1 item 6): grads vs the associative reverse scan."""
+    from sparsernns_tpu.ops.pallas.scan_vjp import pallas_diag_scan_diff_rev
+    lam, bu, lam_p, bu_p = _inputs(rng, b=2, l=48, p=8)
+
+    def loss_pallas(lam_p, bu_p):
+        xs = pallas_diag_scan_diff_rev(lam_p, bu_p)
+        return jnp.sum(xs[0] ** 2 + 0.5 * xs[1] * xs[0])
+
+    def loss_assoc(lam_p, bu_p):
+        xs = associative_diag_scan(lam_p, bu_p, reverse=True)
+        return jnp.sum(xs[0] ** 2 + 0.5 * xs[1] * xs[0])
+
+    v_p = loss_pallas(lam_p, bu_p)
+    v_a = loss_assoc(lam_p, bu_p)
+    np.testing.assert_allclose(v_p, v_a, rtol=1e-4)
+    g_p = jax.grad(loss_pallas, argnums=(0, 1))(lam_p, bu_p)
+    g_a = jax.grad(loss_assoc, argnums=(0, 1))(lam_p, bu_p)
+    for gp, ga in zip(jax.tree_util.tree_leaves(g_p),
+                      jax.tree_util.tree_leaves(g_a)):
+        np.testing.assert_allclose(gp, ga, rtol=1e-3, atol=1e-3)
+
+
+def test_qat_bits_scan_quantizes(rng):
+    """pallas qat_bits applies in-kernel fake-quant: coarse bits change
+    the output; generous bits track the float scan."""
+    lam, bu, lam_p, bu_p = _inputs(rng, l=32)
+    base = pallas_diag_scan(lam_p, bu_p)
+    q16 = pallas_diag_scan(lam_p, bu_p, qat_bits=(16, 16))
+    q4 = pallas_diag_scan(lam_p, bu_p, qat_bits=(4, 4))
+    np.testing.assert_allclose(q16[0], base[0], atol=2e-3)
+    assert np.abs(np.asarray(q4[0]) - np.asarray(base[0])).max() > 1e-3

@@ -65,3 +65,77 @@ def test_qat_quantization_actually_bites():
     y_16 = m_16.apply(variables, x)
     assert float(jnp.abs(y_16 - y_fp).max()) < \
         float(jnp.abs(y_q - y_fp).max())
+
+
+def _qat_fwd(scan_mode, recipe="w8a16", d_io=17, h=12, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(2, 16, d_io) * 0.5, jnp.float32)
+    q = quantization_recipes[recipe]()
+    init = blocked_dplr_init(16, 2)
+    mixer = make_ssm_init_fn(
+        h=h, p=init["P"], lambda_init=init["Lambda"], v=init["V"],
+        vinv=init["Vinv"], clip_eigs=True, q_config=q, scan_mode=scan_mode)
+    model = RegressionModel(
+        mixer_cls=mixer, n_layers=1, d_model=h, d_output=d_io, dropout=0.0,
+        prenorm=True, batchnorm=True, glu_variant="half1", training=False,
+        q_config=q)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return np.asarray(model.apply(variables, x)), variables, model, x
+
+
+def test_qat_runs_on_fused_kernel_with_parity():
+    """VERDICT round-1 item 5: activation-QAT must run the fused kernel
+    (no silent fallback) and track the faithful associative-QAT forward."""
+    # patch the binding fused_vjp actually calls (it captures the symbol
+    # at import time, so patching the fused_s5 module attr is not enough)
+    from sparsernns_tpu.ops.pallas import fused_vjp
+
+    calls = {"n": 0}
+    orig = fused_vjp.fused_s5_apply
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    fused_vjp.fused_s5_apply = counting
+    try:
+        y_fused, *_ = _qat_fwd("fused")
+    finally:
+        fused_vjp.fused_s5_apply = orig
+    # init + apply both trace the mixer -> at least one kernel call, and
+    # the QAT config must NOT have routed away from the kernel
+    assert calls["n"] >= 1, "activation-QAT fell back off the fused kernel"
+
+    y_assoc, *_ = _qat_fwd("associative")
+    denom = max(np.abs(y_assoc).max(), 1e-3)
+    rel = np.abs(y_fused - y_assoc).max() / denom
+    # block-local vs global fake-quant scales differ; the QAT noise floor
+    # for w8a16 is ~2^-7 per tensor — parity within a few quant steps
+    assert rel < 0.05, rel
+
+
+def test_qat_fused_train_step_reduces_loss():
+    """Training THROUGH the fused kernel under activation-QAT (STE
+    backward via the custom VJP) optimizes."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 17), jnp.float32)
+    q = quantization_recipes["w8a16"]()
+    init = blocked_dplr_init(16, 2)
+    mixer = make_ssm_init_fn(
+        h=12, p=init["P"], lambda_init=init["Lambda"], v=init["V"],
+        vinv=init["Vinv"], clip_eigs=True, q_config=q, scan_mode="fused")
+    model = RegressionModel(
+        mixer_cls=mixer, n_layers=1, d_model=12, d_output=17, dropout=0.0,
+        prenorm=True, batchnorm=True, glu_variant="half1", training=True,
+        q_config=q)
+    state = make_state(model, x)
+    noisy_mag = jnp.transpose(x, (0, 2, 1)) ** 2
+    clean = jnp.asarray(rng.randn(2, 15 * 128), jnp.float32)
+    step = make_ndns_train_step(model, batchnorm=True)
+    losses = []
+    for _ in range(6):
+        state, m = step(state, jax.random.PRNGKey(1), noisy_mag,
+                        jnp.zeros_like(noisy_mag), noisy_mag * 0.9, clean)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0], losses
