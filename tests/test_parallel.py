@@ -100,3 +100,76 @@ def test_train_loop_with_mesh_flags(tmp_path):
     assert out["metadata"]["best_val_loss"] < float("inf")
     b = out["state"].params["encoder"]["layers_0"]["mixer"]["B"]
     assert b.sharding.spec[0] == MODEL_AXIS
+
+
+def test_opt_state_moments_sharded_by_param_rules(rng):
+    """Adam moments follow the param TP rules instead of being replicated
+    (VERDICT round-1 item 9)."""
+    from tests.test_train import make_state, tiny_ndns_model
+
+    model = tiny_ndns_model(d_io=33)
+    x = jnp.asarray(rng.randn(4, 16, 33), jnp.float32)
+    state = make_state(model, x, opt_config="standard")
+    mesh = make_mesh(MeshConfig(data=4, model=2, seq=1))
+    state_sh = shard_train_state(state, mesh)
+
+    found_sharded = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(
+            state_sh.opt_state):
+        names = [getattr(p, "key", getattr(p, "name", str(p)))
+                 for p in path]
+        if not hasattr(leaf, "sharding"):
+            continue
+        if names and names[-1] in ("B", "Lambda_re", "Lambda_im",
+                                   "log_step"):
+            assert leaf.sharding.spec[0] == MODEL_AXIS, (names, leaf.shape)
+            found_sharded += 1
+        elif names and names[-1] in ("C", "C1", "C2"):
+            assert leaf.sharding.spec[1] == MODEL_AXIS, names
+            found_sharded += 1
+    assert found_sharded >= 4, found_sharded  # mu+nu for ssm group at least
+
+    # and the sharded state still steps correctly
+    from sparsernns_tpu.train.steps import make_ndns_train_step
+    noisy_mag = jnp.transpose(x, (0, 2, 1)) ** 2
+    clean = jnp.asarray(rng.randn(4, 15 * 128), jnp.float32)
+    step = make_ndns_train_step(model, batchnorm=True)
+    batch_sh = shard_batch((noisy_mag, jnp.zeros_like(noisy_mag),
+                            noisy_mag * 0.9, clean), mesh)
+    new_state, m = step(state_sh, jax.random.PRNGKey(0), *batch_sh)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_collective_bytes_accounting(rng):
+    """SP engine collectives are O(P·log n) per layer (carry exchange),
+    TP engine collectives are O(B·L·H) psums — NOT full-activation
+    volumes (VERDICT round-1 item 7)."""
+    from sparsernns_tpu.parallel.comms import (collective_bytes,
+                                               scaling_efficiency_model)
+    from sparsernns_tpu.parallel.seqscan import seq_chunk_scan
+    from jax.sharding import PartitionSpec as P
+
+    n = 8
+    p, l, b = 16, 64, 2
+    mesh = make_mesh(MeshConfig(data=1, model=1, seq=n))
+    lam = (jnp.full((p,), 0.9, jnp.float32), jnp.zeros((p,), jnp.float32))
+    bu = (jnp.asarray(rng.randn(b, l, p), jnp.float32),
+          jnp.asarray(rng.randn(b, l, p), jnp.float32))
+
+    spec = P(None, SEQ_AXIS, None)
+    f = jax.jit(jax.shard_map(
+        lambda lam, bu: seq_chunk_scan(lam, bu, axis_name=SEQ_AXIS),
+        mesh=mesh, in_specs=((P(), P()), (spec, spec)),
+        out_specs=(spec, spec)))
+    acct = collective_bytes(f, lam, bu)
+    assert acct["total_bytes"] > 0
+    # log-depth ppermute of (b, p) carries: ~2 arrays * b*p*4 bytes *
+    # log2(n) rounds * n devices; full activations would be b*l*p*4*n =
+    # 32x more — assert we are well under that
+    full_activations = 2 * b * l * p * 4 * n
+    assert acct["total_bytes"] < full_activations, acct
+    assert "collective-permute" in acct["per_op_bytes"], acct
+
+    eff = scaling_efficiency_model(
+        compute_bytes=2 * b * l * p * 4, collective_total=acct["total_bytes"])
+    assert 0.0 < eff["efficiency"] <= 1.0
