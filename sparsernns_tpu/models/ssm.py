@@ -106,6 +106,11 @@ class S5SSM(nn.Module):
     scan_mode: str = "associative"
     topk: float = 1.0
     approx_topk: bool = False
+    # Mesh for scan_mode="sp": the sequence-parallel TRAINING scan —
+    # time sharded over SEQ with log-depth ppermute carry combine, batch
+    # on DATA, state dim on MODEL (parallel/seqscan.make_sp_train_scan).
+    # Greenfield capability; no reference equivalent (SURVEY §2.2).
+    sp_mesh: Any = None
 
     def setup(self):
         cfg = self.q_config
@@ -268,9 +273,20 @@ class S5SSM(nn.Module):
         # "fused" handles the whole mixer above; when it can't apply
         # (bidirectional / BN-bias / streaming / init), scan standalone.
         mode = "pallas" if self.scan_mode == "fused" else self.scan_mode
-        xs = diag_ssm_scan(lam_bar, bu, mode=mode,
-                           carry_init=carry_init,
-                           had_aa=had_aa, had_ax=had_ax, qat_bits=qat_bits)
+        if mode == "sp":
+            if self.sp_mesh is None:
+                raise ValueError("scan_mode='sp' requires sp_mesh")
+            if self.bidirectional or carry_init is not None:
+                raise NotImplementedError(
+                    "sequence-parallel scan does not support "
+                    "bidirectional or streaming carries")
+            from sparsernns_tpu.parallel.seqscan import make_sp_train_scan
+            xs = make_sp_train_scan(self.sp_mesh)(lam_bar, bu)
+        else:
+            xs = diag_ssm_scan(lam_bar, bu, mode=mode,
+                               carry_init=carry_init,
+                               had_aa=had_aa, had_ax=had_ax,
+                               qat_bits=qat_bits)
         if carry_vars is not None:
             carry_vars[0].value = xs[0][..., -1, :]
             carry_vars[1].value = xs[1][..., -1, :]
@@ -444,6 +460,7 @@ def make_ssm_init_fn(
     relufication: bool = False,
     q_config: QuantizationConfig = QuantizationConfig.none(),
     scan_mode: str = "associative",
+    sp_mesh=None,
 ) -> Callable:
     """Factory mirroring reference init_qS5SSM (ssm.py:625-663): returns a
     partial taking the per-layer knobs (step_rescale, topk, approx_topk)."""
@@ -454,4 +471,5 @@ def make_ssm_init_fn(
         dt_min=dt_min, dt_max=dt_max, conj_sym=conj_sym,
         clip_eigs=clip_eigs, bidirectional=bidirectional,
         relufication=relufication, q_config=q_config, scan_mode=scan_mode,
+        sp_mesh=sp_mesh,
     )

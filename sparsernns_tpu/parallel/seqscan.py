@@ -82,6 +82,51 @@ def seq_chunk_scan(lam: Pair, bu_local: Pair,
     return apply_carry(xs_local, lam, carry)
 
 
+def make_sp_train_scan(mesh: Mesh):
+    """DP x TP x SP sharded differentiable scan for the TRAINING step.
+
+    Unlike :func:`make_seq_parallel_scan` (serving; batch handled by the
+    caller), this declares ALL three mesh axes in the shard_map specs:
+    batch on DATA, time on SEQ, and the state dim P on MODEL — so a
+    TP-sharded λ̄/B̄u stays sharded through the scan and the carry
+    exchange rides the SEQ axis only. Fully differentiable (the combine
+    is built from ppermute/where/mul, all with transpose rules), so the
+    same construction serves forward and backward.
+
+    Time lengths that don't divide the SEQ axis are zero-padded at the
+    END (padding only ever sits after the true sequence, so the carry
+    chain for real steps is unaffected) and sliced off the result.
+    """
+    from sparsernns_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    n_seq = mesh.shape[SEQ_AXIS]
+    bu_spec = P(DATA_AXIS, SEQ_AXIS, MODEL_AXIS)
+    lam_spec = P(MODEL_AXIS)
+    f = jax.shard_map(
+        partial(seq_chunk_scan, axis_name=SEQ_AXIS),
+        mesh=mesh,
+        in_specs=((lam_spec, lam_spec), (bu_spec, bu_spec)),
+        out_specs=(bu_spec, bu_spec),
+    )
+
+    def scan(lam: Pair, bu: Pair) -> Pair:
+        if bu[0].ndim != 3:
+            raise ValueError(
+                f"sp training scan expects (B, L, P) inputs, got "
+                f"{bu[0].shape}")
+        l = bu[0].shape[-2]
+        l_pad = -(-l // n_seq) * n_seq
+        if l_pad != l:
+            pad = [(0, 0), (0, l_pad - l), (0, 0)]
+            bu = (jnp.pad(bu[0], pad), jnp.pad(bu[1], pad))
+        xs = f(lam, bu)
+        if l_pad != l:
+            xs = (xs[0][..., :l, :], xs[1][..., :l, :])
+        return xs
+
+    return scan
+
+
 def make_seq_parallel_scan(mesh: Mesh):
     """Returns scan(lam (P,) pair, bu (..., L, P) pair) -> states, with the
     time axis sharded over SEQ. L must be divisible by mesh.shape[SEQ_AXIS].

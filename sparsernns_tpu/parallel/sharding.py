@@ -44,10 +44,25 @@ def batch_sharding(mesh: Mesh, time_axis: int = -1) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def shard_batch(batch, mesh: Mesh):
-    sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch)
+def shard_batch(batch, mesh: Mesh, time_axis_3d: int = None):
+    """Place a host batch on the mesh: batch dim on DATA; with
+    ``time_axis_3d`` set, 3-D arrays additionally shard that axis over
+    SEQ (sequence-parallel training input layout) when the length
+    divides the SEQ axis — otherwise the time axis stays replicated and
+    the sp scan re-shards (with end-padding) internally."""
+    n_seq = mesh.shape.get(SEQ_AXIS, 1)
+
+    def place(x):
+        spec = [None] * getattr(x, "ndim", 0)
+        if spec:
+            spec[0] = DATA_AXIS
+        if (time_axis_3d is not None and n_seq > 1
+                and getattr(x, "ndim", 0) == 3
+                and x.shape[time_axis_3d] % n_seq == 0):
+            spec[time_axis_3d % 3] = SEQ_AXIS
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree_util.tree_map(place, batch)
 
 
 def shard_train_state(state, mesh: Mesh):

@@ -40,8 +40,11 @@ from sparsernns_tpu.utils.logging import (compute_eigenvalue_logs, logger,
 
 def build_model(cfg: RunConfig, d_input: int, d_output: int,
                 training: bool, q_config=None, scan_mode: Optional[str] = None,
-                calibrating: Optional[bool] = None):
-    """Assemble the model from config (reference train.py:97-169)."""
+                calibrating: Optional[bool] = None, sp_mesh=None):
+    """Assemble the model from config (reference train.py:97-169).
+
+    ``sp_mesh``: sequence-parallel training — the mixer's scan shards the
+    time axis over the mesh's SEQ axis (scan_mode is forced to "sp")."""
     if q_config is None:
         q_config = quantization_recipes[cfg.quantization]()
     if calibrating is not None:
@@ -53,7 +56,10 @@ def build_model(cfg: RunConfig, d_input: int, d_output: int,
         discretization=cfg.discretization, dt_min=cfg.dt_min,
         dt_max=cfg.dt_max, conj_sym=cfg.conj_sym, clip_eigs=cfg.clip_eigs,
         bidirectional=cfg.bidirectional, relufication=cfg.relufication,
-        q_config=q_config, scan_mode=scan_mode or cfg.scan_mode)
+        q_config=q_config,
+        scan_mode="sp" if sp_mesh is not None
+        else (scan_mode or cfg.scan_mode),
+        sp_mesh=sp_mesh)
     common = dict(
         mixer_cls=mixer, n_layers=cfg.n_layers, d_model=cfg.d_model,
         dropout=cfg.p_dropout, batchnorm=cfg.batchnorm, prenorm=cfg.prenorm,
@@ -228,7 +234,25 @@ def train(cfg: RunConfig) -> Dict[str, Any]:
     # by process_count.
     steps_per_epoch = max(1, len(trainloader))
 
-    model = build_model(cfg, d_input, n_out, training=True)
+    # --- SPMD mesh (explicit opt-in via the mesh flags). Built BEFORE the
+    # model so mesh_seq>1 can route the mixer through the
+    # sequence-parallel scan (scan_mode="sp").
+    n_devices = len(jax.devices())
+    mesh_requested = (cfg.mesh_data > 1 or cfg.mesh_model > 1
+                      or cfg.mesh_seq > 1)
+    if mesh_requested and n_devices == 1:
+        raise ValueError(
+            f"mesh ({cfg.mesh_data},{cfg.mesh_model},{cfg.mesh_seq}) "
+            "requested but only 1 device is visible — silent fallback "
+            "would fake an SPMD run")
+    mesh = None
+    if mesh_requested:
+        from sparsernns_tpu.parallel.mesh import MeshConfig, make_mesh
+        mesh = make_mesh(MeshConfig(data=cfg.mesh_data,
+                                    model=cfg.mesh_model, seq=cfg.mesh_seq))
+
+    sp_mesh = mesh if (mesh is not None and cfg.mesh_seq > 1) else None
+    model = build_model(cfg, d_input, n_out, training=True, sp_mesh=sp_mesh)
     eval_model = model.clone(training=False)
 
     example = jnp.zeros((cfg.bsz, seq_len, d_input), jnp.float32)
@@ -257,30 +281,22 @@ def train(cfg: RunConfig) -> Dict[str, Any]:
                 if restored_meta:
                     metadata.update(restored_meta)
 
-    # --- SPMD placement: honor the mesh flags when >1 device is visible.
-    # Params get the TP sharding rules (P dim on "model"), batches shard
-    # over "data"; the SAME jitted step then runs SPMD — XLA inserts the
-    # collectives (see parallel/).
+    # --- SPMD placement: params get the TP sharding rules (P dim on
+    # "model"), batches shard over "data" (+ time over "seq" with sp);
+    # the SAME jitted step then runs SPMD — XLA inserts the collectives
+    # (see parallel/).
+    is_ndns = cfg.dataset == "ndns"
     place_batch = _default_place_batch
-    n_devices = len(jax.devices())
-    mesh_requested = (cfg.mesh_data > 1 or cfg.mesh_model > 1
-                      or cfg.mesh_seq > 1)
-    if mesh_requested and n_devices == 1:
-        raise ValueError(
-            f"mesh ({cfg.mesh_data},{cfg.mesh_model},{cfg.mesh_seq}) "
-            "requested but only 1 device is visible — silent fallback "
-            "would fake an SPMD run")
-    if mesh_requested:
-        from sparsernns_tpu.parallel.mesh import MeshConfig, make_mesh
+    if mesh is not None:
         from sparsernns_tpu.parallel.sharding import (shard_batch,
                                                       shard_train_state)
-        mesh = make_mesh(MeshConfig(data=cfg.mesh_data, model=cfg.mesh_model,
-                                    seq=cfg.mesh_seq))
         state = shard_train_state(state, mesh)
-        place_batch = lambda tree: shard_batch(tree, mesh)
+        # NDNS mags are (B, F, L): time LAST; classification inputs are
+        # (B, L, D): time middle.
+        time_axis = (-1 if is_ndns else 1) if cfg.mesh_seq > 1 else None
+        place_batch = lambda tree: shard_batch(tree, mesh,
+                                               time_axis_3d=time_axis)
         logger.info("SPMD mesh: %s", dict(mesh.shape))
-
-    is_ndns = cfg.dataset == "ndns"
     static_q = quantization_recipes[cfg.quantization]().static_quant
     if is_ndns:
         step_fn = make_ndns_train_step(model, batchnorm=cfg.batchnorm,
