@@ -102,6 +102,28 @@ def _pack_qweight(w: np.ndarray, bits: Optional[int]) -> QWeight:
     return QWeight(jnp.asarray(q), s)
 
 
+def quantized_dense(x, w, bias, in_scale: Optional[float]):
+    """Dense layer on the MXU's int8 path when both operands are 8-bit:
+    x is quantized per-tensor onto the frozen ``in_scale`` grid (the same
+    values the static-quant emulation's quant_input produces), the dot
+    runs int8 x int8 -> int32 via ``preferred_element_type``, and the
+    int32 accumulator is rescaled by s_in * s_w — SURVEY §2.3's
+    "int8/int16 quantized matmul ... XLA dot_general with
+    preferred_element_type" obligation (replacing
+    /root/reference/sparseRNNs/utils/quantization.py:221-283), executed
+    for real instead of emulated in float. Falls back to the
+    dequantize-and-float dot when either side isn't int8."""
+    if (in_scale is None or not isinstance(w, QWeight)
+            or w.scale is None or w.data.dtype != jnp.int8):
+        return x @ _deq(w, jnp.float32) + bias
+    xf = x.astype(jnp.float32)
+    xq = jnp.clip(jnp.round(xf / in_scale), -128, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w.data, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (in_scale * w.scale) + bias
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class _LayerPack:
@@ -121,6 +143,13 @@ class _LayerPack:
     out2_bias: Any = None
     out1_kernel: Any = None  # "full" GLU value dense (QWeight)
     out1_bias: Any = None
+    # frozen input scales for the int8-activation dense path (None when
+    # activations are >8-bit: the dots then run bf16/f32 on dequantized
+    # weights)
+    out2_in_scale: Any = dataclasses.field(
+        metadata=dict(static=True), default=None)
+    out1_in_scale: Any = dataclasses.field(
+        metadata=dict(static=True), default=None)
     state_requant: Any = dataclasses.field(
         metadata=dict(static=True), default=None)
     # per-half pow2 scales for the int8 B/C packs (static: constant-folded
@@ -198,10 +227,12 @@ def engine_layer_forward(cfg, layer: "_LayerPack", h, mixer_fn,
     else:
         x1 = jax.nn.gelu(y)
     if cfg.glu_variant in ("half1", "half2", "full"):
-        gate = jax.nn.sigmoid(x1 @ _deq(layer.out2_kernel) + layer.out2_bias)
+        gate = jax.nn.sigmoid(quantized_dense(
+            x1, layer.out2_kernel, layer.out2_bias, layer.out2_in_scale))
         base = x1 if cfg.glu_variant == "half1" else (
             y if cfg.glu_variant == "half2" else
-            x1 @ _deq(layer.out1_kernel) + layer.out1_bias)
+            quantized_dense(x1, layer.out1_kernel, layer.out1_bias,
+                            layer.out1_in_scale))
         h = base * gate
     else:
         h = x1
@@ -217,9 +248,9 @@ def engine_layer_forward(cfg, layer: "_LayerPack", h, mixer_fn,
     return h
 
 
-def engine_encode(cfg, encoder_kernel, encoder_bias, x):
+def engine_encode(cfg, encoder_kernel, encoder_bias, x, in_scale=None):
     from sparsernns_tpu.ops.topk import relu_top_k_sparsity
-    h = x @ _deq(encoder_kernel) + encoder_bias
+    h = quantized_dense(x, encoder_kernel, encoder_bias, in_scale)
     if cfg.topk < 1.0:
         return relu_top_k_sparsity(h, int(cfg.topk * h.shape[-1]))
     if cfg.relufication:
@@ -241,6 +272,20 @@ class W8A16Engine:
         enc = params["encoder"]
         enc_stats = (batch_stats or {}).get("encoder", {})
         wq = q_config.non_ssm_precision
+        # 8-bit activations -> the denses run on the MXU int8 path with
+        # the frozen quant_input scales (see quantized_dense)
+        a8 = (q_config.non_ssm_act_precision is not None
+              and q_config.non_ssm_act_precision <= 8
+              and wq is not None and wq <= 8)
+
+        def _in_scale(*path):
+            if not a8:
+                return None
+            s = _get(params, *path, "quant_input", "scale")
+            return float(np.asarray(s)) if s is not None else None
+
+        self.encoder_in_scale = _in_scale("encoder", "encoder")
+        self.decoder_in_scale = _in_scale("decoder")
 
         self.encoder_kernel = _pack_qweight(
             np.asarray(enc["encoder"]["kernel"]), wq)
@@ -307,12 +352,15 @@ class W8A16Engine:
                            int(q_config.ssm_act_precision))
 
             out2_k = out2_b = out1_k = out1_b = None
+            out2_s = out1_s = None
             if cfg.glu_variant in ("full", "half1", "half2"):
                 out2_k = _pack_qweight(np.asarray(lp["out2"]["kernel"]), wq)
                 out2_b = jnp.asarray(np.asarray(lp["out2"]["bias"]))
+                out2_s = _in_scale("encoder", f"layers_{i}", "out2")
             if cfg.glu_variant == "full":
                 out1_k = _pack_qweight(np.asarray(lp["out1"]["kernel"]), wq)
                 out1_b = jnp.asarray(np.asarray(lp["out1"]["bias"]))
+                out1_s = _in_scale("encoder", f"layers_{i}", "out1")
 
             self.layers.append(_LayerPack(
                 lam=(jnp.asarray(lam_bar[0]), jnp.asarray(lam_bar[1])),
@@ -323,7 +371,8 @@ class W8A16Engine:
                 out2_kernel=out2_k, out2_bias=out2_b,
                 out1_kernel=out1_k, out1_bias=out1_b,
                 state_requant=requant,
-                wb_scales=wb_scales, wc_scales=wc_scales))
+                wb_scales=wb_scales, wc_scales=wc_scales,
+                out2_in_scale=out2_s, out1_in_scale=out1_s))
 
         # Weights are pytree ARGUMENTS of the jitted forward (not closure
         # constants): smaller executables, donation-friendly, no host
@@ -359,7 +408,8 @@ class W8A16Engine:
         """x: (B, L, d_input) f32 -> mask (B, L, d_output)."""
         cfg = self.cfg
         h = engine_encode(cfg, weights["encoder_kernel"],
-                          weights["encoder_bias"], x)
+                          weights["encoder_bias"], x,
+                          in_scale=self.encoder_in_scale)
         state_topk = cfg.relufication and cfg.topk < 1.0 and cfg.approx_topk
         for layer in weights["layers"]:
             if state_topk:
@@ -393,7 +443,9 @@ class W8A16Engine:
 
             h = engine_layer_forward(cfg, layer, h, mixer,
                                      act_dtype=self.act_dtype)
-        return h @ _deq(weights["decoder_kernel"]) + weights["decoder_bias"]
+        return quantized_dense(h, weights["decoder_kernel"],
+                               weights["decoder_bias"],
+                               self.decoder_in_scale)
 
     def __call__(self, x) -> jax.Array:
         return self._forward(self.weights, x)
@@ -414,7 +466,8 @@ class W8A16Engine:
         from sparsernns_tpu.ops.pallas.fused_s5 import fused_s5_apply_carry
         cfg = self.cfg
         h = engine_encode(cfg, weights["encoder_kernel"],
-                          weights["encoder_bias"], x)
+                          weights["encoder_bias"], x,
+                          in_scale=self.encoder_in_scale)
         new_carries = []
         for layer, carry in zip(weights["layers"], carries):
             def mixer(z, layer=layer, carry=carry):
@@ -429,7 +482,9 @@ class W8A16Engine:
                                             act_dtype=self.act_dtype,
                                             mixer_has_aux=True)
             new_carries.append(new_c)
-        out = h @ _deq(weights["decoder_kernel"]) + weights["decoder_bias"]
+        out = quantized_dense(h, weights["decoder_kernel"],
+                              weights["decoder_bias"],
+                              self.decoder_in_scale)
         return out, tuple(new_carries)
 
     def process_chunk(self, x, carries=None):

@@ -228,3 +228,51 @@ def test_engine_int8_xla_weight_bytes_drop(pipeline):  # noqa: F811
     # int8 leaves reach the executable unconverted (storage dtype)
     text = lowered.as_text()
     assert "i8" in text, "no int8 operand in the lowered engine HLO"
+
+
+def test_engine_w8a8_int8_mxu_dense_path():
+    """With 8-bit activations the engine's dense layers run REAL int8 x
+    int8 -> int32 dots (SURVEY §2.3 dot_general/preferred_element_type
+    obligation), matching the static-quant emulation."""
+    from sparsernns_tpu.quantize.calibrate import calibrate
+    from tests.test_static_quant import D_IO
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 24, D_IO) * 0.5, jnp.float32)
+    fp_model = _model(quantization_recipes["none"]())
+    variables = fp_model.init(jax.random.PRNGKey(0), x)
+    cal_model = _model(quantization_recipes["w8a8"](static_quant=True,
+                                                    calibrating=True))
+    batches = [x, jnp.asarray(rng.randn(2, 24, D_IO) * 0.5, jnp.float32)]
+    fpq, fps = calibrate(cal_model, jax.random.PRNGKey(1), x,
+                         variables["params"], variables.get("batch_stats"),
+                         batches)
+    inf_cfg = quantization_recipes["w8a8"](static_quant=True,
+                                           calibrating=False)
+    y_q = np.asarray(_model(inf_cfg).apply(
+        {"params": fpq, "batch_stats": fps}, x))
+
+    model_cfg = FxpModelConfig.infer(fpq, glu_variant="half1",
+                                     relufication=True, prenorm=True,
+                                     clip_eigs=True)
+    engine = W8A16Engine(jax.tree_util.tree_map(np.asarray, fpq),
+                         jax.tree_util.tree_map(np.asarray, fps),
+                         inf_cfg, model_cfg, block_t=8)
+    assert engine.encoder_in_scale is not None
+    assert engine.decoder_in_scale is not None
+    assert engine.layers[0].out2_in_scale is not None
+
+    # the lowered StableHLO really contains int8 dot operands producing
+    # an int32 accumulator
+    hlo = engine._forward.lower(engine.weights, x).as_text()
+    assert "xi8>" in hlo, "no int8 tensor in the lowered module"
+    import re
+    assert re.search(r"dot_general.*i8.*->.*i32", hlo), \
+        "no int8 x int8 -> int32 dot_general in the lowered module"
+
+    y_e = np.asarray(engine(x))
+    denom = max(np.abs(y_q).max(), 1.0)
+    rel = np.abs(y_e - y_q).max() / denom
+    assert rel < 0.15, rel  # a8 is coarser than a16; budget accordingly
+    mean_rel = np.abs(y_e - y_q).mean() / denom
+    assert mean_rel < 0.02, mean_rel
