@@ -208,6 +208,14 @@ def build_fxp_model(
         mp = lp["mixer"]
         ms = ls.get("mixer", {})
 
+        # Per-layer residual format from the calibrated residual-stream
+        # observer when present (layers.quant_residual); the shared
+        # heuristic act_spec is the fallback for checkpoints calibrated
+        # before the observer existed.
+        s_res = _scale(lp, ls, "quant_residual")
+        layer_act_spec = (FxpSpec(act_bits, exp_from_scale(s_res))
+                          if s_res is not None else act_spec)
+
         lam_bar, b_bar, c_tilde, d = _discretize(mp, cfg)
 
         lk = f"layers_{i}"
@@ -268,7 +276,7 @@ def build_fxp_model(
                                       default=np.ones(cfg.d_model))),
                 bias=np.asarray(_get(lp, "norm", "bias",
                                      default=np.zeros(cfg.d_model))),
-                eps=1e-5, in_spec=act_spec, out_spec=u_spec)
+                eps=1e-5, in_spec=layer_act_spec, out_spec=u_spec)
 
         # NOTE: state relufication (relu on xs before C) mirrors the
         # mixer's behavior — distinct from the layer's post-SSM relu.
@@ -308,7 +316,7 @@ def build_fxp_model(
 
         layers.append(FxpSequenceLayer(
             ssm=ssm, norm=norm, out2=out2, out1=out1,
-            glu_variant=cfg.glu_variant, act_spec=act_spec,
+            glu_variant=cfg.glu_variant, act_spec=layer_act_spec,
             relufication=cfg.relufication, prenorm=cfg.prenorm,
             mult_specs=mult_specs))
 

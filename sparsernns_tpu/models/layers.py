@@ -127,10 +127,21 @@ class SequenceLayer(nn.Module):
                 left_bits=act_bits, right_bits=act_bits,
                 calibrating=self.q_config.calibrating,
                 axis_name=self.axis_name)
+            # Residual-stream observer: calibrates the layer OUTPUT so the
+            # integer engines get a per-layer residual format instead of
+            # inheriting one from the encoder/decoder observers (greenfield
+            # — the reference never observes the residual; round-1 ROADMAP
+            # item).
+            from sparsernns_tpu.quantize.static import FakeQuant
+            self.quant_residual = FakeQuant(
+                bits=act_bits, calibrating=self.q_config.calibrating,
+                axis_name=self.axis_name)
         elif act_bits is not None:
             self.mult_gate = q_had(act_bits, act_bits)
+            self.quant_residual = None
         else:
             self.mult_gate = jnp.multiply
+            self.quant_residual = None
 
     def _glu_act(self, x):
         if self.relufication:
@@ -189,4 +200,6 @@ class SequenceLayer(nn.Module):
             x = top_k_sparsity(x, int(self.topk * self.d_model))
         elif self.topk < 1.0:
             raise NotImplementedError("exact top-k not implemented")
+        if self.quant_residual is not None:
+            x = self.quant_residual(x)
         return x

@@ -150,6 +150,10 @@ class _LayerPack:
         metadata=dict(static=True), default=None)
     out1_in_scale: Any = dataclasses.field(
         metadata=dict(static=True), default=None)
+    # (scale, bits) for the calibrated residual-stream requant at the
+    # layer output (mirrors layers.quant_residual)
+    residual_requant: Any = dataclasses.field(
+        metadata=dict(static=True), default=None)
     state_requant: Any = dataclasses.field(
         metadata=dict(static=True), default=None)
     # per-half pow2 scales for the int8 B/C packs (static: constant-folded
@@ -243,6 +247,11 @@ def engine_layer_forward(cfg, layer: "_LayerPack", h, mixer_fn,
         h = jax.nn.relu(h)
     if use_topk:
         h = top_k_sparsity(h, k)
+    if layer.residual_requant is not None:
+        s, bits = layer.residual_requant
+        qmax = float(2 ** (bits - 1) - 1)
+        h = jnp.clip(jnp.round(h.astype(jnp.float32) / s),
+                     -(qmax + 1.0), qmax) * s
     if mixer_has_aux:
         return h, aux
     return h
@@ -351,6 +360,12 @@ class W8A16Engine:
                 requant = (float(np.asarray(s_re)), float(np.asarray(s_im)),
                            int(q_config.ssm_act_precision))
 
+            res_requant = None
+            s_res = _get(lp, "quant_residual", "scale")
+            if s_res is not None and q_config.non_ssm_act_precision:
+                res_requant = (float(np.asarray(s_res)),
+                               int(q_config.non_ssm_act_precision))
+
             out2_k = out2_b = out1_k = out1_b = None
             out2_s = out1_s = None
             if cfg.glu_variant in ("full", "half1", "half2"):
@@ -372,7 +387,8 @@ class W8A16Engine:
                 out1_kernel=out1_k, out1_bias=out1_b,
                 state_requant=requant,
                 wb_scales=wb_scales, wc_scales=wc_scales,
-                out2_in_scale=out2_s, out1_in_scale=out1_s))
+                out2_in_scale=out2_s, out1_in_scale=out1_s,
+                residual_requant=res_requant))
 
         # Weights are pytree ARGUMENTS of the jitted forward (not closure
         # constants): smaller executables, donation-friendly, no host

@@ -62,3 +62,16 @@ def test_fxp_weight_grids_use_frozen_scales(pipeline):  # noqa: F811
             s = float(np.asarray(mix["quant_b"][half]["scale"]))
             assert 2.0 ** -arr.exp == s, (li, half, arr.exp, s)
         assert layer.mult_specs is not None
+
+
+def test_residual_stream_observer_calibrated(pipeline):  # noqa: F811
+    """The residual-stream observer (layers.quant_residual) gives each
+    layer a CALIBRATED residual format; the fxp layers pick it up instead
+    of the shared heuristic."""
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    import numpy as _np
+    for li in range(2):
+        lp = frozen_params["encoder"][f"layers_{li}"]
+        assert "quant_residual" in lp, lp.keys()
+        s = float(_np.asarray(lp["quant_residual"]["scale"]))
+        assert s > 0 and abs(_np.log2(s) - round(_np.log2(s))) < 1e-6
