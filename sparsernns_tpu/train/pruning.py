@@ -40,6 +40,14 @@ class PruningConfig:
     distribution: str = "erk"  # "erk" | "uniform"
     mode: str = "ste"          # "ste" | "hard" (hard also zeroes gradients)
     min_ndim: int = 2          # only prune leaves with >= this many dims
+    # "unstructured": per-weight magnitude (the reference's recipes —
+    # masked-dense on the MXU, NO flop reduction on TPU).
+    # "state": prune whole SSM state CHANNELS (B̄ rows + C columns
+    # jointly, scored by their product contribution) — the structure the
+    # MXU can actually exploit: the serving engine compacts pruned
+    # channels away, shrinking the scan width and both projections
+    # (SURVEY §7 hard part "unstructured 90% sparsity on TPU").
+    structure: str = "unstructured"
 
     @property
     def enabled(self) -> bool:
@@ -69,6 +77,11 @@ def pruning_recipes(epochs: int, steps_per_epoch: int) -> dict:
     for s in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95):
         recipes[f"iterative-ste-mag-{s}"] = PruningConfig.iterative_ste(
             s, epochs, steps_per_epoch)
+        # structured state-channel pruning (uniform across layers: channel
+        # groups don't have an ERK analog)
+        base = PruningConfig.iterative_ste(s, epochs, steps_per_epoch)
+        recipes[f"iterative-ste-state-{s}"] = dataclasses.replace(
+            base, structure="state", distribution="uniform")
     return recipes
 
 
@@ -186,9 +199,12 @@ class MagnitudePruner:
 
     def update_masks(self, params: PyTree, masks: PyTree,
                      step: jax.Array) -> PyTree:
-        """Recompute masks if the schedule says so at ``step`` (jittable)."""
+        """Recompute masks if the schedule says so at ``step`` (jittable;
+        the caller host-gates dispatch to due steps)."""
         if not self.cfg.enabled:
             return masks
+        if self.cfg.structure == "state":
+            return self._update_state_masks(params, masks, step)
         if self.relative_sparsity is None:
             self.relative_sparsity = sparsity_distribution(params, self.cfg)
         s_global = scheduled_sparsity(self.cfg, step)
@@ -207,6 +223,56 @@ class MagnitudePruner:
 
         return jax.tree_util.tree_map(
             new_mask, params, masks, self.relative_sparsity)
+
+    def _update_state_masks(self, params: PyTree, masks: PyTree,
+                            step: jax.Array) -> PyTree:
+        """Structured state-channel masks: per mixer, channel c is scored
+        by ||B̄[c,:]|| * ||C[:,c]|| (its end-to-end contribution through
+        the diagonal scan) and the lowest-scored fraction is pruned as a
+        WHOLE — B rows and C columns zero together, so the serving engine
+        can compact the channel away (engine.state_channel_compaction)."""
+        s_global = jnp.clip(scheduled_sparsity(self.cfg, step), 0.0, 0.999)
+
+        def visit(tree, mask_tree):
+            if not isinstance(tree, dict):
+                return mask_tree
+            out = dict(mask_tree)
+            if "B" in tree and any(k in tree for k in ("C", "C1", "C2")):
+                b = tree["B"]                      # (P, H, 2)
+                p = b.shape[0]
+                b_score = jnp.sqrt(jnp.sum(b.astype(jnp.float32) ** 2,
+                                           axis=(1, 2)))
+                c_sq = jnp.zeros((p,), jnp.float32)
+                for ck in ("C", "C1", "C2"):
+                    if ck in tree:
+                        c = tree[ck]               # (H, P[, *2 bidir], 2)
+                        cs = jnp.sum(c.astype(jnp.float32) ** 2,
+                                     axis=(0, 2))
+                        # bidirectional concat doubles the channel axis
+                        if cs.shape[0] == 2 * p:
+                            cs = cs[:p] + cs[p:]
+                        c_sq = c_sq + cs
+                score = b_score * jnp.sqrt(c_sq)
+                order = jnp.sort(score)
+                k = jnp.clip((s_global * p).astype(jnp.int32), 0, p - 1)
+                thr = order[k]
+                keep = score >= jnp.where(k > 0, thr, -jnp.inf)  # (P,)
+                out["B"] = jnp.broadcast_to(
+                    keep[:, None, None], b.shape).astype(b.dtype)
+                for ck in ("C", "C1", "C2"):
+                    if ck in tree:
+                        c = tree[ck]
+                        ck_keep = keep
+                        if c.shape[1] == 2 * p:
+                            ck_keep = jnp.concatenate([keep, keep])
+                        out[ck] = jnp.broadcast_to(
+                            ck_keep[None, :, None], c.shape).astype(c.dtype)
+            for key, sub in tree.items():
+                if isinstance(sub, dict):
+                    out[key] = visit(sub, mask_tree[key])
+            return out
+
+        return visit(params, masks)
 
     def apply_masks(self, params: PyTree, masks: PyTree) -> PyTree:
         """Masked forward weights. STE mode: gradient of identity."""

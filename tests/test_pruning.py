@@ -113,3 +113,84 @@ def test_no_prune_passthrough(rng):
     pruner = MagnitudePruner(PruningConfig())
     masks = pruner.init_masks(params)
     assert pruner.apply_masks(params, masks) is params
+
+
+def test_structured_state_pruning_masks(rng):
+    """structure='state': B rows and C columns zero as WHOLE channels,
+    jointly scored (the MXU-exploitable structure; SURVEY §7 hard part)."""
+    import dataclasses as _dc
+    p, h = 16, 8
+    params = {"encoder": {"layers_0": {"mixer": {
+        "B": jnp.asarray(rng.randn(p, h, 2), jnp.float32),
+        "C": jnp.asarray(rng.randn(h, p, 2), jnp.float32),
+        "Lambda_re": jnp.asarray(rng.randn(p), jnp.float32),
+    }}}}
+    cfg = PruningConfig(final_sparsity=0.5, update_start=0, update_end=1,
+                        update_freq=1, structure="state",
+                        distribution="uniform")
+    pruner = MagnitudePruner(cfg)
+    masks = pruner.init_masks(params)
+    m = pruner.update_masks(params, masks, jnp.asarray(10))
+    mb = np.asarray(m["encoder"]["layers_0"]["mixer"]["B"])
+    mc = np.asarray(m["encoder"]["layers_0"]["mixer"]["C"])
+    # whole-channel structure: each B row / C column is all-0 or all-1
+    row_any = mb.reshape(p, -1)
+    assert ((row_any == row_any[:, :1]).all()), "B rows not channel-whole"
+    col_any = np.moveaxis(mc, 1, 0).reshape(p, -1)
+    assert ((col_any == col_any[:, :1]).all()), "C cols not channel-whole"
+    # the SAME channels pruned in both
+    keep_b = row_any[:, 0] > 0
+    keep_c = col_any[:, 0] > 0
+    np.testing.assert_array_equal(keep_b, keep_c)
+    assert 0 < keep_b.sum() < p
+    # ~50% pruned
+    assert abs(float(keep_b.mean()) - 0.5) < 0.2
+
+
+def test_structured_pruned_training_and_engine_compaction(rng):
+    """Train a few steps with the structured recipe, convert the masked
+    params to the serving engine: pruned channels COMPACT away (smaller
+    scan/projection width) with identical outputs."""
+    from tests.test_train import make_state, tiny_ndns_model
+    from sparsernns_tpu.train.steps import (make_mask_update_fn,
+                                            make_ndns_train_step)
+    from sparsernns_tpu.fxp.derive import FxpModelConfig
+    from sparsernns_tpu.quantize.config import quantization_recipes
+    from sparsernns_tpu.quantize.engine import W8A16Engine
+
+    model = tiny_ndns_model(d_model=8, ssm_size=16, d_io=17)
+    x = jnp.asarray(rng.randn(2, 16, 17), jnp.float32)
+    cfg = PruningConfig(final_sparsity=0.5, update_start=1, update_end=4,
+                        update_freq=1, structure="state",
+                        distribution="uniform")
+    pruner = MagnitudePruner(cfg)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    masks = pruner.init_masks(variables["params"])
+    state = make_state(model, x, masks=masks)
+    step = make_ndns_train_step(model, batchnorm=True, pruner=pruner)
+    mask_update = make_mask_update_fn(pruner)
+    noisy_mag = jnp.transpose(x, (0, 2, 1)) ** 2
+    clean = jnp.asarray(rng.randn(2, 15 * 128), jnp.float32)
+    for _ in range(6):
+        state = mask_update(state)
+        state, m = step(state, jax.random.PRNGKey(1), noisy_mag,
+                        jnp.zeros_like(noisy_mag), noisy_mag * 0.9, clean)
+    assert np.isfinite(float(m["loss"]))
+
+    masked = jax.tree_util.tree_map(lambda p, q: np.asarray(p * q),
+                                    state.params, state.masks)
+    stats = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    q_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                          calibrating=False)
+    mcfg = FxpModelConfig.infer(masked, glu_variant="half1",
+                                relufication=False, prenorm=True,
+                                clip_eigs=True)
+    e_full = W8A16Engine(masked, stats, q_cfg, mcfg, block_t=8,
+                         act_dtype=jnp.float32, compact_state=False)
+    e_comp = W8A16Engine(masked, stats, q_cfg, mcfg, block_t=8,
+                         act_dtype=jnp.float32, compact_state=True)
+    p_orig, p_kept = e_comp.state_channels[0]
+    assert p_kept < p_orig, e_comp.state_channels
+    y_full = np.asarray(e_full(x))
+    y_comp = np.asarray(e_comp(x))
+    np.testing.assert_allclose(y_comp, y_full, atol=2e-4)
