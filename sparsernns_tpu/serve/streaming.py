@@ -145,3 +145,87 @@ class StreamingDenoiser:
             outs.append(self.process(audio[:, start:start + chunk_samples]))
         outs.append(self.flush())
         return np.concatenate([o for o in outs if o.size], axis=-1)
+
+
+class ContinuousBatcher:
+    """Continuous batching of independent audio streams over the fixed-B
+    StreamingDenoiser: per-slot ADMISSION (new streams join a live batch
+    on a free slot, carries reset for that slot only), per-stream output
+    routing, and a waiting queue when all slots are busy.
+
+    Semantics: all slots advance on the batch's global frame clock; a
+    stream admitted at global sample time T behaves exactly like a solo
+    stream whose audio is preceded by T zero samples (tested in
+    test_streaming.py). The serving north star's "continuous batching of
+    streaming audio sequences" (BASELINE.json); no reference equivalent.
+    """
+
+    def __init__(self, denoiser: StreamingDenoiser):
+        self.denoiser = denoiser
+        self.slots: list = [None] * denoiser.batch
+        self._inputs: Dict[str, np.ndarray] = {}
+        self._outputs: Dict[str, list] = {}
+        self._waiting: list = []
+        self._ended: set = set()
+
+    @property
+    def n_free(self) -> int:
+        return sum(s is None for s in self.slots)
+
+    def add_stream(self, stream_id: str) -> Optional[int]:
+        """Admit a stream; returns its slot, or None if queued."""
+        if stream_id in self._inputs:
+            raise ValueError(f"stream {stream_id!r} already active")
+        self._inputs[stream_id] = np.zeros((0,), np.float32)
+        self._outputs[stream_id] = []
+        for i, s in enumerate(self.slots):
+            if s is None:
+                self.slots[i] = stream_id
+                self.denoiser.reset(slot=i)
+                return i
+        self._waiting.append(stream_id)
+        return None
+
+    def feed(self, stream_id: str, samples: np.ndarray):
+        self._inputs[stream_id] = np.concatenate(
+            [self._inputs[stream_id], np.asarray(samples, np.float32)])
+
+    def end_stream(self, stream_id: str):
+        """No more input; the stream finishes once its buffer drains."""
+        self._ended.add(stream_id)
+
+    def step(self, chunk_samples: int):
+        """Advance the global clock by ``chunk_samples``: every occupied
+        slot consumes that many samples from its stream's buffer
+        (zero-padded if starved), idle slots feed silence; finished
+        streams release their slots to the waiting queue."""
+        batch = np.zeros((self.denoiser.batch, chunk_samples), np.float32)
+        for i, sid in enumerate(self.slots):
+            if sid is None:
+                continue
+            buf = self._inputs[sid]
+            take = min(chunk_samples, buf.shape[0])
+            batch[i, :take] = buf[:take]
+            self._inputs[sid] = buf[take:]
+        out = self.denoiser.process(batch)
+        for i, sid in enumerate(self.slots):
+            if sid is not None and out.shape[1]:
+                self._outputs[sid].append(out[i])
+        # release drained+ended streams, admit from the queue
+        for i, sid in enumerate(self.slots):
+            if (sid is not None and sid in self._ended
+                    and self._inputs[sid].shape[0] == 0):
+                self.slots[i] = None
+                if self._waiting:
+                    nxt = self._waiting.pop(0)
+                    self.slots[i] = nxt
+                    self.denoiser.reset(slot=i)
+
+    def collect(self, stream_id: str) -> np.ndarray:
+        """Denoised samples produced so far for a stream."""
+        chunks = self._outputs.get(stream_id, [])
+        if not chunks:
+            return np.zeros((0,), np.float32)
+        out = np.concatenate(chunks)
+        self._outputs[stream_id] = [out]
+        return out
