@@ -13,12 +13,26 @@ Usage: python bench_scaling.py [per_device_batch]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+# CPU runs (JAX_PLATFORMS=cpu) get an 8-device virtual mesh so the
+# collective accounting below has real shards to compile against (jax may
+# be pre-imported by a sitecustomize hook: append the flag AND set the
+# platform through jax.config, as tests/conftest.py does).
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 
 def main(per_device_batch: int = 4, seq_len: int = 3751, d_io: int = 257):
@@ -55,6 +69,44 @@ def main(per_device_batch: int = 4, seq_len: int = 3751, d_io: int = 257):
               f"(efficiency {eff:.1%})", file=sys.stderr)
         n *= 2
 
+    # --- model-based 2-host efficiency prediction from the compiled
+    # collective traffic (parallel/comms.py): works without pod hardware
+    # and bounds the measured number from below (assumes zero overlap).
+    predicted = None
+    try:
+        from sparsernns_tpu.parallel.comms import (collective_bytes,
+                                                   scaling_efficiency_model)
+        from sparsernns_tpu.utils.profiling import compiled_cost
+        if n_total >= 2:
+            n = min(2, n_total)
+            devices = jax.devices()[:n]
+            mesh = make_mesh(MeshConfig(data=n, model=1, seq=1),
+                             devices=devices)
+            batch = per_device_batch * n
+            x = jax.device_put(
+                jnp.zeros((batch, seq_len, d_io), jnp.float32),
+                NamedSharding(mesh, P("data")))
+            variables = model.init(jax.random.PRNGKey(0), x)
+            fwd = jax.jit(lambda v, xi: model.apply(v, xi))
+            acct = collective_bytes(fwd, variables, x)
+            _, total_bytes = compiled_cost(
+                lambda v, xi: model.apply(v, xi), variables, x)
+            eff = scaling_efficiency_model(
+                compute_bytes=total_bytes / n,
+                collective_total=acct["total_bytes"] / max(1, n),
+                over="dcn")
+            predicted = {
+                "collective_bytes_per_chip": acct["total_bytes"] / n,
+                "per_op": acct["per_op_bytes"],
+                "predicted_2host_efficiency": round(eff["efficiency"], 4),
+            }
+            print(f"[scaling] comms-model 2-host prediction: "
+                  f"{eff['efficiency']:.1%} "
+                  f"(collectives {acct['total_bytes'] / n:,.0f} B/chip)",
+                  file=sys.stderr)
+    except Exception as e:  # keep the bench robust
+        print(f"[scaling] comms model failed: {e}", file=sys.stderr)
+
     best_n = max(results)
     print(json.dumps({
         "metric": "ndns_s5_scaling_efficiency",
@@ -63,6 +115,7 @@ def main(per_device_batch: int = 4, seq_len: int = 3751, d_io: int = 257):
         "unit": "fraction",
         "devices": best_n,
         "frames_per_sec": {str(k): round(v, 1) for k, v in results.items()},
+        "comms_model": predicted,
     }))
 
 

@@ -220,33 +220,42 @@ def fused_s5_apply(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    o = _prep_fused_operands(u, lam, w_b, w_c, d, block_t, allow_l_pad=True,
-                             qat_bits=qat_bits)
-    kernel = functools.partial(
-        _fused_kernel, num_passes=o["num_passes"], block_t=o["t"],
-        p=o["p_pad"], relu_state=relu_state, block_requant=block_requant,
-        wb_scales=wb_scales, wc_scales=wc_scales, qat_bits=qat_bits)
-    out = pl.pallas_call(
-        kernel,
-        grid=o["grid"],
-        in_specs=[o["io_block"],
-                  o["full"]((o["h_pad"], 2 * o["p_pad"])),
-                  o["full"]((2 * o["p_pad"], o["h_pad"])),
-                  o["full"]((1, o["h_pad"])),
-                  o["full"]((o["num_passes"], o["p_pad"])),
-                  o["full"]((o["num_passes"], o["p_pad"])),
-                  o["full"]((o["t"], o["p_pad"])),
-                  o["full"]((o["t"], o["p_pad"]))],
-        out_specs=o["io_block"],
-        out_shape=jax.ShapeDtypeStruct((o["b"], o["l_pad"], o["h_pad"]),
-                                       jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, o["p_pad"]), jnp.float32),
-                        pltpu.VMEM((1, o["p_pad"]), jnp.float32)],
-        interpret=interpret,
-    )(o["u"], o["w_b"], o["w_c"], o["d"], o["pow_re"], o["pow_im"],
-      o["ctab"][0], o["ctab"][1])
+    def body(u, lam_re, lam_im, w_b, w_c, d):
+        o = _prep_fused_operands(u, (lam_re, lam_im), w_b, w_c, d, block_t,
+                                 allow_l_pad=True, qat_bits=qat_bits)
+        kernel = functools.partial(
+            _fused_kernel, num_passes=o["num_passes"], block_t=o["t"],
+            p=o["p_pad"], relu_state=relu_state,
+            block_requant=block_requant,
+            wb_scales=wb_scales, wc_scales=wc_scales, qat_bits=qat_bits)
+        out = pl.pallas_call(
+            kernel,
+            grid=o["grid"],
+            in_specs=[o["io_block"],
+                      o["full"]((o["h_pad"], 2 * o["p_pad"])),
+                      o["full"]((2 * o["p_pad"], o["h_pad"])),
+                      o["full"]((1, o["h_pad"])),
+                      o["full"]((o["num_passes"], o["p_pad"])),
+                      o["full"]((o["num_passes"], o["p_pad"])),
+                      o["full"]((o["t"], o["p_pad"])),
+                      o["full"]((o["t"], o["p_pad"]))],
+            out_specs=o["io_block"],
+            out_shape=jax.ShapeDtypeStruct((o["b"], o["l_pad"], o["h_pad"]),
+                                           jnp.float32),
+            scratch_shapes=[pltpu.VMEM((1, o["p_pad"]), jnp.float32),
+                            pltpu.VMEM((1, o["p_pad"]), jnp.float32)],
+            interpret=interpret,
+        )(o["u"], o["w_b"], o["w_c"], o["d"], o["pow_re"], o["pow_im"],
+          o["ctab"][0], o["ctab"][1])
+        return out[:, :o["l"], :o["h"]]
 
-    return out[:, :o["l"], :o["h"]]
+    # batch-dim SPMD rule: DP-sharded inputs run the kernel per shard
+    # instead of being all-gathered around the custom call (partition.py)
+    from sparsernns_tpu.ops.pallas.partition import (FUSED_REPLICATED,
+                                                     FUSED_RULE,
+                                                     batch_partitioned)
+    return batch_partitioned(body, FUSED_RULE, FUSED_REPLICATED)(
+        u, lam[0], lam[1], w_b, w_c, d)
 
 
 @functools.partial(

@@ -229,47 +229,55 @@ def pallas_diag_scan(
         bu_re = jnp.flip(bu_re, axis=-2)
         bu_im = jnp.flip(bu_im, axis=-2)
 
-    b, l, p = bu_re.shape
-    t = min(block_t, _round_up(l, 8))
-    l_pad = _round_up(l, t)
-    p_pad = _round_up(p, 128)
-    if l_pad != l or p_pad != p:
-        pad = ((0, 0), (0, l_pad - l), (0, p_pad - p))
-        bu_re = jnp.pad(bu_re, pad)
-        bu_im = jnp.pad(bu_im, pad)
+    def body(bu_re, bu_im, lam_re, lam_im):
+        b, l, p = bu_re.shape
+        t = min(block_t, _round_up(l, 8))
+        l_pad = _round_up(l, t)
+        p_pad = _round_up(p, 128)
+        if l_pad != l or p_pad != p:
+            pad = ((0, 0), (0, l_pad - l), (0, p_pad - p))
+            bu_re = jnp.pad(bu_re, pad)
+            bu_im = jnp.pad(bu_im, pad)
+        lam_re = jnp.pad(lam_re, (0, p_pad - p))
+        lam_im = jnp.pad(lam_im, (0, p_pad - p))
 
-    lam_re = jnp.pad(lam[0], (0, p_pad - p))
-    lam_im = jnp.pad(lam[1], (0, p_pad - p))
+        num_passes = max(1, (t - 1).bit_length())
+        pow_re, pow_im, ctab = lambda_power_tables(
+            lam_re, lam_im, t, num_passes, qat_bits)
 
-    num_passes = max(1, (t - 1).bit_length())
-    pow_re, pow_im, ctab = lambda_power_tables(
-        lam_re, lam_im, t, num_passes, qat_bits)
+        grid = (b, l_pad // t)
+        block = pl.BlockSpec((1, t, p_pad), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM)
+        full = lambda shape: pl.BlockSpec(
+            shape, lambda i, j: tuple(0 for _ in shape),
+            memory_space=pltpu.VMEM)
 
-    grid = (b, l_pad // t)
-    block = pl.BlockSpec((1, t, p_pad), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM)
-    full = lambda shape: pl.BlockSpec(
-        shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+        kernel = functools.partial(
+            _scan_block_kernel, num_passes=num_passes, block_t=t,
+            block_requant=block_requant, qat_bits=qat_bits)
+        out_re, out_im = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[block, block,
+                      full((num_passes, p_pad)), full((num_passes, p_pad)),
+                      full((t, p_pad)), full((t, p_pad))],
+            out_specs=[block, block],
+            out_shape=[jax.ShapeDtypeStruct((b, l_pad, p_pad), bu_re.dtype),
+                       jax.ShapeDtypeStruct((b, l_pad, p_pad), bu_im.dtype)],
+            scratch_shapes=[pltpu.VMEM((1, p_pad), bu_re.dtype),
+                            pltpu.VMEM((1, p_pad), bu_im.dtype)],
+            interpret=interpret,
+        )(bu_re, bu_im, pow_re, pow_im, ctab[0], ctab[1])
+        return out_re[:, :l, :p], out_im[:, :l, :p]
 
-    kernel = functools.partial(
-        _scan_block_kernel, num_passes=num_passes, block_t=t,
-        block_requant=block_requant, qat_bits=qat_bits)
-    out_re, out_im = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[block, block,
-                  full((num_passes, p_pad)), full((num_passes, p_pad)),
-                  full((t, p_pad)), full((t, p_pad))],
-        out_specs=[block, block],
-        out_shape=[jax.ShapeDtypeStruct((b, l_pad, p_pad), bu_re.dtype),
-                   jax.ShapeDtypeStruct((b, l_pad, p_pad), bu_im.dtype)],
-        scratch_shapes=[pltpu.VMEM((1, p_pad), bu_re.dtype),
-                        pltpu.VMEM((1, p_pad), bu_im.dtype)],
-        interpret=interpret,
-    )(bu_re, bu_im, pow_re, pow_im, ctab[0], ctab[1])
+    # batch-dim SPMD rule: DP-sharded inputs run the kernel per shard
+    # instead of being all-gathered around the custom call (partition.py)
+    from sparsernns_tpu.ops.pallas.partition import (SCAN_REPLICATED,
+                                                     SCAN_RULE,
+                                                     batch_partitioned)
+    out_re, out_im = batch_partitioned(body, SCAN_RULE, SCAN_REPLICATED)(
+        bu_re, bu_im, lam[0], lam[1])
 
-    out_re = out_re[:, :l, :p]
-    out_im = out_im[:, :l, :p]
     if reverse:
         out_re = jnp.flip(out_re, axis=-2)
         out_im = jnp.flip(out_im, axis=-2)

@@ -260,3 +260,38 @@ def test_train_loop_with_seq_mesh(tmp_path):
         mesh_data=2, mesh_model=2, mesh_seq=2)
     out = train(cfg)
     assert out["metadata"]["best_val_loss"] < float("inf")
+
+
+def test_fused_kernel_partitions_under_dp(rng):
+    """The Pallas kernels carry a batch-dim custom_partitioning rule:
+    a DP-sharded fused forward compiles with ZERO collectives (before the
+    fix, XLA all-gathered the batch around every custom call — 23.6 MB
+    per step at flagship shapes)."""
+    from sparsernns_tpu.parallel.comms import collective_bytes
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tests.test_train import tiny_ndns_model
+
+    mesh = make_mesh(MeshConfig(data=8, model=1, seq=1))
+    model = tiny_ndns_model(d_io=33).clone(training=False)
+    # fused scan mode
+    from sparsernns_tpu.models.seq_model import RegressionModel
+    from sparsernns_tpu.models.ssm import make_ssm_init_fn
+    from sparsernns_tpu.models.ssm_init import blocked_dplr_init
+    init = blocked_dplr_init(8, 1, conj_sym=True)
+    mixer = make_ssm_init_fn(h=8, p=init["P"], lambda_init=init["Lambda"],
+                             v=init["V"], vinv=init["Vinv"],
+                             clip_eigs=True, scan_mode="fused")
+    model = RegressionModel(mixer_cls=mixer, n_layers=1, d_model=8,
+                            d_output=33, dropout=0.0, prenorm=True,
+                            batchnorm=True, glu_variant="half1",
+                            training=False)
+    x = jax.device_put(jnp.asarray(rng.randn(8, 16, 33), jnp.float32),
+                       NamedSharding(mesh, P(DATA_AXIS)))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    fwd = jax.jit(lambda v, xi: model.apply(v, xi))
+    acct = collective_bytes(fwd, variables, x)
+    assert acct["total_bytes"] == 0, acct
+    # and the result matches the unsharded forward
+    y_sharded = np.asarray(fwd(variables, x))
+    y_plain = np.asarray(model.apply(variables, np.asarray(x)))
+    np.testing.assert_allclose(y_sharded, y_plain, atol=1e-5)
