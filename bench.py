@@ -16,6 +16,11 @@ conj-sym, 3 layers, L=3751) forward pass under each scan backend:
 Measurement protocol (VERDICT.md round-1 item 1 — the round-1 number was
 dispatch-only and 13x over the HBM speed-of-light):
 
+0. PRIMARY: device-side timings from jax.profiler ('XLA Modules' track
+   durations), taken in an ISOLATED worker subprocess — on the tunnel
+   backend the profiler reports real on-device times even though host
+   sync is broken, but a failed start_trace poisons its process, hence
+   the isolation. Profiler timings pass the same speed-of-light gate.
 1. Iterations are CHAINED through a data dependency (iteration i+1's
    input depends on iteration i's output), so the device cannot overlap
    them and wall-clock covers real execution, not dispatch.
@@ -47,7 +52,9 @@ from __future__ import annotations
 
 import contextlib
 import json
+import os
 import signal
+import subprocess
 import sys
 import time
 
@@ -129,14 +136,57 @@ def _xla_cost(jitted, *args):
     return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
 
 
+# Shared Chrome-trace parser (also used by the block_t autotuner).
+from sparsernns_tpu.utils.profiling import (  # noqa: E402
+    module_durations_from_trace as _module_durs_from_trace)
+
+
+def _trace_module_times(dispatch, iters, match="bench_target"):
+    """DEVICE-side per-iteration timings via jax.profiler: run ``iters``
+    chained dispatches under a trace and read the 'XLA Modules' track
+    durations of the module whose name contains ``match``. This measures
+    actual on-device execution (the profiler's device track is populated
+    by the runtime even on transports whose host-side sync is broken —
+    verified on the round-2 tunnel backend, where the fused forward reads
+    ~102us/kernel at 56% HBM utilization, physically consistent).
+    Returns a list of per-iteration durations in seconds (possibly short
+    if the trace stopped early or the profiler is unsupported)."""
+    import glob
+    import gzip
+    import json as _json
+    import tempfile
+
+    out = dispatch(None)  # compile + warm
+    _sync(out)
+    durs = []
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            jax.profiler.start_trace(td)
+            try:
+                prev = None
+                for _ in range(iters):
+                    prev = dispatch(prev)
+                _sync(prev)
+            finally:
+                jax.profiler.stop_trace()
+            for fp in glob.glob(td + "/plugins/profile/*/*trace.json.gz"):
+                durs.extend(_module_durs_from_trace(
+                    _json.load(gzip.open(fp)), match))
+    except Exception as e:  # noqa: BLE001 - profiler unsupported
+        _log(f"profiler timing unavailable: {e}")
+    return durs
+
+
 def _finalize(name, elapsed, synced, iters, frames_per_iter,
-              analytic_flops, xla_bytes, peaks, saturated=False):
+              analytic_flops, xla_bytes, peaks, saturated=False,
+              profiled=False):
     peak_flops, hbm_bw = peaks
     t_iter = elapsed / iters
     sol_t = xla_bytes / hbm_bw               # HBM-bound floor, seconds
     rec = {
         "name": name,
         "saturated": bool(saturated),
+        "profiled": bool(profiled),
         "frames_per_sec": frames_per_iter / t_iter if t_iter > 0 else 0.0,
         "t_iter_ms": t_iter * 1e3,
         "sol_t_ms": sol_t * 1e3,
@@ -200,6 +250,39 @@ def _ballast(reserve_bytes: int):
         return None
 
 
+def _measure(name, dispatch, iters, frames_per_iter, flops, xla_bytes,
+             peaks, n_fill=0, reserve_gb=None, use_profiler=None):
+    """Measure one config: device-profiler timings first (sync-free,
+    per-iteration module durations), wall-clock as the fallback. Every
+    result passes the same speed-of-light gate in _finalize.
+
+    Profiler timing only runs when ``use_profiler`` (set in the isolated
+    worker subprocess): a failed start_trace on some backends poisons
+    every subsequent device call in the process, so the parent bench
+    never touches the profiler itself."""
+    import statistics
+    if use_profiler is None:
+        use_profiler = os.environ.get("BENCH_WORKER") == "1"
+    if reserve_gb is None and use_profiler:
+        durs = _trace_module_times(dispatch, min(iters, 10))
+        if len(durs) >= 3:
+            t_med = statistics.median(durs)
+            rec = _finalize(f"{name} (profiler)", t_med * len(durs), True,
+                            len(durs), frames_per_iter, flops, xla_bytes,
+                            peaks, profiled=True)
+            if rec["valid"]:
+                return rec
+            _log(f"{name}: profiler timing rejected, trying wall-clock")
+
+    ballast = _ballast(reserve_gb * 2**30) if reserve_gb else None
+    elapsed, synced = _run_chained(dispatch, iters, n_fill)
+    del ballast
+    suffix = " (saturated)" if reserve_gb else ""
+    return _finalize(name + suffix, elapsed, synced, iters, frames_per_iter,
+                     flops, xla_bytes, peaks,
+                     saturated=reserve_gb is not None)
+
+
 def _model_dims(params):
     enc = params["encoder"]
     n_layers = sum(1 for k in enc if str(k).startswith("layers_"))
@@ -218,20 +301,18 @@ def bench_mode(mode, peaks, batch=8, seq_len=3751, d_io=257,
     n_layers, h, p, _ = _model_dims(variables["params"])
     flops = model_forward_flops(batch, seq_len, d_io, h, p, n_layers)
 
-    fwd = jax.jit(lambda v, xi: model.apply(v, xi))
+    def bench_target(v, xi):
+        return model.apply(v, xi)
+
+    fwd = jax.jit(bench_target)
     _, xla_bytes = _xla_cost(fwd, variables, x)
 
     def dispatch(prev):
         xi = x if prev is None else x + 1e-20 * prev  # chain iterations
         return fwd(variables, xi)
 
-    ballast = _ballast(reserve_gb * 2**30) if reserve_gb else None
-    elapsed, synced = _run_chained(dispatch, iters, n_fill)
-    del ballast
-    name = mode + (" (saturated)" if reserve_gb else "")
-    return _finalize(name, elapsed, synced, iters, batch * seq_len,
-                     flops, xla_bytes, peaks,
-                     saturated=reserve_gb is not None)
+    return _measure(mode, dispatch, iters, batch * seq_len, flops,
+                    xla_bytes, peaks, n_fill=n_fill, reserve_gb=reserve_gb)
 
 
 def _build_engine(batch, seq_len, d_io):
@@ -271,19 +352,20 @@ def bench_w8a16_engine(peaks, batch=8, seq_len=3751, d_io=257,
     engine, variables, x = _build_engine(batch, seq_len, d_io)
     n_layers, h, p, _ = _model_dims(variables["params"])
     flops = model_forward_flops(batch, seq_len, d_io, h, p, n_layers)
-    _, xla_bytes = _xla_cost(engine._forward, engine.weights, x)
+
+    def bench_target(w, xi):
+        return engine._apply(w, xi, block_t=engine.block_t)
+
+    fwd = jax.jit(bench_target)
+    _, xla_bytes = _xla_cost(fwd, engine.weights, x)
 
     def dispatch(prev):
         xi = x if prev is None else x + 1e-20 * prev
-        return engine(xi)
+        return fwd(engine.weights, xi)
 
-    ballast = _ballast(reserve_gb * 2**30) if reserve_gb else None
-    elapsed, synced = _run_chained(dispatch, iters, n_fill)
-    del ballast
-    name = "w8a16-engine" + (" (saturated)" if reserve_gb else "")
-    return _finalize(name, elapsed, synced, iters,
-                     batch * seq_len, flops, xla_bytes, peaks,
-                     saturated=reserve_gb is not None)
+    return _measure("w8a16-engine", dispatch, iters, batch * seq_len,
+                    flops, xla_bytes, peaks, n_fill=n_fill,
+                    reserve_gb=reserve_gb)
 
 
 def bench_train_step(peaks, batch=8, seq_len=3751, d_io=257,
@@ -319,36 +401,36 @@ def bench_train_step(peaks, batch=8, seq_len=3751, d_io=257,
     clean_mag = noisy_mag * 0.9
     clean = jnp.asarray(rng.randn(batch, (seq_len - 1) * 128), jnp.float32)
     key = jax.random.PRNGKey(1)
-    _, xla_bytes = _xla_cost(step, state, key, noisy_mag, noisy_phase,
+
+    def bench_target(st, k, nm, nph, cm, cl):
+        return step(st, k, nm, nph, cm, cl)
+
+    tstep = jax.jit(bench_target)
+    _, xla_bytes = _xla_cost(tstep, state, key, noisy_mag, noisy_phase,
                              clean_mag, clean)
 
     holder = {"state": state}
 
     def dispatch(prev):
-        new_state, _ = step(holder["state"], key, noisy_mag, noisy_phase,
-                            clean_mag, clean)
+        new_state, _ = tstep(holder["state"], key, noisy_mag, noisy_phase,
+                             clean_mag, clean)
         holder["state"] = new_state
         return new_state.params
 
-    elapsed, synced = _run_chained(dispatch, iters)
-    return _finalize("train-step", elapsed, synced, iters, batch * seq_len,
-                     flops, xla_bytes, peaks)
+    return _measure("train-step", dispatch, iters, batch * seq_len,
+                    flops, xla_bytes, peaks)
 
 
-def main():
-    from sparsernns_tpu.utils.profiling import chip_peaks
-    peaks = chip_peaks()
-    backend = jax.default_backend()
-    _log(f"backend={backend} device={jax.devices()[0].device_kind!r} "
-         f"peaks: {peaks[0] / 1e12:.0f} TFLOP/s bf16, "
-         f"{peaks[1] / 1e9:.0f} GB/s HBM")
-
+def run_all_modes(peaks, saturation_retry=True):
+    """Measure every config. In the worker subprocess (BENCH_WORKER=1)
+    _measure tries the device profiler first; in the parent it is pure
+    wall-clock + saturation."""
     recs = {}
     for mode in ("associative", "pallas", "fused"):
         try:
             with _alarm(BENCH_MODE_TIMEOUT_S):
                 rec = bench_mode(mode, peaks)
-                if not rec["valid"]:
+                if not rec["valid"] and saturation_retry:
                     _log(f"{mode}: retrying with the saturated-queue "
                          "protocol (ballast + large batch)")
                     b, rg = (8, 6.0) if mode == "associative" else (128, 5.0)
@@ -361,7 +443,7 @@ def main():
     try:
         with _alarm(BENCH_MODE_TIMEOUT_S):
             rec = bench_w8a16_engine(peaks)
-            if not rec["valid"]:
+            if not rec["valid"] and saturation_retry:
                 _log("w8a16-engine: retrying with the saturated-queue "
                      "protocol (ballast + large batch)")
                 rec2 = bench_w8a16_engine(peaks, batch=128, iters=12,
@@ -375,6 +457,62 @@ def main():
             recs["train-step"] = bench_train_step(peaks)
     except Exception as e:
         _log(f"train-step failed: {e}")
+    return recs
+
+
+def _recs_from_worker() -> dict:
+    """Run the measurement loop in a SUBPROCESS with the device profiler
+    enabled. A failed start_trace poisons every later device call in its
+    process on some backends (observed on the tunnel), so the profiler
+    only ever runs behind this isolation boundary; the parent merges
+    whatever valid records come back."""
+    env = dict(os.environ)
+    env["BENCH_WORKER"] = "1"
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=2400)
+    except subprocess.TimeoutExpired:
+        _log("profiler worker timed out; falling back to wall-clock")
+        return {}
+    sys.stderr.write(proc.stderr[-4000:])
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCH_RECS "):
+            try:
+                return json.loads(line[len("BENCH_RECS "):])
+            except json.JSONDecodeError:
+                break
+    _log(f"profiler worker produced no records (rc={proc.returncode})")
+    return {}
+
+
+def main():
+    from sparsernns_tpu.utils.profiling import chip_peaks
+    peaks = chip_peaks()
+    backend = jax.default_backend()
+    _log(f"backend={backend} device={jax.devices()[0].device_kind!r} "
+         f"peaks: {peaks[0] / 1e12:.0f} TFLOP/s bf16, "
+         f"{peaks[1] / 1e9:.0f} GB/s HBM")
+
+    if os.environ.get("BENCH_WORKER") == "1":
+        # isolated profiler pass: emit records for the parent, no summary
+        recs = run_all_modes(peaks, saturation_retry=False)
+        print("BENCH_RECS " + json.dumps(recs))
+        return 0
+
+    recs = {}
+    if backend == "tpu":
+        recs = {k: v for k, v in _recs_from_worker().items()
+                if v.get("valid")}
+        if recs:
+            _log(f"profiler worker delivered: {sorted(recs)}")
+    missing = [m for m in ("associative", "pallas", "fused", "w8a16-engine",
+                           "train-step") if m not in recs]
+    if missing:
+        _log(f"measuring in-process (no profiler): {missing}")
+        local = run_all_modes(peaks)
+        for k, v in local.items():
+            recs.setdefault(k, v)
 
     summary = summarize(recs, peaks, backend)
     print(json.dumps(summary))
@@ -383,8 +521,9 @@ def main():
 
 def summarize(recs, peaks, backend="tpu"):
     """Fold per-mode records into the single reported line, preferring
-    validated wall-clocks and falling back to the HBM-bound cost model
-    when no mode produced a physically-possible timing."""
+    device-profiler timings, then validated wall-clocks, and falling back
+    to the HBM-bound cost model when no mode produced a physically
+    possible timing."""
     serving = {k: v for k, v in recs.items() if k != "train-step"}
     if not serving:
         return {"metric": "ndns_s5_frames_per_sec_per_chip",
@@ -396,36 +535,42 @@ def summarize(recs, peaks, backend="tpu"):
     # lie. On such a backend NO plain wall-clock is trustworthy — a slow
     # per-dispatch overhead can exceed the SoL floor and masquerade as a
     # valid (and insultingly slow) measurement. Only saturated-queue
-    # timings (paced by the allocator, not by sync) remain admissible.
+    # timings (paced by the allocator, not by sync) and device-profiler
+    # timings (read from the runtime's own device track, no host sync
+    # involved) remain admissible.
     broken_sync = any(r["synced"] and not r["valid"]
+                      and not r.get("profiled")
                       for r in serving.values())
     if broken_sync:
         _log("backend sync proven broken (impossible timing observed) — "
-             "only saturated-queue wall-clocks are admissible")
+             "only profiler/saturated-queue timings are admissible")
     valid = {k: v for k, v in serving.items()
-             if v["valid"] and (not broken_sync or v.get("saturated"))}
+             if v["valid"] and (not broken_sync or v.get("saturated")
+                                or v.get("profiled"))}
     assoc = serving.get("associative")
 
     if valid:
         best_name = max(valid, key=lambda k: valid[k]["frames_per_sec"])
         best = valid[best_name]
         value = best["frames_per_sec"]
-        measurement = "wall-clock"
+        measurement = ("device-profiler" if best.get("profiled")
+                       else "wall-clock")
         # Baseline = the associative (reference-style) backend: its
         # measured rate when valid, else its own HBM-bound ceiling (an
         # upper bound on anything it could achieve => conservative ratio).
         if "associative" in valid:
-            baseline = assoc["frames_per_sec"]
+            baseline = valid["associative"]["frames_per_sec"]
         elif assoc is not None:
             baseline = assoc["sol_frames_per_sec"]
         else:
             baseline = value
         mfu, hbm_util = best["mfu"], best["hbm_util"]
     else:
-        # No trustworthy wall-clock (e.g. non-syncing tunnel backend):
-        # report the HBM-bound cost-model estimate for the best config
-        # instead of an impossible number.
-        best_name = max(serving, key=lambda k: serving[k]["sol_frames_per_sec"])
+        # No trustworthy timing (e.g. non-syncing tunnel backend without
+        # profiler support): report the HBM-bound cost-model estimate for
+        # the best config instead of an impossible number.
+        best_name = max(serving,
+                        key=lambda k: serving[k]["sol_frames_per_sec"])
         best = serving[best_name]
         value = best["sol_frames_per_sec"]
         measurement = "hbm-bound-cost-model"
@@ -434,10 +579,11 @@ def summarize(recs, peaks, backend="tpu"):
         sol_t = best["sol_t_ms"] / 1e3
         mfu = best["analytic_flops"] / sol_t / peaks[0]
         hbm_util = 1.0
-        _log("no valid wall-clock in any mode — reporting the HBM-bound "
+        _log("no valid timing in any mode — reporting the HBM-bound "
              f"cost-model estimate for {best_name} "
              "(see PERF.md measurement protocol)")
 
+    tstep = recs.get("train-step", {})
     return {
         "metric": "ndns_s5_frames_per_sec_per_chip",
         "value": round(value, 1),
@@ -450,8 +596,10 @@ def summarize(recs, peaks, backend="tpu"):
         "hbm_util": round(hbm_util, 4),
         "backend": backend,
         "train_step_frames_per_sec": (
-            round(recs["train-step"]["frames_per_sec"], 1)
-            if recs.get("train-step", {}).get("valid") else None),
+            round(tstep["frames_per_sec"], 1)
+            if tstep.get("valid") and (not broken_sync
+                                       or tstep.get("profiled"))
+            else None),
     }
 
 

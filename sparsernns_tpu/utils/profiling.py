@@ -121,6 +121,58 @@ def model_forward_flops(b: int, l: int, d_io: int, h: int, p: int,
     return flops
 
 
+def module_durations_from_trace(trace: dict, match: str) -> list:
+    """Per-execution durations (seconds) of the XLA module whose name
+    contains ``match``, pulled from a Chrome-trace dict: 'X' (complete)
+    events on threads whose metadata names them 'XLA Modules' — the
+    device-side executable track, populated by the runtime independently
+    of host synchronization (which is what makes these timings valid on
+    backends whose block_until_ready lies)."""
+    events = trace.get("traceEvents", [])
+    tids = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tids[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    return [float(e.get("dur", 0.0)) / 1e6
+            for e in events
+            if (e.get("ph") == "X"
+                and tids.get((e.get("pid"), e.get("tid"))) == "XLA Modules"
+                and match in e.get("name", ""))]
+
+
+def device_module_times(dispatch, iters: int, match: str) -> list:
+    """DEVICE-side per-iteration timings via jax.profiler: run ``iters``
+    chained ``dispatch(prev)`` calls under a trace and read the target
+    module's durations off the 'XLA Modules' track. Returns a (possibly
+    empty) list of seconds.
+
+    CAUTION: on some transports (the round-2 tunnel backend) a FAILED
+    ``start_trace`` poisons every subsequent device call in the process —
+    call this from an isolated subprocess when the backend is suspect
+    (bench.py's BENCH_WORKER protocol)."""
+    import glob
+    import gzip
+    import json
+    import tempfile
+
+    out = dispatch(None)  # compile + warm outside the trace window
+    jax.block_until_ready(out)
+    durs = []
+    with tempfile.TemporaryDirectory() as td:
+        jax.profiler.start_trace(td)
+        try:
+            prev = None
+            for _ in range(iters):
+                prev = dispatch(prev)
+            jax.block_until_ready(prev)
+        finally:
+            jax.profiler.stop_trace()
+        for fp in glob.glob(td + "/plugins/profile/*/*trace.json.gz"):
+            durs.extend(module_durations_from_trace(
+                json.load(gzip.open(fp)), match))
+    return durs
+
+
 def compiled_cost(lowerable, *args, **kw):
     """(flops, bytes_accessed) from XLA's cost model for a jitted callable.
     Host-side only (no execution / readback). Pallas custom-call FLOPs are

@@ -119,6 +119,75 @@ def test_broken_sync_backend_distrusts_plain_wallclocks():
     assert s["vs_baseline"] == pytest.approx(3.5e9 / 6.5e8, rel=0.01)
 
 
+def test_broken_sync_backend_accepts_profiler_timing():
+    """Device-profiler timings come from the runtime's own device track,
+    not host sync — they stay admissible (and preferred) on a
+    proven-broken backend."""
+    prof = bench._finalize("fused (profiler)", 1.2e-3, True, 1, 8 * 3751,
+                           1e10, 8.6e8, PEAKS, profiled=True)
+    assert prof["valid"] and prof["profiled"]
+    recs = {
+        "associative": _rec("associative", 80e-6, 3.5e9),  # broken proof
+        "fused": prof,
+    }
+    s = bench.summarize(recs, PEAKS)
+    assert s["measurement"] == "device-profiler"
+    assert s["best_config"] == "fused"
+    assert s["timing_valid"]
+    assert s["value"] == pytest.approx(8 * 3751 / 1.2e-3, rel=0.01)
+    # baseline = associative HBM bound (its own wall-clock is inadmissible)
+    assert s["vs_baseline"] == pytest.approx(
+        s["value"] / recs["associative"]["sol_frames_per_sec"], rel=0.01)
+
+
+def test_broken_sync_suppresses_unprofiled_train_step():
+    """A train-step wall-clock that passed the gate only because dispatch
+    overhead exceeds its SoL floor must not be reported once the
+    backend's sync is proven broken; a profiled one must be."""
+    base = {
+        "associative": _rec("associative", 80e-6, 3.5e9),  # broken proof
+        "fused": bench._finalize("fused (profiler)", 1.2e-3, True, 1,
+                                 8 * 3751, 1e10, 8.6e8, PEAKS,
+                                 profiled=True),
+    }
+    wall = dict(base, **{"train-step": _rec("train-step", 45e-3, 9e9)})
+    assert bench.summarize(wall, PEAKS)["train_step_frames_per_sec"] is None
+    prof = dict(base, **{"train-step": bench._finalize(
+        "train-step (profiler)", 12e-3, True, 1, 8 * 3751, 9e10, 9e9,
+        PEAKS, profiled=True)})
+    s = bench.summarize(prof, PEAKS)
+    assert s["train_step_frames_per_sec"] == pytest.approx(
+        8 * 3751 / 12e-3, rel=0.01)
+
+
+def test_module_durs_from_trace_parsing():
+    """The Chrome-trace parser keys on the 'XLA Modules' device track and
+    the target-module name match, ignoring host threads and other ops."""
+    trace = {"traceEvents": [
+        {"ph": "M", "name": "thread_name", "pid": 3, "tid": 2,
+         "args": {"name": "XLA Modules"}},
+        {"ph": "M", "name": "thread_name", "pid": 3, "tid": 3,
+         "args": {"name": "XLA Ops"}},
+        {"ph": "M", "name": "thread_name", "pid": 1, "tid": 9,
+         "args": {"name": "python"}},
+        # two real executions of the target module (dur in microseconds)
+        {"ph": "X", "pid": 3, "tid": 2, "name": "jit_bench_target(123)",
+         "dur": 102.0},
+        {"ph": "X", "pid": 3, "tid": 2, "name": "jit_bench_target(123)",
+         "dur": 98.0},
+        # other module on the device track: ignored
+        {"ph": "X", "pid": 3, "tid": 2, "name": "jit_add(456)", "dur": 50.0},
+        # target name on a NON-module track (op-level event): ignored
+        {"ph": "X", "pid": 3, "tid": 3, "name": "bench_target_fusion",
+         "dur": 40.0},
+        # host-thread event with a matching name: ignored
+        {"ph": "X", "pid": 1, "tid": 9, "name": "bench_target", "dur": 9.9},
+    ]}
+    durs = bench._module_durs_from_trace(trace, "bench_target")
+    assert durs == pytest.approx([102.0e-6, 98.0e-6])
+    assert bench._module_durs_from_trace({}, "bench_target") == []
+
+
 def test_broken_sync_backend_accepts_saturated_wallclock():
     """Saturated-queue timings are paced by the allocator, not by sync —
     they stay admissible on a proven-broken backend."""
