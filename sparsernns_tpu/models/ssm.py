@@ -104,6 +104,9 @@ class S5SSM(nn.Module):
     relufication: bool = False
     q_config: QuantizationConfig = QuantizationConfig.none()
     scan_mode: str = "associative"
+    # Time-block size for the Pallas kernel paths (scan_kernel/fused_s5).
+    # Shape- and chip-dependent; measured by utils/autotune.py.
+    block_t: int = 256
     topk: float = 1.0
     approx_topk: bool = False
     # Mesh for scan_mode="sp": the sequence-parallel TRAINING scan —
@@ -251,8 +254,9 @@ class S5SSM(nn.Module):
             d_in = fake_quant(d, cfg.d_precision) if act_qat else d
             # (d_bias is always None here: it is only set together with
             # b_bias, and b_bias routes to the non-fused path above)
-            ys = fused_s5_apply_diff(u_in, lam_bar, w_b, w_c, d_in, 256,
-                                     self.relufication, qat_bits)
+            ys = fused_s5_apply_diff(u_in, lam_bar, w_b, w_c, d_in,
+                                     self.block_t, self.relufication,
+                                     qat_bits)
             return ys, None
 
         # Input projection: ONE (..., L, H) @ (H, 2P) matmul. Each operand
@@ -286,7 +290,7 @@ class S5SSM(nn.Module):
             xs = diag_ssm_scan(lam_bar, bu, mode=mode,
                                carry_init=carry_init,
                                had_aa=had_aa, had_ax=had_ax,
-                               qat_bits=qat_bits)
+                               qat_bits=qat_bits, block_t=self.block_t)
         if carry_vars is not None:
             carry_vars[0].value = xs[0][..., -1, :]
             carry_vars[1].value = xs[1][..., -1, :]
@@ -309,7 +313,8 @@ class S5SSM(nn.Module):
             # bidirectional trains on the kernels in BOTH directions.
             xs_bwd = diag_ssm_scan(lam_bar, bu, mode=mode,
                                    reverse=True, had_aa=had_aa,
-                                   had_ax=had_ax, qat_bits=qat_bits)
+                                   had_ax=had_ax, qat_bits=qat_bits,
+                                   block_t=self.block_t)
             xs = (jnp.concatenate([xs[0], xs_bwd[0]], axis=-1),
                   jnp.concatenate([xs[1], xs_bwd[1]], axis=-1))
 
@@ -461,6 +466,7 @@ def make_ssm_init_fn(
     q_config: QuantizationConfig = QuantizationConfig.none(),
     scan_mode: str = "associative",
     sp_mesh=None,
+    block_t: int = 256,
 ) -> Callable:
     """Factory mirroring reference init_qS5SSM (ssm.py:625-663): returns a
     partial taking the per-layer knobs (step_rescale, topk, approx_topk)."""
@@ -471,5 +477,5 @@ def make_ssm_init_fn(
         dt_min=dt_min, dt_max=dt_max, conj_sym=conj_sym,
         clip_eigs=clip_eigs, bidirectional=bidirectional,
         relufication=relufication, q_config=q_config, scan_mode=scan_mode,
-        sp_mesh=sp_mesh,
+        sp_mesh=sp_mesh, block_t=block_t,
     )

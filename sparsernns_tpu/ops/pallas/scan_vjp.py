@@ -23,26 +23,29 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from sparsernns_tpu.ops.pallas.scan_kernel import pallas_diag_scan
+from sparsernns_tpu.ops.pallas.scan_kernel import (DEFAULT_BLOCK_T,
+                                                   pallas_diag_scan)
 from sparsernns_tpu.ops.scan import Pair
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def pallas_diag_scan_diff(lam: Pair, bu: Pair, qat_bits=None) -> Pair:
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def pallas_diag_scan_diff(lam: Pair, bu: Pair, qat_bits=None,
+                          block_t: int = DEFAULT_BLOCK_T) -> Pair:
     """``qat_bits``: in-kernel activation QAT on the forward; backward is
-    the straight-through adjoint of the unquantized scan."""
-    return pallas_diag_scan(lam, bu, qat_bits=qat_bits)
+    the straight-through adjoint of the unquantized scan. ``block_t``:
+    kernel time-block (utils/autotune.py)."""
+    return pallas_diag_scan(lam, bu, qat_bits=qat_bits, block_t=block_t)
 
 
-def _fwd(lam: Pair, bu: Pair, qat_bits=None):
-    xs = pallas_diag_scan(lam, bu, qat_bits=qat_bits)
+def _fwd(lam: Pair, bu: Pair, qat_bits=None, block_t: int = DEFAULT_BLOCK_T):
+    xs = pallas_diag_scan(lam, bu, qat_bits=qat_bits, block_t=block_t)
     return xs, (lam, xs)
 
 
-def _bwd(qat_bits, residuals, g: Pair):
+def _bwd(qat_bits, block_t, residuals, g: Pair):
     lam, xs = residuals
     lam_conj = (lam[0], -lam[1])
-    v = pallas_diag_scan(lam_conj, g, reverse=True)
+    v = pallas_diag_scan(lam_conj, g, reverse=True, block_t=block_t)
 
     # x_{t-1}: shift states right by one along time, zero at t=0.
     def shift(a):
@@ -61,21 +64,26 @@ def _bwd(qat_bits, residuals, g: Pair):
 pallas_diag_scan_diff.defvjp(_fwd, _bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def pallas_diag_scan_diff_rev(lam: Pair, bu: Pair, qat_bits=None) -> Pair:
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def pallas_diag_scan_diff_rev(lam: Pair, bu: Pair, qat_bits=None,
+                              block_t: int = DEFAULT_BLOCK_T) -> Pair:
     """Differentiable reverse scan: x_t = λ ⊙ x_{t+1} + bu_t."""
-    return pallas_diag_scan(lam, bu, reverse=True, qat_bits=qat_bits)
+    return pallas_diag_scan(lam, bu, reverse=True, qat_bits=qat_bits,
+                            block_t=block_t)
 
 
-def _fwd_rev(lam: Pair, bu: Pair, qat_bits=None):
-    xs = pallas_diag_scan(lam, bu, reverse=True, qat_bits=qat_bits)
+def _fwd_rev(lam: Pair, bu: Pair, qat_bits=None,
+             block_t: int = DEFAULT_BLOCK_T):
+    xs = pallas_diag_scan(lam, bu, reverse=True, qat_bits=qat_bits,
+                          block_t=block_t)
     return xs, (lam, xs)
 
 
-def _bwd_rev(qat_bits, residuals, g: Pair):
+def _bwd_rev(qat_bits, block_t, residuals, g: Pair):
     lam, xs = residuals
     lam_conj = (lam[0], -lam[1])
-    v = pallas_diag_scan(lam_conj, g)  # cotangents flow FORWARD in time
+    # cotangents flow FORWARD in time
+    v = pallas_diag_scan(lam_conj, g, block_t=block_t)
 
     # x_{t+1}: shift states left by one along time, zero at t = L-1.
     def shift(a):

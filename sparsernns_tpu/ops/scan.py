@@ -152,6 +152,7 @@ def diag_ssm_scan(
     state_requant: Optional[Callable[[Pair], Pair]] = None,
     unroll: int = 8,
     qat_bits: Optional[Tuple[Optional[int], Optional[int]]] = None,
+    block_t: Optional[int] = None,
 ) -> Pair:
     """Dispatch to a scan backend. Returns all-prefix states (..., L, P) pair.
 
@@ -159,6 +160,8 @@ def diag_ssm_scan(
     the doubling-kernel analog of the associative mode's had_aa/had_ax
     fake-quant hadamards (reference ssm.py:54-77). Associative/sequential
     modes express QAT through the hadamard callables instead.
+    ``block_t``: pallas kernel time-block (utils/autotune.py measures the
+    best value per shape; None = kernel default).
     """
     if state_requant is not None and mode != "sequential":
         raise NotImplementedError(
@@ -178,13 +181,16 @@ def diag_ssm_scan(
             had_ax=had_ax, state_requant=state_requant, unroll=unroll)
         return xs
     if mode == "pallas":
+        from sparsernns_tpu.ops.pallas.scan_kernel import DEFAULT_BLOCK_T
+        bt = DEFAULT_BLOCK_T if block_t is None else block_t
         if carry_init is None:
             from sparsernns_tpu.ops.pallas.scan_vjp import (
                 pallas_diag_scan_diff, pallas_diag_scan_diff_rev)
             fn = pallas_diag_scan_diff_rev if reverse \
                 else pallas_diag_scan_diff
-            return fn(lam, bu, qat_bits)
+            return fn(lam, bu, qat_bits, bt)
         from sparsernns_tpu.ops.pallas.scan_kernel import pallas_diag_scan
         return pallas_diag_scan(lam, bu, reverse=reverse,
-                                carry_init=carry_init, qat_bits=qat_bits)
+                                carry_init=carry_init, qat_bits=qat_bits,
+                                block_t=bt)
     raise ValueError(f"unknown scan mode: {mode}")

@@ -196,7 +196,8 @@ def convert(cfg: RunConfig) -> Dict[str, Any]:
                 relufication=cfg.relufication, prenorm=cfg.prenorm,
                 clip_eigs=cfg.clip_eigs, conj_sym=cfg.conj_sym,
                 discretization=cfg.discretization,
-                topk=cfg.topk, approx_topk=cfg.approx_topk))
+                topk=cfg.topk, approx_topk=cfg.approx_topk),
+            block_t=cfg.block_t)
         losses, snrs = [], []
         from sparsernns_tpu.train.losses import ndns_loss_from_mask
         for noisy, clean in valloader:

@@ -59,6 +59,8 @@ class RunConfig:
     fuse_batchnorm_linear: bool = False
     dim_scale: float = 1.0
     scan_mode: str = "associative"      # associative | sequential | pallas | fused
+    block_t: int = 256                  # Pallas kernels' time-block size
+                                        # (tune: python -m sparsernns_tpu.utils.autotune)
 
     # --- regularization / optimization ---
     p_dropout: float = 0.1
