@@ -102,6 +102,23 @@ def _pack_qweight(w: np.ndarray, bits: Optional[int]) -> QWeight:
     return QWeight(jnp.asarray(q), s)
 
 
+def _pack_dense(w: np.ndarray, bits: Optional[int], bs_cfg):
+    """Dense-kernel packing: QWeight normally; BlockSparseWeight when a
+    block-pruned checkpoint (pruning structure="block") zeroed enough
+    whole tiles for real skipping to pay. ``bs_cfg``: (bk, bn,
+    min_saving) or None. Quantize FIRST so the packed tiles carry the
+    same int grid as the QWeight path (parity with the static-quant
+    emulation is preserved exactly)."""
+    from sparsernns_tpu.ops.pallas.block_sparse import pack_block_sparse
+    q, s = pow2_quantize(w, bits)
+    if bs_cfg is not None:
+        bk, bn, min_saving = bs_cfg
+        bsw = pack_block_sparse(q, bk=bk, bn=bn, scale=s)
+        if 1.0 - bsw.density >= min_saving:
+            return bsw
+    return QWeight(jnp.asarray(q), s)
+
+
 def quantized_dense(x, w, bias, in_scale: Optional[float]):
     """Dense layer on the MXU's int8 path when both operands are 8-bit:
     x is quantized per-tensor onto the frozen ``in_scale`` grid (the same
@@ -113,6 +130,13 @@ def quantized_dense(x, w, bias, in_scale: Optional[float]):
     /root/reference/sparseRNNs/utils/quantization.py:221-283), executed
     for real instead of emulated in float. Falls back to the
     dequantize-and-float dot when either side isn't int8."""
+    from sparsernns_tpu.ops.pallas.block_sparse import (BlockSparseWeight,
+                                                        block_sparse_matmul)
+    if isinstance(w, BlockSparseWeight):
+        # zero-tile-skipping kernel; dequant scale applied inside the
+        # wrapper. (The int8-activation MXU path doesn't compose with
+        # tile skipping yet — the kernel computes in bf16/f32.)
+        return block_sparse_matmul(x, w) + bias
     if (in_scale is None or not isinstance(w, QWeight)
             or w.scale is None or w.data.dtype != jnp.int8):
         return x @ _deq(w, jnp.float32) + bias
@@ -273,7 +297,9 @@ class W8A16Engine:
     def __init__(self, params: Dict[str, Any], batch_stats: Dict[str, Any],
                  q_config: QuantizationConfig, model_cfg: FxpModelConfig,
                  act_dtype=jnp.bfloat16, block_t: int = 256,
-                 compact_state: bool = True):
+                 compact_state: bool = True,
+                 block_sparse_dense: Optional[Tuple[int, int]] = (32, 128),
+                 block_sparse_min_saving: float = 0.2):
         self.cfg = model_cfg
         self.act_dtype = act_dtype
         self.block_t = block_t
@@ -282,6 +308,23 @@ class W8A16Engine:
         #: sparsity (realized speedup is quantized to the kernel's
         #: 128-lane padding; see PERF.md)
         self.state_channels: List[Tuple[int, int]] = []
+        #: dense kernels packed block-sparse (block-pruned checkpoints):
+        #: name -> (kept_tiles, total_tiles). The honest realized saving
+        #: is 1 - kept/total — nothing is claimed for unstructured zeros.
+        self.dense_blocks: Dict[str, Tuple[int, int]] = {}
+        bs_cfg = (None if block_sparse_dense is None else
+                  (*block_sparse_dense, block_sparse_min_saving))
+
+        def pack_dense(name: str, w: np.ndarray, bits) -> Any:
+            from sparsernns_tpu.ops.pallas.block_sparse import \
+                BlockSparseWeight
+            r = _pack_dense(w, bits, bs_cfg)
+            if isinstance(r, BlockSparseWeight):
+                kt = -(-r.shape[0] // r.bk)
+                nt = -(-r.shape[1] // r.bn)
+                self.dense_blocks[name] = (r.nnz, kt * nt)
+            return r
+
         cfg = model_cfg
 
         enc = params["encoder"]
@@ -302,11 +345,11 @@ class W8A16Engine:
         self.encoder_in_scale = _in_scale("encoder", "encoder")
         self.decoder_in_scale = _in_scale("decoder")
 
-        self.encoder_kernel = _pack_qweight(
-            np.asarray(enc["encoder"]["kernel"]), wq)
+        self.encoder_kernel = pack_dense(
+            "encoder", np.asarray(enc["encoder"]["kernel"]), wq)
         self.encoder_bias = jnp.asarray(np.asarray(enc["encoder"]["bias"]))
-        self.decoder_kernel = _pack_qweight(
-            np.asarray(params["decoder"]["kernel"]), wq)
+        self.decoder_kernel = pack_dense(
+            "decoder", np.asarray(params["decoder"]["kernel"]), wq)
         self.decoder_bias = jnp.asarray(
             np.asarray(params["decoder"]["bias"]))
 
@@ -399,11 +442,13 @@ class W8A16Engine:
             out2_k = out2_b = out1_k = out1_b = None
             out2_s = out1_s = None
             if cfg.glu_variant in ("full", "half1", "half2"):
-                out2_k = _pack_qweight(np.asarray(lp["out2"]["kernel"]), wq)
+                out2_k = pack_dense(f"layers_{i}/out2",
+                                    np.asarray(lp["out2"]["kernel"]), wq)
                 out2_b = jnp.asarray(np.asarray(lp["out2"]["bias"]))
                 out2_s = _in_scale("encoder", f"layers_{i}", "out2")
             if cfg.glu_variant == "full":
-                out1_k = _pack_qweight(np.asarray(lp["out1"]["kernel"]), wq)
+                out1_k = pack_dense(f"layers_{i}/out1",
+                                    np.asarray(lp["out1"]["kernel"]), wq)
                 out1_b = jnp.asarray(np.asarray(lp["out1"]["bias"]))
                 out1_s = _in_scale("encoder", f"layers_{i}", "out1")
 

@@ -47,7 +47,13 @@ class PruningConfig:
     # MXU can actually exploit: the serving engine compacts pruned
     # channels away, shrinking the scan width and both projections
     # (SURVEY §7 hard part "unstructured 90% sparsity on TPU").
+    # "block": prune whole ``block_shape`` TILES of the 2-D dense kernels
+    # (encoder/decoder/GLU gates), scored by Frobenius norm — zero tiles
+    # are skipped outright by the serving engine's block-sparse matmul
+    # (ops/pallas/block_sparse.py): real FLOP + HBM savings equal to the
+    # zero-tile fraction.
     structure: str = "unstructured"
+    block_shape: tuple = (32, 128)   # (sublane, lane) tile for "block"
 
     @property
     def enabled(self) -> bool:
@@ -82,6 +88,9 @@ def pruning_recipes(epochs: int, steps_per_epoch: int) -> dict:
         base = PruningConfig.iterative_ste(s, epochs, steps_per_epoch)
         recipes[f"iterative-ste-state-{s}"] = dataclasses.replace(
             base, structure="state", distribution="uniform")
+        # tile pruning of the dense kernels (block-sparse serving)
+        recipes[f"iterative-ste-block-{s}"] = dataclasses.replace(
+            base, structure="block", distribution="uniform")
     return recipes
 
 
@@ -98,6 +107,10 @@ _NEVER_PRUNE = (
 def _prunable(path_leaf, cfg: PruningConfig) -> bool:
     path, leaf = path_leaf
     if leaf.ndim < cfg.min_ndim:
+        return False
+    # block mode targets exactly the 2-D dense kernels (B/C/Λ are covered
+    # by the state-channel structure instead)
+    if cfg.structure == "block" and leaf.ndim != 2:
         return False
     names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
     if any(n in _NEVER_PRUNE for n in names):
@@ -174,6 +187,27 @@ def scheduled_sparsity(cfg: PruningConfig, step: jax.Array) -> jax.Array:
     return cfg.final_sparsity * (1.0 - (1.0 - progress) ** 3)
 
 
+def _block_mask_for_leaf(leaf: jax.Array, sparsity: jax.Array,
+                         block_shape) -> jax.Array:
+    """Keep the (1 - sparsity) largest-Frobenius-norm tiles of a 2-D
+    kernel. Edge tiles (non-divisible dims) are scored on their actual
+    content (zero padding adds nothing to the norm)."""
+    bk, bn = block_shape
+    k, n = leaf.shape
+    kt, nt = -(-k // bk), -(-n // bn)
+    pad = jnp.pad(leaf.astype(jnp.float32),
+                  ((0, kt * bk - k), (0, nt * bn - n)))
+    tiles = pad.reshape(kt, bk, nt, bn)
+    score = jnp.sum(tiles * tiles, axis=(1, 3)).reshape(-1)  # (kt*nt,)
+    order = jnp.sort(score)
+    m = score.shape[0]
+    cut = jnp.clip((sparsity * m).astype(jnp.int32), 0, m - 1)
+    thr = order[cut]
+    keep = (score >= jnp.where(cut > 0, thr, -jnp.inf)).reshape(kt, nt)
+    mask = jnp.broadcast_to(keep[:, None, :, None], (kt, bk, nt, bn))
+    return mask.reshape(kt * bk, nt * bn)[:k, :n].astype(leaf.dtype)
+
+
 def _mask_for_leaf(leaf: jax.Array, sparsity: jax.Array) -> jax.Array:
     """Keep the (1 - sparsity) largest-magnitude entries. Static shapes:
     uses a sorted-magnitude threshold indexed by the (traced) sparsity."""
@@ -218,6 +252,12 @@ class MagnitudePruner:
             if rel == 0.0:
                 return mask
             s_layer = jnp.clip(s_global * rel, 0.0, 0.999)
+            if self.cfg.structure == "block":
+                return lax.cond(
+                    due,
+                    lambda: _block_mask_for_leaf(leaf, s_layer,
+                                                 self.cfg.block_shape),
+                    lambda: mask)
             return lax.cond(due, lambda: _mask_for_leaf(leaf, s_layer),
                             lambda: mask)
 

@@ -276,3 +276,38 @@ def test_engine_w8a8_int8_mxu_dense_path():
     assert rel < 0.15, rel  # a8 is coarser than a16; budget accordingly
     mean_rel = np.abs(y_e - y_q).mean() / denom
     assert mean_rel < 0.02, mean_rel
+
+
+def test_engine_block_sparse_dense(pipeline):  # noqa: F811
+    """Block-pruned dense kernels pack into the zero-tile-skipping
+    kernel with identical results to the masked-dense path, and the
+    engine records the honest kept/total tile accounting."""
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True)
+
+    pruned = jax.tree_util.tree_map(lambda a: a, frozen_params)  # copy
+    for i in range(2):
+        k = np.asarray(pruned["encoder"][f"layers_{i}"]["out2"]["kernel"])
+        k = k.copy()
+        k[0:4, 4:8] = 0.0       # one (4,4) tile
+        k[4:8, 0:4] = 0.0
+        k[8:12, 8:12] = 0.0
+        pruned["encoder"][f"layers_{i}"]["out2"]["kernel"] = jnp.asarray(k)
+
+    e_dense = W8A16Engine(pruned, frozen_stats, inf_cfg, model_cfg,
+                          block_t=32, block_sparse_dense=None)
+    e_bs = W8A16Engine(pruned, frozen_stats, inf_cfg, model_cfg,
+                       block_t=32, block_sparse_dense=(4, 4),
+                       block_sparse_min_saving=0.1)
+    # out2 is (12, 12) -> 9 tiles, 3 zeroed per layer
+    assert e_bs.dense_blocks["layers_0/out2"] == (6, 9)
+    assert e_bs.dense_blocks["layers_1/out2"] == (6, 9)
+    assert "encoder" not in e_bs.dense_blocks       # dense: no saving
+
+    y_d = np.asarray(e_dense(x))
+    y_b = np.asarray(e_bs(x))
+    np.testing.assert_allclose(y_b, y_d, rtol=2e-4, atol=2e-4)

@@ -194,3 +194,36 @@ def test_structured_pruned_training_and_engine_compaction(rng):
     y_full = np.asarray(e_full(x))
     y_comp = np.asarray(e_comp(x))
     np.testing.assert_allclose(y_comp, y_full, atol=2e-4)
+
+
+def test_block_pruning_masks(rng):
+    """structure="block": whole tiles of 2-D kernels zero together at
+    the scheduled fraction; non-2-D leaves are untouched."""
+    cfg = PruningConfig(
+        final_sparsity=0.5, update_start=0, update_end=100, update_freq=1,
+        structure="block", distribution="uniform", block_shape=(4, 8),
+        mode="ste")
+    params = {
+        "encoder": {"kernel": jnp.asarray(rng.randn(16, 24), jnp.float32),
+                    "bias": jnp.asarray(rng.randn(24), jnp.float32)},
+        "mixer": {"B": jnp.asarray(rng.randn(8, 16, 2), jnp.float32)},
+    }
+    pruner = MagnitudePruner(cfg)
+    masks = pruner.init_masks(params)
+    # at update_end the full 50% target applies
+    masks = pruner.update_masks(params, masks, jnp.asarray(cfg.update_end))
+
+    m = np.asarray(masks["encoder"]["kernel"])     # (16, 24) -> 4x3 tiles
+    tiles = m.reshape(4, 4, 3, 8).transpose(0, 2, 1, 3).reshape(12, 32)
+    per_tile = tiles.mean(axis=1)
+    assert set(np.unique(per_tile)).issubset({0.0, 1.0})   # whole tiles
+    assert abs(per_tile.mean() - 0.5) <= 1 / 12 + 1e-6     # ~target
+    # kept tiles are the highest-Frobenius ones
+    w = np.asarray(params["encoder"]["kernel"])
+    wt = w.reshape(4, 4, 3, 8).transpose(0, 2, 1, 3).reshape(12, 32)
+    norms = (wt ** 2).sum(axis=1)
+    kept = per_tile == 1.0
+    assert norms[kept].min() >= norms[~kept].max() - 1e-6
+    # 3-D and bias leaves untouched in block mode
+    assert np.all(np.asarray(masks["mixer"]["B"]) == 1.0)
+    assert np.all(np.asarray(masks["encoder"]["bias"]) == 1.0)
