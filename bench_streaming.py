@@ -1,0 +1,224 @@
+"""Streaming serving latency benchmark: per-chunk latency percentiles and
+real-time factor for the w8a16 engine's chunked forward (process_chunk —
+the continuous-batching hot path, serve/streaming.py routes through it).
+
+Reference has no streaming at all (SURVEY.md §5); the serving north star
+(BASELINE.json) asks for continuous batching of streaming audio. Each
+iteration is chained through the CARRIES (chunk i+1 consumes chunk i's
+state), so the device cannot overlap iterations — the natural data
+dependency of streaming is also the honest-measurement chain.
+
+Timing rules are bench.py's: device-profiler durations first (isolated
+worker subprocess on TPU — a failed start_trace poisons its process),
+per-iteration synced wall-clock otherwise, and every number is gated
+against the HBM speed-of-light from XLA's own bytes-accessed analysis.
+
+Output: one JSON line with per-chunk-size records:
+    {"metric": "streaming_chunk_latency", "records": [
+        {"chunk_frames": 64, "chunk_ms": 512, "p50_ms": ..., "p99_ms": ...,
+         "rtf_per_stream": ..., "rtf_batch": ..., "source": ..., "valid": ...}
+    ]}
+
+A frame is one STFT hop = 128 samples @ 16 kHz = 8 ms of audio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import bench  # noqa: E402  (repo-root bench machinery)
+
+FRAME_MS = 8.0          # STFT hop: 128 samples @ 16 kHz
+CHUNK_FRAMES = (16, 64, 256)
+# Broken-sync canary: small-chunk speed-of-light floors sit BELOW the
+# per-dispatch overhead, so a non-syncing backend's dispatch timings
+# would pass the per-record gate while measuring nothing. A large-chunk
+# canary has a floor well above dispatch overhead; if its synced
+# wall-clock lands below that floor, the backend's sync provably lies
+# and every non-profiler wall-clock in the run is inadmissible
+# (same proof rule as bench.summarize).
+CANARY_FRAMES = 2048
+BATCH = 8
+SOL_MARGIN = bench.SOL_MARGIN
+_REC_TAG = "STREAM_RECS "
+
+
+def _percentile(durs, q):
+    """Nearest-rank percentile: the ceil(q/100 * N)-th smallest value."""
+    import math
+    s = sorted(durs)
+    i = max(0, min(len(s) - 1, math.ceil(q / 100 * len(s)) - 1))
+    return s[i]
+
+
+def measure_chunk(chunk_frames: int, batch: int = BATCH, d_io: int = 257,
+                  iters: int = 20, use_profiler=None) -> dict:
+    """Latency record for one chunk size. Carries chain the iterations."""
+    from sparsernns_tpu.utils.profiling import chip_peaks
+
+    if use_profiler is None:
+        use_profiler = os.environ.get("BENCH_WORKER") == "1"
+    peaks = chip_peaks()
+    engine, variables, _ = bench._build_engine(batch, chunk_frames, d_io)
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(batch, chunk_frames, d_io)
+        .astype(np.float32) * 0.02)
+    carries0 = engine.init_stream_state(batch)
+
+    def bench_target(w, xi, carries):
+        return engine._apply_chunk(w, xi, carries, block_t=engine.block_t)
+
+    fwd = jax.jit(bench_target)
+    _, xla_bytes = bench._xla_cost(fwd, engine.weights, x, carries0)
+    sol_t = xla_bytes / peaks[1]
+
+    def dispatch(prev):
+        carries = carries0 if prev is None else prev
+        _, new_carries = fwd(engine.weights, x, carries)
+        return new_carries
+
+    durs, source = [], "wall-clock"
+    if use_profiler:
+        durs = bench._trace_module_times(dispatch, iters)
+        if len(durs) >= 3:
+            source = "device-profiler"
+    if len(durs) < 3:
+        out = dispatch(None)   # compile + warm
+        bench._sync(out)
+        prev, durs, synced = None, [], True
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            prev = dispatch(prev)
+            synced = bench._sync(prev) and synced
+            durs.append(time.perf_counter() - t0)
+        if not synced:
+            source = "wall-clock-unsynced"
+
+    p50 = _percentile(durs, 50)
+    chunk_s = chunk_frames * FRAME_MS / 1e3
+    rec = {
+        "chunk_frames": chunk_frames,
+        "chunk_ms": chunk_frames * FRAME_MS,
+        "batch": batch,
+        "p50_ms": p50 * 1e3,
+        "p99_ms": _percentile(durs, 99) * 1e3,
+        "n_timings": len(durs),
+        "sol_ms": sol_t * 1e3,
+        "hbm_util": xla_bytes / p50 / peaks[1] if p50 > 0 else 0.0,
+        # real-time factor: seconds of audio per second of compute
+        "rtf_per_stream": chunk_s / p50 if p50 > 0 else 0.0,
+        "rtf_batch": batch * chunk_s / p50 if p50 > 0 else 0.0,
+        "source": source,
+        "valid": (source != "wall-clock-unsynced"
+                  and p50 >= SOL_MARGIN * sol_t),
+    }
+    print(f"[stream] chunk={chunk_frames}f ({rec['chunk_ms']:.0f}ms) "
+          f"p50={rec['p50_ms']:.3f}ms p99={rec['p99_ms']:.3f}ms "
+          f"sol={rec['sol_ms']:.3f}ms rtf/stream={rec['rtf_per_stream']:.1f} "
+          f"({source}, valid={rec['valid']})", file=sys.stderr)
+    return rec
+
+
+def run_all(chunks=CHUNK_FRAMES, canary=True) -> list:
+    recs = []
+    todo = list(chunks) + ([CANARY_FRAMES] if canary else [])
+    for cf in todo:
+        try:
+            with bench._alarm(bench.BENCH_MODE_TIMEOUT_S):
+                rec = measure_chunk(cf)
+                rec["canary"] = cf == CANARY_FRAMES and cf not in chunks
+                recs.append(rec)
+        except Exception as e:  # noqa: BLE001 - keep per-chunk robustness
+            print(f"[stream] chunk={cf} failed: {e}", file=sys.stderr)
+    return recs
+
+
+def _recs_from_worker() -> list:
+    env = dict(os.environ)
+    env["BENCH_WORKER"] = "1"
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=1800)
+    except subprocess.TimeoutExpired:
+        print("[stream] profiler worker timed out", file=sys.stderr)
+        return []
+    sys.stderr.write(proc.stderr[-4000:])
+    for line in proc.stdout.splitlines():
+        if line.startswith(_REC_TAG):
+            try:
+                return json.loads(line[len(_REC_TAG):])
+            except json.JSONDecodeError:
+                break
+    print(f"[stream] worker produced no records (rc={proc.returncode})",
+          file=sys.stderr)
+    return []
+
+
+def summarize_stream(recs: list, backend: str) -> dict:
+    # Broken-sync proof (bench.summarize's rule): any synced wall-clock
+    # below its speed-of-light floor means the backend's sync lies, so
+    # every plain wall-clock in the run measured dispatch, not
+    # execution — only device-profiler records stay admissible.
+    broken_sync = any(r["source"] == "wall-clock" and not r["valid"]
+                      for r in recs)
+    if broken_sync:
+        print("[stream] backend sync proven broken (canary below its HBM "
+              "floor) — wall-clock latencies are dispatch-only, rejected",
+              file=sys.stderr)
+    latency = [r for r in recs if not r.get("canary")]
+    valid = [r for r in latency if r["valid"]
+             and (not broken_sync or r["source"] == "device-profiler")]
+    summary = {
+        "metric": "streaming_chunk_latency",
+        "backend": backend,
+        "broken_sync": broken_sync,
+        "records": sorted(latency, key=lambda r: r["chunk_frames"]),
+        "timing_valid": bool(valid),
+    }
+    if valid:
+        best = min(valid, key=lambda r: r["p50_ms"])
+        summary["best_p50_ms"] = round(best["p50_ms"], 3)
+        summary["best_chunk_frames"] = best["chunk_frames"]
+    elif latency:
+        # cost-model floor for the smallest chunk, clearly labelled
+        r0 = min(latency, key=lambda r: r["chunk_frames"])
+        summary["hbm_bound_p50_ms"] = round(r0["sol_ms"], 3)
+        summary["measurement"] = "hbm-bound-cost-model"
+    return summary
+
+
+def main() -> int:
+    backend = jax.default_backend()
+    if os.environ.get("BENCH_WORKER") == "1":
+        print(_REC_TAG + json.dumps(run_all()))
+        return 0
+
+    recs = []
+    if backend == "tpu":
+        # keep only the worker's PROFILED records: its wall-clocks are
+        # re-measured here so the canary proof always runs alongside them
+        recs = [r for r in _recs_from_worker()
+                if r.get("valid") and r["source"] == "device-profiler"]
+    have = {r["chunk_frames"] for r in recs}
+    missing = [c for c in CHUNK_FRAMES if c not in have]
+    if missing:
+        recs.extend(run_all(missing))
+
+    print(json.dumps(summarize_stream(recs, backend)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
