@@ -122,6 +122,10 @@ def measure_candidate(mode: str, block_t: int, b: int, l: int, h: int,
     dispatch, xla_bytes = _build_dispatch(mode, block_t, b, l, h, p)
     sol_t = xla_bytes / hbm_bw
 
+    failure = {"mode": mode, "block_t": block_t, "t_iter_s": 0.0,
+               "n_timings": 0, "source": "profiler-poisoned",
+               "xla_bytes": xla_bytes, "sol_t_s": sol_t,
+               "hbm_util": 0.0, "valid": False}
     durs, source = [], "none"
     if use_profiler:
         try:
@@ -133,19 +137,22 @@ def measure_candidate(mode: str, block_t: int, b: int, l: int, h: int,
             # A failed start_trace poisons this process's device calls on
             # the tunnel backend — a wall-clock attempt would hang until
             # the subprocess timeout. Report the failure immediately.
-            return {"mode": mode, "block_t": block_t, "t_iter_s": 0.0,
-                    "n_timings": 0, "source": "profiler-poisoned",
-                    "xla_bytes": xla_bytes, "sol_t_s": sol_t,
-                    "hbm_util": 0.0, "valid": False}
+            return failure
     if len(durs) < 3:
-        out = dispatch(None)  # warm/compile
-        jax.block_until_ready(out)
-        prev = None
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            prev = dispatch(prev)
-        jax.block_until_ready(prev)
-        elapsed = time.perf_counter() - t0
+        try:
+            out = dispatch(None)  # warm/compile
+            jax.block_until_ready(out)
+            prev = None
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                prev = dispatch(prev)
+            jax.block_until_ready(prev)
+            elapsed = time.perf_counter() - t0
+        except Exception as e:  # noqa: BLE001 - profiler poisoned quietly
+            # (an empty trace can poison the process without raising)
+            print(f"[autotune] wall-clock fallback failed for "
+                  f"block_t={block_t}: {e}", file=sys.stderr)
+            return failure
         durs, source = [elapsed / iters], "wall-clock"
 
     t_med = statistics.median(durs)
@@ -188,23 +195,29 @@ def autotune_block_t(mode: str = "fused", candidates=DEFAULT_CANDIDATES,
     records = []
     for bt in candidates:
         if isolate:
-            try:
-                proc = subprocess.run(
-                    _worker_cmd(mode, bt, b, l, h, p, iters),
-                    capture_output=True, text=True, timeout=timeout_s,
-                    env=dict(os.environ))
-            except subprocess.TimeoutExpired:
-                print(f"[autotune] block_t={bt} worker timed out",
-                      file=sys.stderr)
-                continue
-            sys.stderr.write(proc.stderr[-2000:])
             rec = None
-            for line in proc.stdout.splitlines():
-                if line.startswith(_REC_TAG):
-                    rec = json.loads(line[len(_REC_TAG):])
+            # the tunnel profiler is flaky per-process: one retry in a
+            # fresh subprocess recovers most transient failures
+            for attempt in range(2):
+                try:
+                    proc = subprocess.run(
+                        _worker_cmd(mode, bt, b, l, h, p, iters),
+                        capture_output=True, text=True, timeout=timeout_s,
+                        env=dict(os.environ))
+                except subprocess.TimeoutExpired:
+                    print(f"[autotune] block_t={bt} worker timed out",
+                          file=sys.stderr)
+                    continue
+                sys.stderr.write(proc.stderr[-2000:])
+                for line in proc.stdout.splitlines():
+                    if line.startswith(_REC_TAG):
+                        rec = json.loads(line[len(_REC_TAG):])
+                if rec is not None and rec["valid"]:
+                    break
+                print(f"[autotune] block_t={bt} attempt {attempt + 1} "
+                      f"produced {'no' if rec is None else 'an invalid'} "
+                      f"record (rc={proc.returncode})", file=sys.stderr)
             if rec is None:
-                print(f"[autotune] block_t={bt} worker produced no record "
-                      f"(rc={proc.returncode})", file=sys.stderr)
                 continue
             records.append(rec)
         else:
