@@ -1,0 +1,461 @@
+"""Whole-sequence-layer Pallas kernel: norm + S5 mixer + GLU + residual
+in ONE pass over the time blocks.
+
+The serving engine's layer body (quantize/engine.engine_layer_forward —
+norm -> mixer -> activation -> GLU gate -> residual add -> relu ->
+residual requant) compiles under XLA into several HBM round trips per
+layer: a pad/re-layout of the mixer input, the fused-mixer custom call
+(f32 out), and a large elementwise fusion that keeps BOTH a bf16 and an
+f32 copy of the stream alive (measured 640 MB accessed per flagship
+batch-8 forward). This kernel runs the ENTIRE layer per (batch,
+time-block) grid step, so a layer's HBM traffic collapses to
+
+    read residual block (2 bytes/elem) + write residual block (2 B/elem)
+
+with everything else resident in VMEM. The residual stream lives in HBM
+*padded* to the kernel geometry (L_pad, H_pad) and — when the layer has
+a calibrated residual requant (layers.quant_residual) — as the INTEGER
+codes of that requant grid (int16/int8). Storing the codes is EXACT:
+the engine semantics already round the stream onto that grid, so the
+int tensor carries the same values the f32 emulation holds, at 2 (or 1)
+bytes each. Uncalibrated streams store ``act_dtype`` instead.
+
+Reference analog: the layer body semantics are
+/root/reference/sparseRNNs/model/layers.py:180-241 (norm/GLU/residual)
++ ssm.py:84-187 (mixer); the single-pass fusion itself has no reference
+counterpart — it is the TPU-native answer to the HBM-bandwidth bound.
+
+Limitations (the engine falls back to the unfused layer path): top-k on
+the model dim, block-sparse GLU kernels, int8-activation (w8a8) dense
+dots, bidirectional.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sparsernns_tpu.ops.scan import Pair
+
+#: residual-stream storage for a requant of ``bits``: integer codes
+#: (exact values of the requant grid) at the smallest width that fits.
+def requant_storage_dtype(bits: int):
+    return jnp.int8 if bits <= 8 else jnp.int16
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _dequant_weight(ref, scales):
+    """int8 weight ref -> f32 values (dequant on the VPU in VMEM)."""
+    w = ref[...]
+    if scales is None:
+        return w.astype(jnp.float32) if w.dtype != jnp.float32 else w
+    return w.astype(jnp.float32)
+
+
+def _fused_layer_body(
+    r, refs, carry_re, carry_im, j, *,
+    num_passes, block_t, prenorm, relufication, glu,
+    relu_state, block_requant, wb_scales, wc_scales,
+    out2_scale, out1_scale, carry_init=None,
+):
+    """Shared layer math on an in-VMEM f32 residual block ``r`` (T, Hp).
+    ``refs`` is the dict of operand refs. Returns the new residual block
+    (T, Hp) f32, pre-(output-requant)."""
+    from sparsernns_tpu.ops.pallas.scan_kernel import scan_block_body
+
+    nw = refs["nw"][...]          # (1, Hp)
+    nb = refs["nb"][...]
+    z = r * nw + nb if prenorm else r
+
+    # ---- mixer: B-proj -> diagonal scan -> C-proj + D (fused_s5) ----
+    wb = _dequant_weight(refs["wb"], wb_scales)
+    bu = jnp.dot(z, wb, preferred_element_type=jnp.float32)
+    p = bu.shape[-1] // 2
+    bu_re, bu_im = bu[:, :p], bu[:, p:]
+    if wb_scales is not None:
+        bu_re = bu_re * wb_scales[0]
+        bu_im = bu_im * wb_scales[1]
+    x_re, x_im = scan_block_body(
+        bu_re, bu_im, refs["pow_re"], refs["pow_im"],
+        refs["ctab_re"], refs["ctab_im"], carry_re, carry_im, j,
+        num_passes=num_passes, block_t=block_t,
+        block_requant=block_requant, carry_init=carry_init)
+    if relu_state:
+        x_re = jnp.maximum(x_re, 0.0)
+        x_im = jnp.maximum(x_im, 0.0)
+    if wc_scales is not None:
+        xs_cat = jnp.concatenate([x_re * wc_scales[0],
+                                  x_im * wc_scales[1]], axis=-1)
+    else:
+        xs_cat = jnp.concatenate([x_re, x_im], axis=-1)
+    wc = _dequant_weight(refs["wc"], wc_scales)
+    y = jnp.dot(xs_cat, wc, preferred_element_type=jnp.float32)
+    y = y + refs["d"][...] * z
+
+    # ---- activation + GLU + residual (engine_layer_forward order) ----
+    x1 = jnp.maximum(y, 0.0) if relufication else jax.nn.gelu(y)
+    if glu in ("half1", "half2", "full"):
+        g = jnp.dot(x1, _dequant_weight(refs["out2_k"], out2_scale),
+                    preferred_element_type=jnp.float32)
+        if out2_scale is not None:
+            g = g * out2_scale
+        gate = jax.nn.sigmoid(g + refs["out2_b"][...])
+        if glu == "half1":
+            base = x1
+        elif glu == "half2":
+            base = y
+        else:
+            base = jnp.dot(x1, _dequant_weight(refs["out1_k"], out1_scale),
+                           preferred_element_type=jnp.float32)
+            if out1_scale is not None:
+                base = base * out1_scale
+            base = base + refs["out1_b"][...]
+        h = base * gate
+    else:
+        h = x1
+    h = h + r
+    if not prenorm:
+        h = h * nw + nb
+    if relufication:
+        h = jnp.maximum(h, 0.0)
+    return h
+
+
+def _store_out(out_ref, h, *, out_requant, out_dtype):
+    if out_requant is not None:
+        s, bits = out_requant
+        qmax = float(2 ** (bits - 1) - 1)
+        q = jnp.clip(jnp.round(h / s), -(qmax + 1.0), qmax)
+        out_ref[0] = q.astype(requant_storage_dtype(bits))
+    else:
+        out_ref[0] = h.astype(out_dtype)
+
+
+def _load_in(r_ref, *, in_requant):
+    r = r_ref[0].astype(jnp.float32)
+    if in_requant is not None:
+        r = r * in_requant[0]
+    return r
+
+
+def _make_kernel(glu, with_carry, **flags):
+    names = ["r"]
+    if with_carry:
+        names += ["ci_re", "ci_im"]
+    names += ["nw", "nb", "wb", "wc", "d",
+              "pow_re", "pow_im", "ctab_re", "ctab_im"]
+    if glu in ("half1", "half2", "full"):
+        names += ["out2_k", "out2_b"]
+    if glu == "full":
+        names += ["out1_k", "out1_b"]
+    n_out = 3 if with_carry else 1
+
+    def kernel(*all_refs):
+        in_refs = all_refs[:len(names)]
+        out_refs = all_refs[len(names):len(names) + n_out]
+        carry_re, carry_im = all_refs[len(names) + n_out:]
+        refs = dict(zip(names, in_refs))
+        j = pl.program_id(1)
+        r = _load_in(refs["r"], in_requant=flags["in_requant"])
+        carry_init = ((refs["ci_re"][0], refs["ci_im"][0])
+                      if with_carry else None)
+        h = _fused_layer_body(
+            r, refs, carry_re, carry_im, j,
+            num_passes=flags["num_passes"], block_t=flags["block_t"],
+            prenorm=flags["prenorm"], relufication=flags["relufication"],
+            glu=glu, relu_state=flags["relu_state"],
+            block_requant=flags["block_requant"],
+            wb_scales=flags["wb_scales"], wc_scales=flags["wc_scales"],
+            out2_scale=flags["out2_scale"], out1_scale=flags["out1_scale"],
+            carry_init=carry_init)
+        if with_carry:
+            out_refs[1][0] = carry_re[...]
+            out_refs[2][0] = carry_im[...]
+        _store_out(out_refs[0], h,
+                   out_requant=flags["out_requant"],
+                   out_dtype=flags["out_dtype"])
+
+    return kernel, names
+
+
+def _prep(r, lam, w_b, w_c, d, norm_w, norm_b, out2, out1, block_t):
+    """Pad every operand to the kernel geometry. ``r`` must already be
+    (B, L_pad, H_pad) with L_pad % block_t == 0, H_pad % 128 == 0 — the
+    stream stays padded ACROSS layers, so this pads only the (tiny)
+    weights. Returns the operand dict + geometry."""
+    from sparsernns_tpu.ops.pallas.scan_kernel import lambda_power_tables
+    b, l_pad, h_pad = r.shape
+    t = min(block_t, l_pad)
+    assert l_pad % t == 0 and h_pad % 128 == 0, (r.shape, block_t)
+    h = w_b.shape[0]
+    p = w_b.shape[-1] // 2
+    p_pad = _round_up(p, 128)
+
+    wb_re = jnp.pad(w_b[:, :p], ((0, h_pad - h), (0, p_pad - p)))
+    wb_im = jnp.pad(w_b[:, p:], ((0, h_pad - h), (0, p_pad - p)))
+    wc_re = jnp.pad(w_c[:p, :], ((0, p_pad - p), (0, h_pad - h)))
+    wc_im = jnp.pad(w_c[p:, :], ((0, p_pad - p), (0, h_pad - h)))
+    lam_re = jnp.pad(lam[0], (0, p_pad - p))
+    lam_im = jnp.pad(lam[1], (0, p_pad - p))
+    num_passes = max(1, (t - 1).bit_length())
+    pow_re, pow_im, ctab = lambda_power_tables(lam_re, lam_im, t, num_passes)
+
+    ops = {
+        "nw": jnp.pad(norm_w.astype(jnp.float32), (0, h_pad - h))[None, :],
+        "nb": jnp.pad(norm_b.astype(jnp.float32), (0, h_pad - h))[None, :],
+        "wb": jnp.concatenate([wb_re, wb_im], axis=-1),
+        "wc": jnp.concatenate([wc_re, wc_im], axis=0),
+        "d": jnp.pad(d, (0, h_pad - h))[None, :],
+        "pow_re": pow_re, "pow_im": pow_im,
+        "ctab_re": ctab[0], "ctab_im": ctab[1],
+    }
+    if out2 is not None:
+        k2, b2 = out2
+        ops["out2_k"] = jnp.pad(k2, ((0, h_pad - h), (0, h_pad - h)))
+        ops["out2_b"] = jnp.pad(b2, (0, h_pad - h))[None, :]
+    if out1 is not None:
+        k1, b1 = out1
+        ops["out1_k"] = jnp.pad(k1, ((0, h_pad - h), (0, h_pad - h)))
+        ops["out1_b"] = jnp.pad(b1, (0, h_pad - h))[None, :]
+    geo = dict(b=b, l_pad=l_pad, h_pad=h_pad, p_pad=p_pad, t=t,
+               num_passes=num_passes)
+    return ops, geo
+
+
+def _specs(ops, geo):
+    io_block = pl.BlockSpec((1, geo["t"], geo["h_pad"]),
+                            lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    return io_block, full
+
+
+def _out_storage(out_requant, act_dtype):
+    if out_requant is not None:
+        return requant_storage_dtype(out_requant[1])
+    return act_dtype
+
+
+@functools.partial(
+    jax.jit, static_argnames=(
+        "block_t", "prenorm", "relufication", "glu", "relu_state",
+        "in_requant", "out_requant", "block_requant", "wb_scales",
+        "wc_scales", "out2_scale", "out1_scale", "act_dtype", "interpret"))
+def fused_layer_apply(
+    r: jax.Array,                # (B, L_pad, H_pad) int16/int8/bf16/f32
+    lam: Pair,
+    w_b: jax.Array,              # (H, 2P) int8 (wb_scales) or f32
+    w_c: jax.Array,              # (2P, H)
+    d: jax.Array,                # (H,)
+    norm_w: jax.Array,           # (H,) folded-BN / LN affine
+    norm_b: jax.Array,
+    out2_kernel: Optional[jax.Array] = None,   # (H, H) GLU gate dense
+    out2_bias: Optional[jax.Array] = None,
+    out1_kernel: Optional[jax.Array] = None,   # (H, H) "full" value dense
+    out1_bias: Optional[jax.Array] = None,
+    *,
+    block_t: int = 256,
+    prenorm: bool = True,
+    relufication: bool = False,
+    glu: str = "half1",
+    relu_state: bool = False,
+    in_requant: Optional[Tuple[float, int]] = None,
+    out_requant: Optional[Tuple[float, int]] = None,
+    block_requant: Optional[Tuple[float, float, int]] = None,
+    wb_scales: Optional[Tuple[float, float]] = None,
+    wc_scales: Optional[Tuple[float, float]] = None,
+    out2_scale: Optional[float] = None,
+    out1_scale: Optional[float] = None,
+    act_dtype: Any = jnp.bfloat16,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """One serving layer in one kernel. Returns the new residual stream,
+    same padded shape as ``r``, stored as the out_requant codes
+    (int16/int8) or ``act_dtype``."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    glu_args = [a for a in (out2_kernel, out2_bias, out1_kernel, out1_bias)
+                if a is not None]
+
+    def body(r, lam_re, lam_im, w_b, w_c, d, norm_w, norm_b, *glu_ws):
+        out2 = (glu_ws[0], glu_ws[1]) if len(glu_ws) >= 2 else None
+        out1 = (glu_ws[2], glu_ws[3]) if len(glu_ws) >= 4 else None
+        ops, geo = _prep(r, (lam_re, lam_im), w_b, w_c, d,
+                         norm_w, norm_b, out2, out1, block_t)
+        kernel, names = _make_kernel(
+            glu, False, num_passes=geo["num_passes"], block_t=geo["t"],
+            prenorm=prenorm, relufication=relufication,
+            relu_state=relu_state, in_requant=in_requant,
+            out_requant=out_requant, block_requant=block_requant,
+            wb_scales=wb_scales, wc_scales=wc_scales,
+            out2_scale=out2_scale, out1_scale=out1_scale,
+            out_dtype=act_dtype)
+        io_block, full = _specs(ops, geo)
+        in_specs = [io_block] + [full(ops[n]) for n in names[1:]]
+        out = pl.pallas_call(
+            kernel,
+            grid=(geo["b"], geo["l_pad"] // geo["t"]),
+            in_specs=in_specs,
+            out_specs=io_block,
+            out_shape=jax.ShapeDtypeStruct(
+                r.shape, _out_storage(out_requant, act_dtype)),
+            scratch_shapes=[pltpu.VMEM((1, geo["p_pad"]), jnp.float32),
+                            pltpu.VMEM((1, geo["p_pad"]), jnp.float32)],
+            interpret=interpret,
+        )(r, *[ops[n] for n in names[1:]])
+        return out
+
+    from sparsernns_tpu.ops.pallas.partition import batch_partitioned
+    rule, repl = _layer_rule(8 + len(glu_args))
+    return batch_partitioned(body, rule, repl)(
+        r, lam[0], lam[1], w_b, w_c, d, norm_w, norm_b, *glu_args)
+
+
+@functools.partial(
+    jax.jit, static_argnames=(
+        "block_t", "prenorm", "relufication", "glu", "relu_state",
+        "in_requant", "out_requant", "block_requant", "wb_scales",
+        "wc_scales", "out2_scale", "out1_scale", "act_dtype", "interpret"))
+def fused_layer_apply_carry(
+    r: jax.Array,                # (B, L, H_pad); L % block == 0
+    carry: Pair,                 # (B, P) incoming state
+    lam: Pair,
+    w_b: jax.Array,
+    w_c: jax.Array,
+    d: jax.Array,
+    norm_w: jax.Array,
+    norm_b: jax.Array,
+    out2_kernel: Optional[jax.Array] = None,
+    out2_bias: Optional[jax.Array] = None,
+    out1_kernel: Optional[jax.Array] = None,
+    out1_bias: Optional[jax.Array] = None,
+    *,
+    block_t: int = 256,
+    prenorm: bool = True,
+    relufication: bool = False,
+    glu: str = "half1",
+    relu_state: bool = False,
+    in_requant: Optional[Tuple[float, int]] = None,
+    out_requant: Optional[Tuple[float, int]] = None,
+    block_requant: Optional[Tuple[float, float, int]] = None,
+    wb_scales: Optional[Tuple[float, float]] = None,
+    wc_scales: Optional[Tuple[float, float]] = None,
+    out2_scale: Optional[float] = None,
+    out1_scale: Optional[float] = None,
+    act_dtype: Any = jnp.bfloat16,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, Pair]:
+    """Streaming variant: the scan starts from ``carry`` and the final
+    state is returned — chunked serving with the whole layer fused.
+    Returns (new_residual, new_carry)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    glu_args = [a for a in (out2_kernel, out2_bias, out1_kernel, out1_bias)
+                if a is not None]
+
+    def body(r, ci_re, ci_im, lam_re, lam_im, w_b, w_c, d,
+             norm_w, norm_b, *glu_ws):
+        out2 = (glu_ws[0], glu_ws[1]) if len(glu_ws) >= 2 else None
+        out1 = (glu_ws[2], glu_ws[3]) if len(glu_ws) >= 4 else None
+        ops, geo = _prep(r, (lam_re, lam_im), w_b, w_c, d,
+                         norm_w, norm_b, out2, out1, block_t)
+        kernel, names = _make_kernel(
+            glu, True, num_passes=geo["num_passes"], block_t=geo["t"],
+            prenorm=prenorm, relufication=relufication,
+            relu_state=relu_state, in_requant=in_requant,
+            out_requant=out_requant, block_requant=block_requant,
+            wb_scales=wb_scales, wc_scales=wc_scales,
+            out2_scale=out2_scale, out1_scale=out1_scale,
+            out_dtype=act_dtype)
+        io_block, full = _specs(ops, geo)
+        carry_block = pl.BlockSpec((1, 1, geo["p_pad"]),
+                                   lambda i, j: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        in_specs = ([io_block, carry_block, carry_block]
+                    + [full(ops[n]) for n in names[3:]])
+        out, co_re, co_im = pl.pallas_call(
+            kernel,
+            grid=(geo["b"], geo["l_pad"] // geo["t"]),
+            in_specs=in_specs,
+            out_specs=[io_block, carry_block, carry_block],
+            out_shape=[
+                jax.ShapeDtypeStruct(
+                    r.shape, _out_storage(out_requant, act_dtype)),
+                jax.ShapeDtypeStruct((geo["b"], 1, geo["p_pad"]),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((geo["b"], 1, geo["p_pad"]),
+                                     jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((1, geo["p_pad"]), jnp.float32),
+                            pltpu.VMEM((1, geo["p_pad"]), jnp.float32)],
+            interpret=interpret,
+        )(r, ci_re, ci_im, *[ops[n] for n in names[3:]])
+        return out, co_re, co_im
+
+    p = w_b.shape[-1] // 2
+    p_pad = _round_up(p, 128)
+    ci_re = jnp.pad(carry[0].astype(jnp.float32),
+                    ((0, 0), (0, p_pad - p)))[:, None, :]
+    ci_im = jnp.pad(carry[1].astype(jnp.float32),
+                    ((0, 0), (0, p_pad - p)))[:, None, :]
+
+    from sparsernns_tpu.ops.pallas.partition import batch_partitioned
+    rule, repl = _layer_carry_rule(10 + len(glu_args))
+    out, co_re, co_im = batch_partitioned(body, rule, repl)(
+        r, ci_re, ci_im, lam[0], lam[1], w_b, w_c, d, norm_w, norm_b,
+        *glu_args)
+    return out, (co_re[:, 0, :p], co_im[:, 0, :p])
+
+
+def _gen_rule(arg_shapes_nd, result_nd, batch_args):
+    """Shardy rule: unique replicated factor per non-batch dim; the
+    leading batch factor ``b`` is shared by ``batch_args`` and results."""
+    factors = []
+    parts = []
+    i = 0
+    for ai, nd in enumerate(arg_shapes_nd):
+        dims = []
+        for k in range(nd):
+            if k == 0 and ai in batch_args:
+                dims.append("b")
+            else:
+                f = f"f{i}"
+                i += 1
+                factors.append(f)
+                dims.append(f)
+        parts.append(" ".join(dims))
+    # results share the FIRST batch arg's non-batch factors
+    res = []
+    first = parts[batch_args[0]].split()
+    for nd in result_nd:
+        res.append(" ".join(first[:nd]) if nd == len(first)
+                   else " ".join(["b"] + first[1:nd]))
+    return ", ".join(parts) + " -> " + ", ".join(res), tuple(factors)
+
+
+def _layer_rule(n_args):
+    # (r[b,l,h], lam_re[p], lam_im[p], wb[h,2p], wc[2p,h], d[h],
+    #  nw[h], nb[h][, out2k[h,h], out2b[h][, out1k, out1b]]) -> r'[b,l,h]
+    nds = [3, 1, 1, 2, 2, 1, 1, 1] + [2, 1, 2, 1][: n_args - 8]
+    return _gen_rule(nds, [3], [0])
+
+
+def _layer_carry_rule(n_args):
+    # adds ci_re/ci_im (b,1,p) operands and carry results
+    nds = [3, 3, 3, 1, 1, 2, 2, 1, 1, 1] + [2, 1, 2, 1][: n_args - 10]
+    rule, factors = _gen_rule(nds, [3], [0, 1, 2])
+    # results: r' shares r's factors; carries share ci_re's factors
+    head, _ = rule.split(" -> ")
+    parts = head.split(", ")
+    rule = head + " -> " + ", ".join([parts[0], parts[1], parts[1]])
+    return rule, factors

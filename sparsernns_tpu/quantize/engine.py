@@ -10,8 +10,13 @@ emulation, convert.py/fxpmodel.py) becomes a first-class kernel path:
   (value-identical to int dequant since scales are per-tensor pow2)
 - activations run at 16-bit (bf16 storage through the projections — the
   TPU-native meaning of "a16" — with fp32 scan state)
-- the whole mixer executes as the fused Pallas kernel (B-proj + scan +
-  C-proj, state never in HBM); encoder/decoder/GLU are single XLA matmuls
+- eligible configs execute each WHOLE LAYER as one Pallas kernel
+  (norm + B-proj + scan + C-proj + GLU + residual + requant —
+  ops/pallas/fused_layer.py) over a padded 2-byte residual stream
+  (int16 requant codes / bf16) resident in HBM: per-layer traffic is
+  one stream read + one write (18× less HBM traffic than the
+  reference-style associative path, PERF.md); other configs compose the
+  fused-mixer kernel with XLA matmuls for encoder/decoder/GLU
 
 The bit-exact per-step state requantization semantics live in the fxp
 engine and the sequential static-quant path; this engine is validated
@@ -465,6 +470,13 @@ class W8A16Engine:
                 out2_in_scale=out2_s, out1_in_scale=out1_s,
                 residual_requant=res_requant))
 
+        #: whole-layer fusion (ops/pallas/fused_layer): one kernel per
+        #: layer, residual stream resident in HBM as padded int16/bf16 —
+        #: collapses the per-layer traffic to read+write of one 2-byte
+        #: stream (the engine's speed-of-light path). Ineligible configs
+        #: fall back to the composable per-op path below.
+        self._stack_ok = self._fused_stack_eligible()
+
         # Weights are pytree ARGUMENTS of the jitted forward (not closure
         # constants): smaller executables, donation-friendly, no host
         # readback at lowering.
@@ -495,8 +507,91 @@ class W8A16Engine:
             topk=cfg.topk, approx_topk=cfg.approx_topk)
         return W8A16Engine(params, stats, q_config, model_cfg)
 
+    def _fused_stack_eligible(self) -> bool:
+        """The whole-layer kernel covers: no model-dim top-k, dense (non
+        block-sparse) GLU kernels on the float/bf16 activation path, and
+        residual requants that fit int16 codes. Everything else keeps the
+        per-op path (numerics identical — the kernel mirrors
+        engine_layer_forward op for op)."""
+        from sparsernns_tpu.ops.pallas.block_sparse import BlockSparseWeight
+        cfg = self.cfg
+        if cfg.topk < 1.0:
+            return False
+        if cfg.glu_variant not in ("half1", "half2", "full", "none"):
+            return False
+        for lp in self.layers:
+            for k, s in ((lp.out2_kernel, lp.out2_in_scale),
+                         (lp.out1_kernel, lp.out1_in_scale)):
+                if isinstance(k, BlockSparseWeight):
+                    return False
+                if s is not None:  # w8a8: int8-MXU dense stays unfused
+                    return False
+            if (lp.residual_requant is not None
+                    and lp.residual_requant[1] > 16):
+                return False
+        return True
+
+    @staticmethod
+    def _layer_kernel_args(layer: "_LayerPack", glu: str):
+        """(operand kwargs, static scale kwargs) for fused_layer_apply."""
+        args = dict(out2_kernel=None, out2_bias=None,
+                    out1_kernel=None, out1_bias=None)
+        scales = dict(out2_scale=None, out1_scale=None)
+        if glu in ("half1", "half2", "full"):
+            args["out2_kernel"] = layer.out2_kernel.data
+            args["out2_bias"] = layer.out2_bias
+            scales["out2_scale"] = layer.out2_kernel.scale
+        if glu == "full":
+            args["out1_kernel"] = layer.out1_kernel.data
+            args["out1_bias"] = layer.out1_bias
+            scales["out1_scale"] = layer.out1_kernel.scale
+        return args, scales
+
+    def _apply_stack(self, weights, x, block_t: int):
+        """Whole-layer-kernel forward: encoder -> pad once -> N single
+        kernel layers over a padded 2-byte residual stream -> decoder.
+        Value-equal to the per-op path up to f32 summation order (the
+        mixer input is NOT cast to bf16 here — the stream's only
+        quantization is the calibrated residual requant itself)."""
+        from sparsernns_tpu.ops.pallas.fused_layer import fused_layer_apply
+        cfg = self.cfg
+        h = engine_encode(cfg, weights["encoder_kernel"],
+                          weights["encoder_bias"], x,
+                          in_scale=self.encoder_in_scale)
+        b, l, hd = h.shape
+        t = min(block_t, -(-l // 8) * 8)
+        l_pad = -(-l // t) * t
+        h_pad = -(-hd // 128) * 128
+        r = jnp.pad(h, ((0, 0), (0, l_pad - l), (0, h_pad - hd))
+                    ).astype(self.act_dtype)
+        in_rq = None
+        for layer in weights["layers"]:
+            out_rq = layer.residual_requant
+            glu_args, glu_scales = self._layer_kernel_args(
+                layer, cfg.glu_variant)
+            r = fused_layer_apply(
+                r, layer.lam, layer.w_b, layer.w_c, layer.d,
+                layer.norm_w, layer.norm_b, **glu_args,
+                block_t=t, prenorm=cfg.prenorm,
+                relufication=cfg.relufication, glu=cfg.glu_variant,
+                relu_state=cfg.relufication,
+                in_requant=in_rq, out_requant=out_rq,
+                block_requant=layer.state_requant,
+                wb_scales=layer.wb_scales, wc_scales=layer.wc_scales,
+                act_dtype=self.act_dtype, **glu_scales)
+            in_rq = out_rq
+        rf = r.astype(jnp.float32)
+        if in_rq is not None:
+            rf = rf * in_rq[0]
+        rf = rf[:, :l, :hd]
+        return quantized_dense(rf, weights["decoder_kernel"],
+                               weights["decoder_bias"],
+                               self.decoder_in_scale)
+
     def _apply(self, weights, x, block_t: int):
         """x: (B, L, d_input) f32 -> mask (B, L, d_output)."""
+        if self._stack_ok:
+            return self._apply_stack(weights, x, block_t)
         cfg = self.cfg
         h = engine_encode(cfg, weights["encoder_kernel"],
                           weights["encoder_bias"], x,
@@ -550,11 +645,56 @@ class W8A16Engine:
              jnp.zeros((batch, layer.w_b.shape[-1] // 2), jnp.float32))
             for layer in self.layers)
 
+    def _apply_chunk_stack(self, weights, x, carries, block_t: int):
+        """Chunked whole-layer-kernel forward (streaming counterpart of
+        _apply_stack): per-layer carry I/O, residual stream padded on the
+        lane dim only (the chunk length must already divide the time
+        block — process_chunk's contract)."""
+        from sparsernns_tpu.ops.pallas.fused_layer import \
+            fused_layer_apply_carry
+        cfg = self.cfg
+        h = engine_encode(cfg, weights["encoder_kernel"],
+                          weights["encoder_bias"], x,
+                          in_scale=self.encoder_in_scale)
+        b, l, hd = h.shape
+        t = min(block_t, l)
+        h_pad = -(-hd // 128) * 128
+        r = jnp.pad(h, ((0, 0), (0, 0), (0, h_pad - hd))
+                    ).astype(self.act_dtype)
+        in_rq = None
+        new_carries = []
+        for layer, carry in zip(weights["layers"], carries):
+            out_rq = layer.residual_requant
+            glu_args, glu_scales = self._layer_kernel_args(
+                layer, cfg.glu_variant)
+            r, new_c = fused_layer_apply_carry(
+                r, carry, layer.lam, layer.w_b, layer.w_c, layer.d,
+                layer.norm_w, layer.norm_b, **glu_args,
+                block_t=t, prenorm=cfg.prenorm,
+                relufication=cfg.relufication, glu=cfg.glu_variant,
+                relu_state=cfg.relufication,
+                in_requant=in_rq, out_requant=out_rq,
+                block_requant=layer.state_requant,
+                wb_scales=layer.wb_scales, wc_scales=layer.wc_scales,
+                act_dtype=self.act_dtype, **glu_scales)
+            new_carries.append(new_c)
+            in_rq = out_rq
+        rf = r.astype(jnp.float32)
+        if in_rq is not None:
+            rf = rf * in_rq[0]
+        rf = rf[:, :, :hd]
+        out = quantized_dense(rf, weights["decoder_kernel"],
+                              weights["decoder_bias"],
+                              self.decoder_in_scale)
+        return out, tuple(new_carries)
+
     def _apply_chunk(self, weights, x, carries, block_t: int):
         """Chunked forward: like _apply but each layer's scan starts from
         its carry and returns the updated one (fused_s5_apply_carry —
         streaming at fused-kernel speed). L must divide the time block."""
         from sparsernns_tpu.ops.pallas.fused_s5 import fused_s5_apply_carry
+        if self._stack_ok:
+            return self._apply_chunk_stack(weights, x, carries, block_t)
         cfg = self.cfg
         h = engine_encode(cfg, weights["encoder_kernel"],
                           weights["encoder_bias"], x,

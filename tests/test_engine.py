@@ -278,6 +278,30 @@ def test_engine_w8a8_int8_mxu_dense_path():
     assert mean_rel < 0.02, mean_rel
 
 
+def test_engine_fused_stack_matches_per_op(pipeline):  # noqa: F811
+    """The whole-layer-fused stack (one kernel per layer, padded
+    int16/bf16 residual stream in HBM) is BIT-EXACT against the per-op
+    engine path at f32 activations, and within bf16-cast noise at bf16
+    (the per-op path casts the mixer input to bf16; the stack keeps it
+    f32 in VMEM — its only stream quantization is the calibrated
+    residual requant both paths share)."""
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True)
+    for adt, tol in ((jnp.float32, 0.0), (jnp.bfloat16, 5e-3)):
+        e_new = W8A16Engine(frozen_params, frozen_stats, inf_cfg,
+                            model_cfg, block_t=32, act_dtype=adt)
+        assert e_new._stack_ok
+        e_old = W8A16Engine(frozen_params, frozen_stats, inf_cfg,
+                            model_cfg, block_t=32, act_dtype=adt)
+        e_old._stack_ok = False
+        d = np.abs(np.asarray(e_new(x)) - np.asarray(e_old(x)))
+        assert d.max() <= tol, (adt, d.max())
+
+
 def test_engine_block_sparse_dense(pipeline):  # noqa: F811
     """Block-pruned dense kernels pack into the zero-tile-skipping
     kernel with identical results to the masked-dense path, and the
@@ -300,9 +324,16 @@ def test_engine_block_sparse_dense(pipeline):  # noqa: F811
 
     e_dense = W8A16Engine(pruned, frozen_stats, inf_cfg, model_cfg,
                           block_t=32, block_sparse_dense=None)
+    # block-sparse packs are excluded from the whole-layer-fused stack
+    # (engine._fused_stack_eligible), so compare like-for-like on the
+    # per-op path — the claim under test is tile-skipping == masked
+    # dense, not stack-vs-per-op numerics (covered by
+    # test_engine_fused_stack_matches_per_op).
+    e_dense._stack_ok = False
     e_bs = W8A16Engine(pruned, frozen_stats, inf_cfg, model_cfg,
                        block_t=32, block_sparse_dense=(4, 4),
                        block_sparse_min_saving=0.1)
+    assert not e_bs._stack_ok
     # out2 is (12, 12) -> 9 tiles, 3 zeroed per layer
     assert e_bs.dense_blocks["layers_0/out2"] == (6, 9)
     assert e_bs.dense_blocks["layers_1/out2"] == (6, 9)
