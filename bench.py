@@ -127,13 +127,22 @@ def _sync(out, deadline_s: float = SYNC_DEADLINE_S) -> bool:
 
 
 def _xla_cost(jitted, *args):
-    """(flops, bytes_accessed) from the compiled executable's cost model.
-    Host-side only. Pallas custom-call FLOPs are invisible to XLA; bytes
-    (operand/result I/O == the kernels' HBM traffic) are counted."""
-    ca = jitted.lower(*args).compile().cost_analysis()
+    """(flops, bytes_accessed) from the compiled executable's cost model,
+    PLUS each Pallas custom-call's operand/result I/O — XLA counts
+    custom-calls as zero bytes, which would under-state the HBM floor of
+    the kernel-heavy modes and weaken the speed-of-light gate
+    (profiling.custom_call_bytes_from_hlo). Host-side only."""
+    from sparsernns_tpu.utils.profiling import custom_call_bytes_from_hlo
+    compiled = jitted.lower(*args).compile()
+    ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0] if ca else {}
-    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    bytes_accessed = float(ca.get("bytes accessed", 0.0))
+    try:
+        bytes_accessed += custom_call_bytes_from_hlo(compiled.as_text())
+    except Exception:  # noqa: BLE001 - backend without as_text
+        pass
+    return float(ca.get("flops", 0.0)), bytes_accessed
 
 
 # Shared Chrome-trace parser (also used by the block_t autotuner).
@@ -465,25 +474,41 @@ def _recs_from_worker() -> dict:
     enabled. A failed start_trace poisons every later device call in its
     process on some backends (observed on the tunnel), so the profiler
     only ever runs behind this isolation boundary; the parent merges
-    whatever valid records come back."""
+    whatever valid records come back. The tunnel profiler is also flaky
+    per-process, so one retry in a fresh subprocess recovers most
+    transient failures (only still-missing modes rerun — merged across
+    attempts)."""
     env = dict(os.environ)
     env["BENCH_WORKER"] = "1"
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=2400)
-    except subprocess.TimeoutExpired:
-        _log("profiler worker timed out; falling back to wall-clock")
-        return {}
-    sys.stderr.write(proc.stderr[-4000:])
-    for line in proc.stdout.splitlines():
-        if line.startswith("BENCH_RECS "):
-            try:
-                return json.loads(line[len("BENCH_RECS "):])
-            except json.JSONDecodeError:
-                break
-    _log(f"profiler worker produced no records (rc={proc.returncode})")
-    return {}
+    all_modes = ("associative", "pallas", "fused", "w8a16-engine",
+                 "train-step")
+    merged: dict = {}
+    for attempt in range(2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=2400)
+        except subprocess.TimeoutExpired:
+            _log("profiler worker timed out; falling back to wall-clock")
+            break
+        sys.stderr.write(proc.stderr[-4000:])
+        recs = {}
+        for line in proc.stdout.splitlines():
+            if line.startswith("BENCH_RECS "):
+                try:
+                    recs = json.loads(line[len("BENCH_RECS "):])
+                except json.JSONDecodeError:
+                    pass
+        for k, v in recs.items():
+            if v.get("valid") and k not in merged:
+                merged[k] = v
+        missing = [m for m in all_modes if m not in merged]
+        if not missing:
+            break
+        _log(f"profiler worker attempt {attempt + 1}: valid for "
+             f"{sorted(merged)} (rc={proc.returncode}); "
+             f"missing {missing}")
+    return merged
 
 
 def main():

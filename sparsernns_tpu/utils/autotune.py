@@ -100,6 +100,38 @@ def _build_dispatch(mode: str, block_t: int, b: int, l: int, h: int,
             bri = bu_re if prev is None else bu_re + 1e-20 * prev[0]
             return fwd(bri, bu_im, lam_re, lam_im)
 
+    elif mode == "layer":
+        # the serving engine's whole-layer kernel (fused_layer.py):
+        # padded bf16 residual stream in, bf16 out — the per-layer unit
+        # of the engine's fused stack (half1 GLU, the flagship config)
+        from sparsernns_tpu.ops.pallas.fused_layer import fused_layer_apply
+        h_pad = -(-h // 128) * 128
+        t = min(block_t, -(-l // 8) * 8)
+        l_pad = -(-l // t) * t
+        w_b = jnp.asarray(rng.randn(h, 2 * p).astype(np.float32) * 0.1)
+        w_c = jnp.asarray(rng.randn(2 * p, h).astype(np.float32) * 0.1)
+        d = jnp.asarray(rng.randn(h).astype(np.float32) * 0.1)
+        nw = jnp.asarray(1.0 + 0.05 * rng.randn(h).astype(np.float32))
+        nb = jnp.asarray(0.05 * rng.randn(h).astype(np.float32))
+        o2k = jnp.asarray(rng.randn(h, h).astype(np.float32) * 0.1)
+        o2b = jnp.asarray(rng.randn(h).astype(np.float32) * 0.1)
+        r = jnp.zeros((b, l_pad, h_pad), jnp.bfloat16)
+
+        def autotune_target(r, lam_re, lam_im, w_b, w_c, d, nw, nb,
+                            o2k, o2b):
+            return fused_layer_apply(
+                r, (lam_re, lam_im), w_b, w_c, d, nw, nb, o2k, o2b,
+                block_t=block_t, glu="half1", act_dtype=jnp.bfloat16)
+
+        fwd = jax.jit(autotune_target)
+        _, xla_bytes = compiled_cost(autotune_target, r, lam_re, lam_im,
+                                     w_b, w_c, d, nw, nb, o2k, o2b)
+
+        def dispatch(prev):
+            ri = (r if prev is None else
+                  (r + 1e-20 * prev).astype(jnp.bfloat16))
+            return fwd(ri, lam_re, lam_im, w_b, w_c, d, nw, nb, o2k, o2b)
+
     else:
         raise ValueError(f"unknown autotune mode {mode!r}")
     return dispatch, xla_bytes
@@ -235,7 +267,8 @@ def autotune_block_t(mode: str = "fused", candidates=DEFAULT_CANDIDATES,
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser("sparsernns_tpu.autotune")
-    ap.add_argument("--mode", default="fused", choices=["fused", "scan"])
+    ap.add_argument("--mode", default="fused",
+                    choices=["fused", "scan", "layer"])
     ap.add_argument("--candidates", default=None,
                     help="comma-separated block_t values")
     ap.add_argument("--batch", type=int, default=8)

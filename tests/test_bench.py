@@ -203,3 +203,34 @@ def test_broken_sync_backend_accepts_saturated_wallclock():
     assert s["best_config"] == "fused"
     # baseline falls back to the associative HBM bound (conservative)
     assert s["value"] == pytest.approx(8 * 3751 / 20e-3, rel=0.01)
+
+
+def test_custom_call_bytes_from_hlo():
+    """XLA cost_analysis counts Pallas custom-calls as ZERO bytes; the
+    HLO-text accounting must add operand (from operand_layout_constraints)
+    + result bytes so the speed-of-light floor covers kernel I/O.
+    Measured on-TPU: an isolated pallas_diag_scan moving ~8.95 MB reported
+    0.29 MB before this fix."""
+    from sparsernns_tpu.utils.profiling import custom_call_bytes_from_hlo
+
+    line = (
+        '  ROOT %pallas_diag_scan.1 = (f32[8,512,128]{2,1,0:T(8,128)}, '
+        'f32[8,512,128]{2,1,0:T(8,128)}) custom-call(%c.1, %d.1, '
+        '%concatenate.0, /*index=3*/%get-tuple-element.5), '
+        'custom_call_target="tpu_custom_call", '
+        'operand_layout_constraints={f32[8,512,128]{2,1,0}, '
+        'f32[8,512,128]{2,1,0}, bf16[8,128]{1,0}, s8[256,128]{1,0}}, '
+        'frontend_attributes={kernel_metadata={}}, '
+        'metadata={op_name="pallas_call" source_line=278}, '
+        'backend_config={"custom_call_config":{"body":"f32[9,9]bogus"}}'
+    )
+    got = custom_call_bytes_from_hlo("before\n" + line + "\nafter")
+    f32 = 8 * 512 * 128 * 4
+    expect = 2 * f32 + 2 * f32 + 8 * 128 * 2 + 256 * 128 * 1
+    assert got == expect
+
+    # non-Pallas custom-calls and plain ops contribute nothing
+    other = ('%x = f32[64]{0} custom-call(%y), '
+             'custom_call_target="Sharding"')
+    assert custom_call_bytes_from_hlo(other) == 0.0
+    assert custom_call_bytes_from_hlo("%a = f32[4096]{0} add(%b, %c)") == 0.0
