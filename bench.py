@@ -42,10 +42,11 @@ dispatch-only and 13x over the HBM speed-of-light):
    result (measured on the round-1 tunnel backend: the allocator does
    backpressure, it was dispatch that was async).
 5. If no mode produces a valid wall-clock, the reported value falls
-   back to the HBM-bound cost-model estimate for the best config —
-   explicitly labelled "measurement": "hbm-bound-cost-model" — instead
-   of an impossible number. MFU and HBM utilization are reported either
-   way.
+   back to the ROOFLINE cost-model estimate for the best config — the
+   max of the HBM floor (bytes / bandwidth) and the padded-MXU floor
+   (profiling.model_padded_flops / peak) — explicitly labelled
+   "measurement": "roofline-cost-model" — instead of an impossible
+   number. MFU and HBM utilization are reported either way.
 """
 
 from __future__ import annotations
@@ -74,6 +75,11 @@ SOL_MARGIN = 0.6
 
 class _BenchTimeout(Exception):
     pass
+
+
+class _ProfilerDead(Exception):
+    """start_trace failed — the process is poisoned (observed on the
+    tunnel backend: every later device call errors UNIMPLEMENTED)."""
 
 
 @contextlib.contextmanager
@@ -170,7 +176,14 @@ def _trace_module_times(dispatch, iters, match="bench_target"):
     durs = []
     try:
         with tempfile.TemporaryDirectory() as td:
-            jax.profiler.start_trace(td)
+            try:
+                jax.profiler.start_trace(td)
+            except Exception as e:  # noqa: BLE001
+                # A failed start_trace poisons every later device call in
+                # this process on some backends — nothing else this worker
+                # could do will succeed, so stop the whole pass now and
+                # tell the parent not to retry.
+                raise _ProfilerDead(str(e)) from e
             try:
                 prev = None
                 for _ in range(iters):
@@ -188,10 +201,17 @@ def _trace_module_times(dispatch, iters, match="bench_target"):
 
 def _finalize(name, elapsed, synced, iters, frames_per_iter,
               analytic_flops, xla_bytes, peaks, saturated=False,
-              profiled=False):
+              profiled=False, padded_flops=0.0):
     peak_flops, hbm_bw = peaks
     t_iter = elapsed / iters
-    sol_t = xla_bytes / hbm_bw               # HBM-bound floor, seconds
+    # Roofline floor: max of the HBM bound and the MXU bound at the
+    # kernel-padded shapes (profiling.model_padded_flops). The
+    # whole-network kernel pushed HBM traffic below the compute time,
+    # so an HBM-only floor would both under-reject fake timings and
+    # over-state the cost-model fallback.
+    sol_hbm = xla_bytes / hbm_bw
+    sol_mxu = padded_flops / peak_flops
+    sol_t = max(sol_hbm, sol_mxu)            # floor, seconds
     rec = {
         "name": name,
         "saturated": bool(saturated),
@@ -199,6 +219,9 @@ def _finalize(name, elapsed, synced, iters, frames_per_iter,
         "frames_per_sec": frames_per_iter / t_iter if t_iter > 0 else 0.0,
         "t_iter_ms": t_iter * 1e3,
         "sol_t_ms": sol_t * 1e3,
+        "sol_hbm_ms": sol_hbm * 1e3,
+        "sol_mxu_ms": sol_mxu * 1e3,
+        "floor": "mxu" if sol_mxu > sol_hbm else "hbm",
         "mfu": analytic_flops / t_iter / peak_flops if t_iter > 0 else 0.0,
         "hbm_util": xla_bytes / t_iter / hbm_bw if t_iter > 0 else 0.0,
         "xla_bytes": xla_bytes,
@@ -260,7 +283,8 @@ def _ballast(reserve_bytes: int):
 
 
 def _measure(name, dispatch, iters, frames_per_iter, flops, xla_bytes,
-             peaks, n_fill=0, reserve_gb=None, use_profiler=None):
+             peaks, n_fill=0, reserve_gb=None, use_profiler=None,
+             padded_flops=0.0):
     """Measure one config: device-profiler timings first (sync-free,
     per-iteration module durations), wall-clock as the fallback. Every
     result passes the same speed-of-light gate in _finalize.
@@ -278,7 +302,7 @@ def _measure(name, dispatch, iters, frames_per_iter, flops, xla_bytes,
             t_med = statistics.median(durs)
             rec = _finalize(f"{name} (profiler)", t_med * len(durs), True,
                             len(durs), frames_per_iter, flops, xla_bytes,
-                            peaks, profiled=True)
+                            peaks, profiled=True, padded_flops=padded_flops)
             if rec["valid"]:
                 return rec
             _log(f"{name}: profiler timing rejected, trying wall-clock")
@@ -289,7 +313,8 @@ def _measure(name, dispatch, iters, frames_per_iter, flops, xla_bytes,
     suffix = " (saturated)" if reserve_gb else ""
     return _finalize(name + suffix, elapsed, synced, iters, frames_per_iter,
                      flops, xla_bytes, peaks,
-                     saturated=reserve_gb is not None)
+                     saturated=reserve_gb is not None,
+                     padded_flops=padded_flops)
 
 
 def _model_dims(params):
@@ -300,28 +325,56 @@ def _model_dims(params):
     return n_layers, b.shape[1], b.shape[0], d_io  # n, H, P_scanned, d_io
 
 
+def _chained_dispatch(fwd, weights, x, bias_path):
+    """dispatch(prev) that chains iterations through a WEIGHT leaf:
+    iteration n+1's encoder bias depends on iteration n's output, so the
+    executions serialize without the full-stream ``x + eps * prev`` add
+    (which costs 3 stream-sized HBM round trips per iteration — more
+    than the whole-network kernel's own forward traffic). The
+    perturbation reads one element of ``prev`` and rewrites a (H,)
+    bias: negligible, and entirely on-device (no host readback)."""
+    def dispatch(prev):
+        w = weights
+        if prev is not None:
+            eps = 1e-20 * prev.ravel()[0]
+            w = _tree_update(weights, bias_path,
+                             lambda b: b + eps.astype(b.dtype))
+        return fwd(w, x)
+    return dispatch
+
+
+def _tree_update(tree, path, f):
+    """Shallow-copy update of nested-dict ``tree`` at ``path``."""
+    if not path:
+        return f(tree)
+    t = dict(tree)
+    t[path[0]] = _tree_update(t[path[0]], path[1:], f)
+    return t
+
+
 def bench_mode(mode, peaks, batch=8, seq_len=3751, d_io=257,
                iters=ITERS_FWD, n_fill=0, reserve_gb=None):
     from __graft_entry__ import _flagship_model
-    from sparsernns_tpu.utils.profiling import model_forward_flops
+    from sparsernns_tpu.utils.profiling import (model_forward_flops,
+                                                model_padded_flops)
     model = _flagship_model(training=False, scan_mode=mode)
     x = jnp.zeros((batch, seq_len, d_io), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x)
     n_layers, h, p, _ = _model_dims(variables["params"])
     flops = model_forward_flops(batch, seq_len, d_io, h, p, n_layers)
+    pflops = model_padded_flops(batch, seq_len, d_io, h, p, n_layers)
 
     def bench_target(v, xi):
         return model.apply(v, xi)
 
     fwd = jax.jit(bench_target)
     _, xla_bytes = _xla_cost(fwd, variables, x)
-
-    def dispatch(prev):
-        xi = x if prev is None else x + 1e-20 * prev  # chain iterations
-        return fwd(variables, xi)
+    dispatch = _chained_dispatch(fwd, variables, x,
+                                 ("params", "encoder", "encoder", "bias"))
 
     return _measure(mode, dispatch, iters, batch * seq_len, flops,
-                    xla_bytes, peaks, n_fill=n_fill, reserve_gb=reserve_gb)
+                    xla_bytes, peaks, n_fill=n_fill, reserve_gb=reserve_gb,
+                    padded_flops=pflops)
 
 
 def _build_engine(batch, seq_len, d_io):
@@ -357,24 +410,29 @@ def bench_w8a16_engine(peaks, batch=8, seq_len=3751, d_io=257,
                        iters=ITERS_FWD, n_fill=0, reserve_gb=None):
     """The north-star config: w8a16 quantized serving engine
     (int8-stored weights, bf16 activations, fused Pallas mixer)."""
-    from sparsernns_tpu.utils.profiling import model_forward_flops
+    from sparsernns_tpu.utils.profiling import (model_forward_flops,
+                                                model_padded_flops)
     engine, variables, x = _build_engine(batch, seq_len, d_io)
     n_layers, h, p, _ = _model_dims(variables["params"])
     flops = model_forward_flops(batch, seq_len, d_io, h, p, n_layers)
+    pflops = model_padded_flops(batch, seq_len, d_io, h, p, n_layers)
 
     def bench_target(w, xi):
         return engine._apply(w, xi, block_t=engine.block_t)
 
-    fwd = jax.jit(bench_target)
+    # Same row-major boundary pins as the engine's own jit — otherwise
+    # XLA picks a time-minor entry/exit layout and brackets the Pallas
+    # network kernel with two full-stream relayout copies.
+    pins = engine._io_format_pins()
+    fwd = jax.jit(bench_target, **pins)
+    if pins:
+        x = jax.device_put(x, pins["out_shardings"])
     _, xla_bytes = _xla_cost(fwd, engine.weights, x)
-
-    def dispatch(prev):
-        xi = x if prev is None else x + 1e-20 * prev
-        return fwd(engine.weights, xi)
+    dispatch = _chained_dispatch(fwd, engine.weights, x, ("encoder_bias",))
 
     return _measure("w8a16-engine", dispatch, iters, batch * seq_len,
                     flops, xla_bytes, peaks, n_fill=n_fill,
-                    reserve_gb=reserve_gb)
+                    reserve_gb=reserve_gb, padded_flops=pflops)
 
 
 def bench_train_step(peaks, batch=8, seq_len=3751, d_io=257,
@@ -388,7 +446,8 @@ def bench_train_step(peaks, batch=8, seq_len=3751, d_io=257,
     from sparsernns_tpu.train.optim import create_optimizer
     from sparsernns_tpu.train.state import TrainState
     from sparsernns_tpu.train.steps import make_ndns_train_step
-    from sparsernns_tpu.utils.profiling import model_forward_flops
+    from sparsernns_tpu.utils.profiling import (model_forward_flops,
+                                                model_padded_flops)
 
     model = _flagship_model(training=True, scan_mode=scan_mode)
     x = jnp.zeros((batch, seq_len, d_io), jnp.float32)
@@ -396,6 +455,9 @@ def bench_train_step(peaks, batch=8, seq_len=3751, d_io=257,
     n_layers, h, p, _ = _model_dims(variables["params"])
     # fwd + backward (~2x fwd) — standard MFU convention
     flops = 3.0 * model_forward_flops(batch, seq_len, d_io, h, p, n_layers)
+    # compute floor: forward padded flops only (a true lower bound even
+    # if a backward pass were free)
+    pflops = model_padded_flops(batch, seq_len, d_io, h, p, n_layers)
     tx = create_optimizer("noBCdecay", lr=1e-3, ssm_lr=1e-3,
                           total_steps=1000, warmup_steps=10)
     state = TrainState.create(
@@ -427,7 +489,7 @@ def bench_train_step(peaks, batch=8, seq_len=3751, d_io=257,
         return new_state.params
 
     return _measure("train-step", dispatch, iters, batch * seq_len,
-                    flops, xla_bytes, peaks)
+                    flops, xla_bytes, peaks, padded_flops=pflops)
 
 
 def run_all_modes(peaks, saturation_retry=True):
@@ -447,6 +509,8 @@ def run_all_modes(peaks, saturation_retry=True):
                                       n_fill=3, reserve_gb=rg)
                     rec = rec2 if rec2["valid"] else rec
                 recs[mode] = rec
+        except _ProfilerDead:
+            raise
         except Exception as e:  # keep the bench robust per-mode
             _log(f"{mode} failed: {e}")
     try:
@@ -459,11 +523,15 @@ def run_all_modes(peaks, saturation_retry=True):
                                           n_fill=3, reserve_gb=5.0)
                 rec = rec2 if rec2["valid"] else rec
             recs["w8a16-engine"] = rec
+    except _ProfilerDead:
+        raise
     except Exception as e:
         _log(f"w8a16-engine failed: {e}")
     try:
         with _alarm(BENCH_MODE_TIMEOUT_S):
             recs["train-step"] = bench_train_step(peaks)
+    except _ProfilerDead:
+        raise
     except Exception as e:
         _log(f"train-step failed: {e}")
     return recs
@@ -492,6 +560,10 @@ def _recs_from_worker() -> dict:
             _log("profiler worker timed out; falling back to wall-clock")
             break
         sys.stderr.write(proc.stderr[-4000:])
+        if "BENCH_PROFILER_DEAD" in proc.stdout:
+            _log("profiler worker: backend does not support tracing — "
+                 "not retrying")
+            break
         recs = {}
         for line in proc.stdout.splitlines():
             if line.startswith("BENCH_RECS "):
@@ -521,7 +593,12 @@ def main():
 
     if os.environ.get("BENCH_WORKER") == "1":
         # isolated profiler pass: emit records for the parent, no summary
-        recs = run_all_modes(peaks, saturation_retry=False)
+        try:
+            recs = run_all_modes(peaks, saturation_retry=False)
+        except _ProfilerDead as e:
+            _log(f"profiler unsupported on this backend: {e}")
+            print("BENCH_PROFILER_DEAD")
+            return 0
         print("BENCH_RECS " + json.dumps(recs))
         return 0
 
@@ -598,14 +675,14 @@ def summarize(recs, peaks, backend="tpu"):
                         key=lambda k: serving[k]["sol_frames_per_sec"])
         best = serving[best_name]
         value = best["sol_frames_per_sec"]
-        measurement = "hbm-bound-cost-model"
+        measurement = "roofline-cost-model"
         baseline = (assoc["sol_frames_per_sec"]
                     if assoc is not None else value)
         sol_t = best["sol_t_ms"] / 1e3
         mfu = best["analytic_flops"] / sol_t / peaks[0]
-        hbm_util = 1.0
-        _log("no valid timing in any mode — reporting the HBM-bound "
-             f"cost-model estimate for {best_name} "
+        hbm_util = best["xla_bytes"] / sol_t / peaks[1]
+        _log("no valid timing in any mode — reporting the roofline "
+             f"(max of HBM and padded-MXU floors) estimate for {best_name} "
              "(see PERF.md measurement protocol)")
 
     tstep = recs.get("train-step", {})

@@ -186,15 +186,13 @@ def _make_kernel(glu, with_carry, **flags):
     return kernel, names
 
 
-def _prep(r, lam, w_b, w_c, d, norm_w, norm_b, out2, out1, block_t):
-    """Pad every operand to the kernel geometry. ``r`` must already be
-    (B, L_pad, H_pad) with L_pad % block_t == 0, H_pad % 128 == 0 — the
-    stream stays padded ACROSS layers, so this pads only the (tiny)
-    weights. Returns the operand dict + geometry."""
+def pad_layer_ops(lam, w_b, w_c, d, norm_w, norm_b, out2, out1,
+                  h_pad: int, t: int):
+    """Pad one layer's operands to the kernel geometry (H -> h_pad lanes,
+    P -> 128-multiple) and precompute its λ tables for time block ``t``.
+    Shared by the per-layer kernel and the whole-network kernel
+    (fused_network.py). Returns (ops dict, p_pad, num_passes)."""
     from sparsernns_tpu.ops.pallas.scan_kernel import lambda_power_tables
-    b, l_pad, h_pad = r.shape
-    t = min(block_t, l_pad)
-    assert l_pad % t == 0 and h_pad % 128 == 0, (r.shape, block_t)
     h = w_b.shape[0]
     p = w_b.shape[-1] // 2
     p_pad = _round_up(p, 128)
@@ -225,6 +223,19 @@ def _prep(r, lam, w_b, w_c, d, norm_w, norm_b, out2, out1, block_t):
         k1, b1 = out1
         ops["out1_k"] = jnp.pad(k1, ((0, h_pad - h), (0, h_pad - h)))
         ops["out1_b"] = jnp.pad(b1, (0, h_pad - h))[None, :]
+    return ops, p_pad, num_passes
+
+
+def _prep(r, lam, w_b, w_c, d, norm_w, norm_b, out2, out1, block_t):
+    """Pad every operand to the kernel geometry. ``r`` must already be
+    (B, L_pad, H_pad) with L_pad % block_t == 0, H_pad % 128 == 0 — the
+    stream stays padded ACROSS layers, so this pads only the (tiny)
+    weights. Returns the operand dict + geometry."""
+    b, l_pad, h_pad = r.shape
+    t = min(block_t, l_pad)
+    assert l_pad % t == 0 and h_pad % 128 == 0, (r.shape, block_t)
+    ops, p_pad, num_passes = pad_layer_ops(
+        lam, w_b, w_c, d, norm_w, norm_b, out2, out1, h_pad, t)
     geo = dict(b=b, l_pad=l_pad, h_pad=h_pad, p_pad=p_pad, t=t,
                num_passes=num_passes)
     return ops, geo

@@ -473,9 +473,16 @@ class W8A16Engine:
         #: whole-layer fusion (ops/pallas/fused_layer): one kernel per
         #: layer, residual stream resident in HBM as padded int16/bf16 —
         #: collapses the per-layer traffic to read+write of one 2-byte
-        #: stream (the engine's speed-of-light path). Ineligible configs
-        #: fall back to the composable per-op path below.
+        #: stream. Ineligible configs fall back to the composable
+        #: per-op path below.
         self._stack_ok = self._fused_stack_eligible()
+        #: whole-NETWORK fusion (ops/pallas/fused_network): encoder +
+        #: all layers + decoder in ONE kernel, inter-layer activations
+        #: never leave VMEM — HBM traffic collapses to input read +
+        #: mask write + weights (the engine's speed-of-light path).
+        #: Needs a time-block that divides L exactly (resolved per input
+        #: shape in _apply).
+        self._network_ok = self._fused_network_eligible()
 
         # Weights are pytree ARGUMENTS of the jitted forward (not closure
         # constants): smaller executables, donation-friendly, no host
@@ -487,7 +494,27 @@ class W8A16Engine:
             "decoder_bias": self.decoder_bias,
             "layers": tuple(self.layers),
         }
-        self._forward = jax.jit(partial(self._apply, block_t=block_t))
+        self._forward = jax.jit(partial(self._apply, block_t=block_t),
+                                **self._io_format_pins())
+
+    @staticmethod
+    def _io_format_pins() -> dict:
+        """Row-major (B, L, D) entry/exit Formats for the jitted forward.
+        Left to itself XLA picks a time-minor ``(2, 0, 1)`` entry/exit
+        layout for the flagship shape (driven by the tail slice/DUS in
+        the whole-network kernel path) and then brackets the Pallas
+        calls — which require the default row-major layout — with two
+        full-stream relayout copies (2 x 31 MB at batch-8). Pinning the
+        boundary kills both; host arrays transfer straight into the
+        pinned layout. TPU-only: other backends have no tiled layouts
+        to fight over."""
+        if jax.default_backend() != "tpu":
+            return {}
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+        fmt = Format(Layout((0, 1, 2)),
+                     SingleDeviceSharding(jax.devices()[0]))
+        return dict(in_shardings=(None, fmt), out_shardings=fmt)
 
     @staticmethod
     def from_artifacts(checkpoint_dir: str, cfg) -> "W8A16Engine":
@@ -528,6 +555,19 @@ class W8A16Engine:
                     return False
             if (lp.residual_requant is not None
                     and lp.residual_requant[1] > 16):
+                return False
+        return True
+
+    def _fused_network_eligible(self) -> bool:
+        """Whole-network fusion additionally needs plain (QWeight / f32)
+        float-activation encoder and decoder dots — block-sparse packs
+        and the w8a8 int8-MXU path keep the per-layer or per-op route."""
+        from sparsernns_tpu.ops.pallas.block_sparse import BlockSparseWeight
+        if not self._stack_ok:
+            return False
+        for w, s in ((self.encoder_kernel, self.encoder_in_scale),
+                     (self.decoder_kernel, self.decoder_in_scale)):
+            if isinstance(w, BlockSparseWeight) or s is not None:
                 return False
         return True
 
@@ -588,8 +628,48 @@ class W8A16Engine:
                                weights["decoder_bias"],
                                self.decoder_in_scale)
 
+    def _apply_network(self, weights, x, block_t: int):
+        """Whole-network-kernel forward: ONE Pallas call for encoder +
+        every layer + decoder (fused_network.py). Bit-identical to
+        _apply_stack at the same time block; ``block_t`` must divide L."""
+        from sparsernns_tpu.ops.pallas.fused_network import (
+            NetLayerStatic, fused_network_apply)
+        cfg = self.cfg
+
+        def split(w):
+            if isinstance(w, QWeight) and w.scale is not None:
+                return w.data, w.scale
+            return _deq(w), None
+
+        enc_k, enc_s = split(weights["encoder_kernel"])
+        dec_k, dec_s = split(weights["decoder_kernel"])
+        layers = []
+        statics = []
+        for lp in weights["layers"]:
+            glu_args, glu_scales = self._layer_kernel_args(
+                lp, cfg.glu_variant)
+            layers.append(dict(
+                lam=lp.lam, w_b=lp.w_b, w_c=lp.w_c, d=lp.d,
+                norm_w=lp.norm_w, norm_b=lp.norm_b, **glu_args))
+            statics.append(NetLayerStatic(
+                out_requant=lp.residual_requant,
+                block_requant=lp.state_requant,
+                wb_scales=lp.wb_scales, wc_scales=lp.wc_scales,
+                **glu_scales))
+        return fused_network_apply(
+            x, enc_k, weights["encoder_bias"], tuple(layers),
+            dec_k, weights["decoder_bias"],
+            statics=tuple(statics), enc_scale=enc_s, dec_scale=dec_s,
+            block_t=block_t, prenorm=cfg.prenorm,
+            relufication=cfg.relufication, glu=cfg.glu_variant,
+            relu_state=cfg.relufication, act_dtype=self.act_dtype)
+
     def _apply(self, weights, x, block_t: int):
         """x: (B, L, d_input) f32 -> mask (B, L, d_output)."""
+        # (network route also requires _stack_ok: tests and fallbacks
+        # that force the per-op path clear _stack_ok alone)
+        if self._network_ok and self._stack_ok:
+            return self._apply_network(weights, x, block_t)
         if self._stack_ok:
             return self._apply_stack(weights, x, block_t)
         cfg = self.cfg

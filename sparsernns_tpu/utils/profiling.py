@@ -121,6 +121,34 @@ def model_forward_flops(b: int, l: int, d_io: int, h: int, p: int,
     return flops
 
 
+def model_padded_flops(b: int, l: int, d_io: int, h: int, p: int,
+                       n_layers: int, glu_variant: str = "half1") -> float:
+    """MXU matmul FLOPs at the KERNEL-padded geometry (H and 2P rounded
+    up to the 128-lane tile) — the compute half of the serving roofline.
+    The Pallas kernels physically execute their dots at these padded
+    shapes, so the compute floor of any correct execution is
+    ``model_padded_flops / matmul_peak`` even when the nominal
+    (unpadded) FLOP count is far lower. Row counts are NOT padded (the
+    whole-network kernel's main+tail decomposition covers exactly L
+    rows) and VPU work (scan combines, norms, activations) is excluded:
+    both choices keep the floor a true lower bound. Used with the HBM
+    floor as ``max(bytes / bw, padded_flops / peak)`` in bench.py's
+    validity gate and cost-model fallback."""
+    hp = -(-h // 128) * 128
+    pp2 = 2 * (-(-p // 128) * 128)
+    bl = b * l
+    flops = 2.0 * bl * d_io * hp           # encoder
+    per_layer = (2.0 * bl * hp * pp2       # B projection
+                 + 2.0 * bl * pp2 * hp)    # C projection
+    if glu_variant in ("half1", "half2", "full"):
+        per_layer += 2.0 * bl * hp * hp
+    if glu_variant == "full":
+        per_layer += 2.0 * bl * hp * hp
+    flops += n_layers * per_layer
+    flops += 2.0 * bl * hp * d_io          # decoder
+    return flops
+
+
 def module_durations_from_trace(trace: dict, match: str) -> list:
     """Per-execution durations (seconds) of the XLA module whose name
     contains ``match``, pulled from a Chrome-trace dict: 'X' (complete)

@@ -65,7 +65,7 @@ def test_summary_falls_back_to_cost_model():
     }
     s = bench.summarize(recs, PEAKS)
     assert not s["timing_valid"]
-    assert s["measurement"] == "hbm-bound-cost-model"
+    assert s["measurement"] == "roofline-cost-model"
     # the reported value is the HBM bound for the best (fewest-bytes)
     # config — ~38M frames/s for the engine at 0.65 GB/forward — and the
     # ratio is the bytes ratio vs the associative baseline
@@ -83,6 +83,26 @@ def test_summary_never_reports_above_sol():
         s = bench.summarize(recs, PEAKS)
         best = recs[s["best_config"]]
         assert s["value"] <= best["sol_frames_per_sec"] * 1.01
+
+
+def test_mxu_floor_rejects_when_compute_bound():
+    """The whole-network kernel pushed HBM traffic (~80 MB/forward) below
+    the padded-MXU compute time — a timing that beats the compute floor
+    must now be rejected even though it clears the HBM floor."""
+    from sparsernns_tpu.utils.profiling import model_padded_flops
+    pf = model_padded_flops(8, 3751, 257, 192, 128, 3)
+    sol_mxu = pf / PEAKS[0]
+    sol_hbm = 8e7 / PEAKS[1]
+    assert sol_mxu > sol_hbm          # the premise: compute-bound config
+    rec = bench._finalize("net", 0.5 * sol_mxu, True, 1, 8 * 3751,
+                          1e10, 8e7, PEAKS, padded_flops=pf)
+    assert not rec["valid"] and rec["floor"] == "mxu"
+    ok = bench._finalize("net", 2.0 * sol_mxu, True, 1, 8 * 3751,
+                         1e10, 8e7, PEAKS, padded_flops=pf)
+    assert ok["valid"]
+    # the cost-model fallback value is capped by the SAME combined floor
+    assert ok["sol_frames_per_sec"] == pytest.approx(
+        8 * 3751 / sol_mxu, rel=0.01)
 
 
 def test_model_forward_flops_flagship_scale():
@@ -113,7 +133,7 @@ def test_broken_sync_backend_distrusts_plain_wallclocks():
         "w8a16-engine": _rec("w8a16-engine", 61e-6, 6.5e8),
     }
     s = bench.summarize(recs, PEAKS)
-    assert s["measurement"] == "hbm-bound-cost-model"
+    assert s["measurement"] == "roofline-cost-model"
     assert not s["timing_valid"]
     # bytes-ratio baseline, engine bound value
     assert s["vs_baseline"] == pytest.approx(3.5e9 / 6.5e8, rel=0.01)

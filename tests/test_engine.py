@@ -342,3 +342,49 @@ def test_engine_block_sparse_dense(pipeline):  # noqa: F811
     y_d = np.asarray(e_dense(x))
     y_b = np.asarray(e_bs(x))
     np.testing.assert_allclose(y_b, y_d, rtol=2e-4, atol=2e-4)
+
+
+def test_engine_fused_network_matches_stack(pipeline):  # noqa: F811
+    """The whole-NETWORK kernel (encoder + every layer + decoder in one
+    Pallas call, inter-layer stream never leaving VMEM) is BIT-EXACT
+    against the per-layer-kernel stack path at the same time block: the
+    stack's HBM store+load round trip is reproduced in VMEM value form
+    (requant codes x pow2 scale are exact in f32; pre/post pow2 weight
+    scales commute exactly with the dot). Covers the whole-axis (t==L),
+    aligned-main, and odd-tail (L % t != 0, non-8-aligned) geometries."""
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True)
+    cases = [
+        (jnp.float32, 32, x),              # whole-axis: t == L == 24
+        (jnp.float32, 8, x),               # aligned main, no tail
+        (jnp.float32, 16, x[:, :23]),      # main 16 + odd 7-row tail
+        (jnp.bfloat16, 16, x[:, :23]),     # bf16 stream, odd tail
+    ]
+    for adt, bt, xi in cases:
+        e_net = W8A16Engine(frozen_params, frozen_stats, inf_cfg,
+                            model_cfg, block_t=bt, act_dtype=adt)
+        assert e_net._network_ok and e_net._stack_ok
+        e_stk = W8A16Engine(frozen_params, frozen_stats, inf_cfg,
+                            model_cfg, block_t=bt, act_dtype=adt)
+        e_stk._network_ok = False
+        d = np.abs(np.asarray(e_net(xi)) - np.asarray(e_stk(xi)))
+        assert d.max() == 0.0, (adt, bt, xi.shape, d.max())
+
+
+def test_engine_network_route_fallbacks(pipeline):  # noqa: F811
+    """w8a8 (int8-activation) encoder/decoder dots keep the per-layer /
+    per-op route — the network kernel requires float-activation
+    boundary dense layers."""
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a8"](static_quant=True,
+                                           calibrating=False)
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True)
+    e = W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                    block_t=32)
+    assert not e._network_ok
