@@ -82,6 +82,17 @@ class _ProfilerDead(Exception):
     tunnel backend: every later device call errors UNIMPLEMENTED)."""
 
 
+def _maybe_profiler_dead(e: Exception):
+    """In the profiler worker, an UNIMPLEMENTED device error anywhere is
+    the poisoned-process signature (observed: start_trace *returns* but
+    the profiler_controller errors and every subsequent device call —
+    including the other modes' compiles — raises UNIMPLEMENTED). Stop
+    the whole pass instead of cascading five per-mode failures."""
+    if (os.environ.get("BENCH_WORKER") == "1"
+            and "UNIMPLEMENTED" in str(e)):
+        raise _ProfilerDead(str(e)) from e
+
+
 @contextlib.contextmanager
 def _alarm(seconds: int):
     """Per-mode watchdog so one hung compile can't swallow the bench."""
@@ -512,6 +523,7 @@ def run_all_modes(peaks, saturation_retry=True):
         except _ProfilerDead:
             raise
         except Exception as e:  # keep the bench robust per-mode
+            _maybe_profiler_dead(e)
             _log(f"{mode} failed: {e}")
     try:
         with _alarm(BENCH_MODE_TIMEOUT_S):
@@ -526,6 +538,7 @@ def run_all_modes(peaks, saturation_retry=True):
     except _ProfilerDead:
         raise
     except Exception as e:
+        _maybe_profiler_dead(e)
         _log(f"w8a16-engine failed: {e}")
     try:
         with _alarm(BENCH_MODE_TIMEOUT_S):
@@ -533,6 +546,7 @@ def run_all_modes(peaks, saturation_retry=True):
     except _ProfilerDead:
         raise
     except Exception as e:
+        _maybe_profiler_dead(e)
         _log(f"train-step failed: {e}")
     return recs
 
@@ -580,6 +594,13 @@ def _recs_from_worker() -> dict:
         _log(f"profiler worker attempt {attempt + 1}: valid for "
              f"{sorted(merged)} (rc={proc.returncode}); "
              f"missing {missing}")
+        if not merged:
+            # Zero valid records is a systemic failure (poisoned process
+            # / unsupported profiler), not per-mode flakiness — a second
+            # attempt would just burn the same compiles again.
+            _log("profiler worker: no valid records on attempt 1 — "
+                 "skipping retry, falling back to wall-clock")
+            break
     return merged
 
 

@@ -24,11 +24,51 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from sparsernns_tpu.ops.scan import associative_diag_scan
-from sparsernns_tpu.parallel.mesh import MODEL_AXIS, SEQ_AXIS
+from sparsernns_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS
 from sparsernns_tpu.parallel.seqscan import seq_chunk_scan
 from sparsernns_tpu.quantize.engine import (W8A16Engine, _deq, engine_encode,
                                             engine_layer_forward,
                                             state_activation)
+
+
+def make_dp_forward(engine: W8A16Engine, mesh: Mesh):
+    """Data-parallel engine forward: batch rows sharded over the DATA
+    axis, weights replicated. Each chip runs the engine's best
+    single-chip route (the whole-NETWORK kernel when eligible,
+    quantize/engine._apply) on its local rows — DP serving needs ZERO
+    forward collectives, and shard_map makes that structural: XLA's
+    partitioner cannot see inside the Pallas custom calls and would
+    otherwise all-gather the batch around each one (see
+    ops/pallas/partition.py for the per-kernel rules the jit path uses).
+
+    The global batch must be divisible by ``mesh.shape[DATA_AXIS]``.
+    Bit-identical per row to the single-chip engine (same kernels, same
+    time-block decomposition — the batch grid axis is independent).
+    """
+    def _local(weights, x_local):
+        return engine._apply(weights, x_local, block_t=engine.block_t)
+
+    x_spec = P(DATA_AXIS)
+    # check_vma=False: pallas_call cannot declare its outputs' varying
+    # axes (jax requires an explicit `vma` on every out ShapeDtypeStruct
+    # under check_vma=True), so the check cannot be satisfied with the
+    # kernels in the body. There is nothing for it to verify here anyway
+    # — the body is collective-free per-shard fan-out, which
+    # tests/test_engine.py::test_data_parallel_engine pins structurally
+    # (zero collective bytes in the compiled HLO).
+    sharded = jax.shard_map(_local, mesh=mesh,
+                            in_specs=(P(), x_spec), out_specs=x_spec,
+                            check_vma=False)
+    fwd = jax.jit(sharded)
+
+    def forward(x):
+        n = mesh.shape[DATA_AXIS]
+        if x.shape[0] % n:
+            raise ValueError(
+                f"batch {x.shape[0]} not divisible by data axis ({n})")
+        return fwd(engine.weights, x)
+
+    return forward
 
 
 def make_sp_forward(engine: W8A16Engine, mesh: Mesh):

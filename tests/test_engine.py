@@ -111,6 +111,52 @@ def test_tensor_parallel_engine(pipeline):  # noqa: F811
     assert np.abs(y_tp - y_single).max() / denom < 0.1
 
 
+def test_data_parallel_engine(pipeline):  # noqa: F811
+    """DP engine forward (batch sharded over the data axis, shard_map
+    around the full single-chip route incl. the whole-network kernel):
+    bit-identical to the single-chip engine and ZERO collectives — the
+    batch grid axis is independent, so DP serving is pure fan-out."""
+    import pytest as _pytest
+    from sparsernns_tpu.parallel.comms import collective_bytes_from_hlo
+    from sparsernns_tpu.parallel.mesh import MeshConfig, make_mesh
+    from sparsernns_tpu.parallel.sp_engine import make_dp_forward
+
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    x8 = jnp.concatenate([x + 0.01 * i for i in range(4)], axis=0)  # B=8
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True)
+    engine = W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                         act_dtype=jnp.float32, block_t=32)
+    assert engine._network_ok  # DP wraps the best route
+    y_single = np.asarray(engine(x8))
+
+    mesh = make_mesh(MeshConfig(data=8, model=1, seq=1))
+    dp_forward = make_dp_forward(engine, mesh)
+    y_dp = np.asarray(dp_forward(x8))
+    assert y_dp.shape == y_single.shape
+    assert np.abs(y_dp - y_single).max() == 0.0
+
+    # structural: the compiled DP forward moves zero collective bytes
+    import jax as _jax
+    hlo = _jax.jit(
+        _jax.shard_map(
+            lambda w, xi: engine._apply(w, xi, block_t=engine.block_t),
+            mesh=mesh,
+            in_specs=(jax.sharding.PartitionSpec(),
+                      jax.sharding.PartitionSpec("data")),
+            out_specs=jax.sharding.PartitionSpec("data"),
+            check_vma=False),
+    ).lower(engine.weights, x8).compile().as_text()
+    acct = collective_bytes_from_hlo(hlo)
+    assert acct["total_bytes"] == 0, acct
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        dp_forward(x8[:6])
+
+
 def test_engine_topk_applied(pipeline):  # noqa: F811
     """topk<1 models: the engine sparsifies activations like the flax
     model does (review regression: it used to silently drop top-k)."""
