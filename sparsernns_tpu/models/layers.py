@@ -152,7 +152,60 @@ class SequenceLayer(nn.Module):
             return jax.nn.relu(x)
         return jax.nn.gelu(x)
 
+    def _fused_tail(self, x):
+        """Whole-layer training fusion: when the configuration is
+        expressible by ops/pallas/fused_layer_train.py (float path,
+        prenorm, no top-k, fused-scan mixer), run norm in flax (BatchNorm
+        statistics must reduce over (B, L) and the mesh data axis) and
+        everything after it — mixer, GLU, dropout, residual, relufication
+        — as ONE Pallas kernel with a rematerializing custom VJP. Returns
+        the layer output, or None to take the unfused path."""
+        cfg = self.q_config
+        if (not self.prenorm or self.topk < 1.0 or cfg.static_quant
+                or cfg.any_quantized or self.fuse_batchnorm_linear
+                or self.is_initializing()
+                or self.is_mutable_collection("intermediates")):
+            return None
+        tail_ops = getattr(self.mixer, "layer_tail_operands", None)
+        ops = tail_ops() if tail_ops is not None else None
+        if ops is None:
+            return None
+        lam_bar, w_b, w_c, d, relu_state, block_t = ops
+
+        glu = self.glu_variant
+        m1 = m2 = None
+        if self.dropout > 0.0 and self.training:
+            keep = 1.0 - self.dropout
+            shape = (x.shape[0], 1, x.shape[-1])  # broadcast along time
+
+            def mask(rng):
+                return jax.random.bernoulli(
+                    rng, keep, shape).astype(x.dtype) / keep
+
+            m1 = mask(self.make_rng("dropout"))
+            if glu != "none":
+                m2 = mask(self.make_rng("dropout"))
+
+        o2k = o2b = o1k = o1b = None
+        if glu in ("full", "half1", "half2"):
+            o2k = self.out2.variables["params"]["kernel"]
+            o2b = self.out2.variables["params"]["bias"]
+        if glu == "full":
+            o1k = self.out1.variables["params"]["kernel"]
+            o1b = self.out1.variables["params"]["bias"]
+
+        from sparsernns_tpu.ops.pallas.fused_layer_train import \
+            fused_layer_tail_diff
+        z = self.norm(x)
+        return fused_layer_tail_diff(
+            z, x, lam_bar, w_b, w_c, d, o2k, o2b, o1k, o1b, m1, m2,
+            block_t, "relu" if self.relufication else "gelu", glu,
+            relu_state, self.relufication)
+
     def __call__(self, x):
+        fused = self._fused_tail(x)
+        if fused is not None:
+            return fused
         skip = x
         self.sow("intermediates", "input", x)
 

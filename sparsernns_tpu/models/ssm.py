@@ -339,6 +339,27 @@ class S5SSM(nn.Module):
             ys = ys + d_bias
         return ys
 
+    def layer_tail_operands(self):
+        """Operands for the whole-layer TRAINING kernel
+        (ops/pallas/fused_layer_train.py): (lam_bar, w_b, w_c, d,
+        relu_state, block_t), or None when this mixer configuration
+        cannot be expressed by that kernel (the caller then runs the
+        normal mixer path). Float path only — fake-quant would be the
+        identity here anyway (gated on !any_quantized)."""
+        cfg = self.q_config
+        if (self.scan_mode != "fused" or self.bidirectional
+                or self.topk < 1.0 or cfg.static_quant
+                or cfg.any_quantized or self.is_initializing()
+                or self.is_mutable_collection("cache")
+                or self.has_variable("cache", "carry_re")):
+            return None
+        lam_bar, b_bar = self.discretized()
+        w_b = jnp.concatenate([b_bar[0].T, b_bar[1].T], axis=-1)
+        cr, ci = self._c_tilde()
+        scale = 2.0 if self.conj_sym else 1.0
+        w_c = scale * jnp.concatenate([cr.T, -ci.T], axis=0)
+        return lam_bar, w_b, w_c, self.d, self.relufication, self.block_t
+
     def _carry(self, u):
         """Streaming state: when the caller runs apply with the "cache"
         collection (mutable or restored), the scan starts from the cached

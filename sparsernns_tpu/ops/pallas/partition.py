@@ -39,12 +39,16 @@ def _batch_spec(sharding, ndim: int) -> P:
     return P(*spec)
 
 
-def batch_partitioned(body, rule: str, need_replication=()):
+def batch_partitioned(body, rule: str, need_replication=(),
+                      batch_args=(0,)):
     """Wrap ``body(*arrays) -> array|tuple`` as a batch-dim-partitioned
     custom call. ``rule`` is the Shardy einsum-like sharding rule; the
-    first operand and all results must lead with the shared batch factor,
-    and every non-batch factor must be listed in ``need_replication``
-    (time must stay whole per shard for the carry chain).
+    operands in ``batch_args`` and all results must lead with the shared
+    batch factor, and every non-batch factor must be listed in
+    ``need_replication`` (time must stay whole per shard for the carry
+    chain). Every batch_args operand shards with arg 0's leading-dim
+    sharding — leaving one out forces an all-gather of that operand
+    around the custom call.
     """
     fn = custom_partitioning(body)
 
@@ -57,12 +61,11 @@ def batch_partitioned(body, rule: str, need_replication=()):
 
     def partition(mesh, arg_infos, result_infos):
         u = arg_infos[0]
-        b_spec = _batch_spec(u.sharding, len(u.shape))
 
         def arg_sharding(i, a):
             nd = len(a.shape)
-            if i == 0:
-                return NamedSharding(mesh, b_spec)
+            if i in batch_args:
+                return NamedSharding(mesh, _batch_spec(u.sharding, nd))
             return NamedSharding(mesh, P(*([None] * nd)))
 
         arg_shardings = tuple(

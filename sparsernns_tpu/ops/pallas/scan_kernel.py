@@ -275,7 +275,8 @@ def pallas_diag_scan(
     from sparsernns_tpu.ops.pallas.partition import (SCAN_REPLICATED,
                                                      SCAN_RULE,
                                                      batch_partitioned)
-    out_re, out_im = batch_partitioned(body, SCAN_RULE, SCAN_REPLICATED)(
+    out_re, out_im = batch_partitioned(body, SCAN_RULE, SCAN_REPLICATED,
+                                       batch_args=(0, 1))(
         bu_re, bu_im, lam[0], lam[1])
 
     if reverse:
