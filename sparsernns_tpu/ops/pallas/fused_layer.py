@@ -25,9 +25,14 @@ Reference analog: the layer body semantics are
 + ssm.py:84-187 (mixer); the single-pass fusion itself has no reference
 counterpart — it is the TPU-native answer to the HBM-bandwidth bound.
 
+w8a8 configs run their GLU dense dots in-kernel on the int8 MXU path
+(``_glu_dense``): the activation is quantized onto its frozen calibration
+scale in VMEM and the dot is int8 x int8 -> int32 — identical values to
+engine.quantized_dense, so the fused route stays bit-exact vs the per-op
+route.
+
 Limitations (the engine falls back to the unfused layer path): top-k on
-the model dim, block-sparse GLU kernels, int8-activation (w8a8) dense
-dots, bidirectional.
+the model dim, block-sparse GLU kernels, bidirectional.
 """
 
 from __future__ import annotations
@@ -60,11 +65,29 @@ def _dequant_weight(ref, scales):
     return w.astype(jnp.float32)
 
 
+def _glu_dense(x, w_ref, w_scale, in_scale):
+    """In-kernel dense dot for the GLU gates. ``in_scale`` set (w8a8):
+    quantize the activation onto the frozen grid and run the int8 x int8
+    -> int32 dot on the MXU — identical values to engine.quantized_dense,
+    so the fused path stays bit-exact vs the per-op path. Otherwise: f32
+    dot on the (dequantized) weights with the pow2 weight scale applied
+    to the result."""
+    if in_scale is None:
+        r = jnp.dot(x, _dequant_weight(w_ref, w_scale),
+                    preferred_element_type=jnp.float32)
+        if w_scale is not None:
+            r = r * w_scale
+        return r
+    xq = jnp.clip(jnp.round(x / in_scale), -128.0, 127.0).astype(jnp.int8)
+    acc = jnp.dot(xq, w_ref[...], preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (in_scale * w_scale)
+
+
 def _fused_layer_body(
     r, refs, carry_re, carry_im, j, *,
     num_passes, block_t, prenorm, relufication, glu,
     relu_state, block_requant, wb_scales, wc_scales,
-    out2_scale, out1_scale, carry_init=None,
+    out2_scale, out1_scale, out2_in=None, out1_in=None, carry_init=None,
 ):
     """Shared layer math on an in-VMEM f32 residual block ``r`` (T, Hp).
     ``refs`` is the dict of operand refs. Returns the new residual block
@@ -103,20 +126,14 @@ def _fused_layer_body(
     # ---- activation + GLU + residual (engine_layer_forward order) ----
     x1 = jnp.maximum(y, 0.0) if relufication else jax.nn.gelu(y)
     if glu in ("half1", "half2", "full"):
-        g = jnp.dot(x1, _dequant_weight(refs["out2_k"], out2_scale),
-                    preferred_element_type=jnp.float32)
-        if out2_scale is not None:
-            g = g * out2_scale
+        g = _glu_dense(x1, refs["out2_k"], out2_scale, out2_in)
         gate = jax.nn.sigmoid(g + refs["out2_b"][...])
         if glu == "half1":
             base = x1
         elif glu == "half2":
             base = y
         else:
-            base = jnp.dot(x1, _dequant_weight(refs["out1_k"], out1_scale),
-                           preferred_element_type=jnp.float32)
-            if out1_scale is not None:
-                base = base * out1_scale
+            base = _glu_dense(x1, refs["out1_k"], out1_scale, out1_in)
             base = base + refs["out1_b"][...]
         h = base * gate
     else:
@@ -175,6 +192,7 @@ def _make_kernel(glu, with_carry, **flags):
             block_requant=flags["block_requant"],
             wb_scales=flags["wb_scales"], wc_scales=flags["wc_scales"],
             out2_scale=flags["out2_scale"], out1_scale=flags["out1_scale"],
+            out2_in=flags.get("out2_in"), out1_in=flags.get("out1_in"),
             carry_init=carry_init)
         if with_carry:
             out_refs[1][0] = carry_re[...]
@@ -260,7 +278,8 @@ def _out_storage(out_requant, act_dtype):
     jax.jit, static_argnames=(
         "block_t", "prenorm", "relufication", "glu", "relu_state",
         "in_requant", "out_requant", "block_requant", "wb_scales",
-        "wc_scales", "out2_scale", "out1_scale", "act_dtype", "interpret"))
+        "wc_scales", "out2_scale", "out1_scale", "out2_in_scale",
+        "out1_in_scale", "act_dtype", "interpret"))
 def fused_layer_apply(
     r: jax.Array,                # (B, L_pad, H_pad) int16/int8/bf16/f32
     lam: Pair,
@@ -286,6 +305,8 @@ def fused_layer_apply(
     wc_scales: Optional[Tuple[float, float]] = None,
     out2_scale: Optional[float] = None,
     out1_scale: Optional[float] = None,
+    out2_in_scale: Optional[float] = None,
+    out1_in_scale: Optional[float] = None,
     act_dtype: Any = jnp.bfloat16,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
@@ -310,6 +331,7 @@ def fused_layer_apply(
             out_requant=out_requant, block_requant=block_requant,
             wb_scales=wb_scales, wc_scales=wc_scales,
             out2_scale=out2_scale, out1_scale=out1_scale,
+            out2_in=out2_in_scale, out1_in=out1_in_scale,
             out_dtype=act_dtype)
         io_block, full = _specs(ops, geo)
         in_specs = [io_block] + [full(ops[n]) for n in names[1:]]
@@ -336,7 +358,8 @@ def fused_layer_apply(
     jax.jit, static_argnames=(
         "block_t", "prenorm", "relufication", "glu", "relu_state",
         "in_requant", "out_requant", "block_requant", "wb_scales",
-        "wc_scales", "out2_scale", "out1_scale", "act_dtype", "interpret"))
+        "wc_scales", "out2_scale", "out1_scale", "out2_in_scale",
+        "out1_in_scale", "act_dtype", "interpret"))
 def fused_layer_apply_carry(
     r: jax.Array,                # (B, L, H_pad); L % block == 0
     carry: Pair,                 # (B, P) incoming state
@@ -363,6 +386,8 @@ def fused_layer_apply_carry(
     wc_scales: Optional[Tuple[float, float]] = None,
     out2_scale: Optional[float] = None,
     out1_scale: Optional[float] = None,
+    out2_in_scale: Optional[float] = None,
+    out1_in_scale: Optional[float] = None,
     act_dtype: Any = jnp.bfloat16,
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, Pair]:
@@ -388,6 +413,7 @@ def fused_layer_apply_carry(
             out_requant=out_requant, block_requant=block_requant,
             wb_scales=wb_scales, wc_scales=wc_scales,
             out2_scale=out2_scale, out1_scale=out1_scale,
+            out2_in=out2_in_scale, out1_in=out1_in_scale,
             out_dtype=act_dtype)
         io_block, full = _specs(ops, geo)
         carry_block = pl.BlockSpec((1, 1, geo["p_pad"]),
@@ -422,7 +448,8 @@ def fused_layer_apply_carry(
 
     from sparsernns_tpu.ops.pallas.partition import batch_partitioned
     rule, repl = _layer_carry_rule(10 + len(glu_args))
-    out, co_re, co_im = batch_partitioned(body, rule, repl)(
+    out, co_re, co_im = batch_partitioned(body, rule, repl,
+                                          batch_args=(0, 1, 2))(
         r, ci_re, ci_im, lam[0], lam[1], w_b, w_c, d, norm_w, norm_b,
         *glu_args)
     return out, (co_re[:, 0, :p], co_im[:, 0, :p])

@@ -50,11 +50,15 @@ Reference analog: the composed forward is
 it is the TPU-native endpoint of SURVEY §7's build plan for the serving
 path.
 
+w8a8 configs run the encoder/decoder dots in-kernel on the int8 MXU
+path (``_boundary_dense``) exactly like the GLU dots — identical values
+to engine.quantized_dense, so the single-kernel route stays bit-exact
+vs the per-op route.
+
 Limitations (engine falls back to the per-layer stack or per-op paths):
 everything fused_layer.py excludes (model-dim top-k, block-sparse GLU,
-w8a8 int8-MXU dense dots, >16-bit requant) plus block-sparse or
-int8-activation encoder/decoder. The kernel is not batch-partitioned;
-sharded serving uses the sp/tp engine paths.
+>16-bit requant) plus block-sparse encoder/decoder packs. The kernel is
+not batch-partitioned; sharded serving uses the dp/sp/tp engine paths.
 """
 
 from __future__ import annotations
@@ -83,6 +87,10 @@ class NetLayerStatic(NamedTuple):
     wc_scales: Optional[Tuple[float, float]] = None
     out2_scale: Optional[float] = None
     out1_scale: Optional[float] = None
+    # frozen activation scales for the w8a8 int8-MXU GLU dots (None =
+    # float-activation dots)
+    out2_in_scale: Optional[float] = None
+    out1_in_scale: Optional[float] = None
 
 
 def _value_roundtrip(h, out_requant, act_dtype):
@@ -103,10 +111,25 @@ def _deq(w_ref):
     return w.astype(jnp.float32) if w.dtype != jnp.float32 else w
 
 
+def _boundary_dense(x, k_ref, w_scale, in_scale):
+    """Encoder/decoder dot inside the network kernel. ``in_scale`` set
+    (w8a8): quantize the activation onto its frozen grid and run the
+    int8 x int8 -> int32 MXU dot — identical values to
+    engine.quantized_dense. Otherwise an f32 dot on the (dequantized)
+    weight with the pow2 weight scale applied to the result."""
+    if in_scale is None:
+        y = jnp.dot(x, _deq(k_ref), preferred_element_type=jnp.float32)
+        return y * w_scale if w_scale is not None else y
+    xq = jnp.clip(jnp.round(x / in_scale), -128.0, 127.0).astype(jnp.int8)
+    acc = jnp.dot(xq, k_ref[...], preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (in_scale * w_scale)
+
+
 def _net_call(x, enc_k, enc_b, dec_k, dec_b, layer_flat, layer_names,
               p_pads, num_passes, statics, carries_in, *,
-              t, carry_out, enc_scale, dec_scale, prenorm, relufication,
-              glu, relu_state, act_dtype, interpret):
+              t, carry_out, enc_scale, dec_scale, enc_in, dec_in,
+              prenorm, relufication, glu, relu_state, act_dtype,
+              interpret):
     """One pallas_call running the full depth over ``t``-row time blocks
     of ``x`` (grid (B, L // t); L % t rows are left untouched — the tail
     call handles them). ``carries_in``: per-layer ((B,1,P), (B,1,P))
@@ -143,10 +166,8 @@ def _net_call(x, enc_k, enc_b, dec_k, dec_b, layer_flat, layer_names,
         j = pl.program_id(1)
 
         # encoder (engine_encode): dense + relu, cast to the stream dtype
-        hb = jnp.dot(x_ref[0].astype(jnp.float32), _deq(enc_k_ref),
-                     preferred_element_type=jnp.float32)
-        if enc_scale is not None:
-            hb = hb * enc_scale
+        hb = _boundary_dense(x_ref[0].astype(jnp.float32), enc_k_ref,
+                             enc_scale, enc_in)
         hb = hb + enc_b_ref[...]
         if relufication:
             hb = jnp.maximum(hb, 0.0)
@@ -167,6 +188,7 @@ def _net_call(x, enc_k, enc_b, dec_k, dec_b, layer_flat, layer_names,
                 block_requant=st.block_requant,
                 wb_scales=st.wb_scales, wc_scales=st.wc_scales,
                 out2_scale=st.out2_scale, out1_scale=st.out1_scale,
+                out2_in=st.out2_in_scale, out1_in=st.out1_in_scale,
                 carry_init=carry_init)
             hb = _value_roundtrip(hb, st.out_requant, act_dtype)
             if carry_out:
@@ -174,9 +196,7 @@ def _net_call(x, enc_k, enc_b, dec_k, dec_b, layer_flat, layer_names,
                 cout[2 * i + 1][0] = scratch[2 * i + 1][...]
 
         # decoder: pad-lane rows of dec_k are zero, so no lane slicing
-        y = jnp.dot(hb, _deq(dec_k_ref), preferred_element_type=jnp.float32)
-        if dec_scale is not None:
-            y = y * dec_scale
+        y = _boundary_dense(hb, dec_k_ref, dec_scale, dec_in)
         out_ref[0] = y + dec_b_ref[...]
 
     io_in = pl.BlockSpec((1, t, d_in), lambda i, j: (i, j, 0),
@@ -238,6 +258,8 @@ def fused_network_apply(
     statics: Tuple[NetLayerStatic, ...],
     enc_scale: Optional[float] = None,
     dec_scale: Optional[float] = None,
+    enc_in_scale: Optional[float] = None,
+    dec_in_scale: Optional[float] = None,
     block_t: int = 256,
     prenorm: bool = True,
     relufication: bool = False,
@@ -301,7 +323,8 @@ def fused_network_apply(
             flat.extend(ops[n_] for n_ in layer_names)
         return flat, p_pads, num_passes
 
-    kw = dict(enc_scale=enc_scale, dec_scale=dec_scale, prenorm=prenorm,
+    kw = dict(enc_scale=enc_scale, dec_scale=dec_scale,
+              enc_in=enc_in_scale, dec_in=dec_in_scale, prenorm=prenorm,
               relufication=relufication, glu=glu, relu_state=relu_state,
               act_dtype=act_dtype, interpret=interpret)
 

@@ -534,9 +534,17 @@ class W8A16Engine:
             topk=cfg.topk, approx_topk=cfg.approx_topk)
         return W8A16Engine(params, stats, q_config, model_cfg)
 
+    @staticmethod
+    def _int8_dense_ok(w, in_scale) -> bool:
+        """An in-kernel int8-MXU dot needs int8 QWeight storage with a
+        scale alongside its frozen activation scale."""
+        return (isinstance(w, QWeight) and w.scale is not None
+                and w.data.dtype == jnp.int8 and in_scale is not None)
+
     def _fused_stack_eligible(self) -> bool:
         """The whole-layer kernel covers: no model-dim top-k, dense (non
-        block-sparse) GLU kernels on the float/bf16 activation path, and
+        block-sparse) GLU kernels — float/bf16-activation dots OR the
+        w8a8 int8-MXU dots (in-kernel via fused_layer._glu_dense) — and
         residual requants that fit int16 codes. Everything else keeps the
         per-op path (numerics identical — the kernel mirrors
         engine_layer_forward op for op)."""
@@ -551,7 +559,7 @@ class W8A16Engine:
                          (lp.out1_kernel, lp.out1_in_scale)):
                 if isinstance(k, BlockSparseWeight):
                     return False
-                if s is not None:  # w8a8: int8-MXU dense stays unfused
+                if s is not None and not self._int8_dense_ok(k, s):
                     return False
             if (lp.residual_requant is not None
                     and lp.residual_requant[1] > 16):
@@ -560,31 +568,39 @@ class W8A16Engine:
 
     def _fused_network_eligible(self) -> bool:
         """Whole-network fusion additionally needs plain (QWeight / f32)
-        float-activation encoder and decoder dots — block-sparse packs
-        and the w8a8 int8-MXU path keep the per-layer or per-op route."""
+        encoder and decoder dots — float-activation, or int8-MXU when
+        w8a8 gives them frozen activation scales; block-sparse packs keep
+        the per-layer or per-op route."""
         from sparsernns_tpu.ops.pallas.block_sparse import BlockSparseWeight
         if not self._stack_ok:
             return False
         for w, s in ((self.encoder_kernel, self.encoder_in_scale),
                      (self.decoder_kernel, self.decoder_in_scale)):
-            if isinstance(w, BlockSparseWeight) or s is not None:
+            if isinstance(w, BlockSparseWeight):
+                return False
+            if s is not None and not self._int8_dense_ok(w, s):
                 return False
         return True
 
     @staticmethod
     def _layer_kernel_args(layer: "_LayerPack", glu: str):
-        """(operand kwargs, static scale kwargs) for fused_layer_apply."""
+        """(operand kwargs, static scale kwargs) for fused_layer_apply.
+        The in_scales route the in-kernel GLU dots onto the int8 MXU path
+        (w8a8) — fused_layer._glu_dense."""
         args = dict(out2_kernel=None, out2_bias=None,
                     out1_kernel=None, out1_bias=None)
-        scales = dict(out2_scale=None, out1_scale=None)
+        scales = dict(out2_scale=None, out1_scale=None,
+                      out2_in_scale=None, out1_in_scale=None)
         if glu in ("half1", "half2", "full"):
             args["out2_kernel"] = layer.out2_kernel.data
             args["out2_bias"] = layer.out2_bias
             scales["out2_scale"] = layer.out2_kernel.scale
+            scales["out2_in_scale"] = layer.out2_in_scale
         if glu == "full":
             args["out1_kernel"] = layer.out1_kernel.data
             args["out1_bias"] = layer.out1_bias
             scales["out1_scale"] = layer.out1_kernel.scale
+            scales["out1_in_scale"] = layer.out1_in_scale
         return args, scales
 
     def _apply_stack(self, weights, x, block_t: int):
@@ -660,6 +676,8 @@ class W8A16Engine:
             x, enc_k, weights["encoder_bias"], tuple(layers),
             dec_k, weights["decoder_bias"],
             statics=tuple(statics), enc_scale=enc_s, dec_scale=dec_s,
+            enc_in_scale=self.encoder_in_scale,
+            dec_in_scale=self.decoder_in_scale,
             block_t=block_t, prenorm=cfg.prenorm,
             relufication=cfg.relufication, glu=cfg.glu_variant,
             relu_state=cfg.relufication, act_dtype=self.act_dtype)

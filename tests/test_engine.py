@@ -421,16 +421,39 @@ def test_engine_fused_network_matches_stack(pipeline):  # noqa: F811
         assert d.max() == 0.0, (adt, bt, xi.shape, d.max())
 
 
-def test_engine_network_route_fallbacks(pipeline):  # noqa: F811
-    """w8a8 (int8-activation) encoder/decoder dots keep the per-layer /
-    per-op route — the network kernel requires float-activation
-    boundary dense layers."""
+def test_engine_w8a8_fused_routes_match_per_op(pipeline):  # noqa: F811
+    """w8a8 (int8-activation) dense dots now run INSIDE the fused
+    kernels (_glu_dense / _boundary_dense int8-MXU paths): the whole-
+    network and whole-layer routes are eligible and BIT-EXACT against
+    the per-op quantized_dense route at f32 activations (integer dots
+    are exact; every float op is reproduced in the same order)."""
     x, variables, y_fp, frozen_params, frozen_stats = pipeline
     inf_cfg = quantization_recipes["w8a8"](static_quant=True,
                                            calibrating=False)
     model_cfg = FxpModelConfig.infer(
         frozen_params, glu_variant="half1", relufication=True,
         prenorm=True, clip_eigs=True)
-    e = W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
-                    block_t=32)
-    assert not e._network_ok
+
+    def eng():
+        return W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                           act_dtype=jnp.float32, block_t=32)
+
+    e_net = eng()
+    assert e_net._network_ok and e_net._stack_ok
+    assert e_net.encoder_in_scale is not None  # really on the a8 route
+    assert e_net.layers[0].out2_in_scale is not None
+    e_stk = eng()
+    e_stk._network_ok = False
+    e_op = eng()
+    e_op._network_ok = e_op._stack_ok = False
+
+    y_net = np.asarray(e_net(x))
+    y_stk = np.asarray(e_stk(x))
+    y_op = np.asarray(e_op(x))
+    assert np.abs(y_net - y_stk).max() == 0.0
+    assert np.abs(y_net - y_op).max() == 0.0
+
+    # the in-kernel dots really are int8: the engine still lowers with
+    # int8 leaves and no f32 dequantized GLU weights appear as operands
+    hlo = e_net._forward.lower(e_net.weights, x).as_text()
+    assert "xi8>" in hlo
