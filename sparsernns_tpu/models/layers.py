@@ -196,10 +196,36 @@ class SequenceLayer(nn.Module):
 
         from sparsernns_tpu.ops.pallas.fused_layer_train import \
             fused_layer_tail_diff
-        z = self.norm(x)
+        nw = nb = None
+        if self.batchnorm:
+            # BatchNorm folds to a per-feature affine once its statistics
+            # are known, so the kernel reads the stream ONCE (raw x is
+            # both the norm input and the residual). In training the
+            # stats come from x differentiably — autodiff carries the
+            # kernel's nw/nb cotangents back through mean/var to x, which
+            # IS the BatchNorm backward. self.norm is still called for
+            # the running-stats update; its normalized output is unused
+            # and DCE'd by XLA.
+            nvar = self.norm.variables
+            h_dim = x.shape[-1]
+            params = nvar.get("params", {})
+            p_scale = params.get("scale", jnp.ones((h_dim,), x.dtype))
+            p_bias = params.get("bias", jnp.zeros((h_dim,), x.dtype))
+            if self.training:
+                mean = jnp.mean(x, axis=(0, 1))
+                var = jnp.mean(jnp.square(x), axis=(0, 1)) - mean * mean
+                self.norm(x)
+            else:
+                stats = nvar["batch_stats"]
+                mean, var = stats["mean"], stats["var"]
+            nw = p_scale * jax.lax.rsqrt(var + self.norm.epsilon)
+            nb = p_bias - mean * nw
+            z, skip = x, None
+        else:
+            z, skip = self.norm(x), x
         return fused_layer_tail_diff(
-            z, x, lam_bar, w_b, w_c, d, o2k, o2b, o1k, o1b, m1, m2,
-            block_t, "relu" if self.relufication else "gelu", glu,
+            z, skip, lam_bar, w_b, w_c, d, o2k, o2b, o1k, o1b, m1, m2,
+            nw, nb, block_t, "relu" if self.relufication else "gelu", glu,
             relu_state, self.relufication)
 
     def __call__(self, x):

@@ -59,9 +59,17 @@ def _act(y, act: str):
 
 
 def _make_tail_kernel(glu: str, act: str, with_m1: bool, with_m2: bool,
-                      *, num_passes: int, block_t: int, relu_state: bool,
-                      layer_relu: bool):
-    names = ["z", "skip"]
+                      affine: bool, *, num_passes: int, block_t: int,
+                      relu_state: bool, layer_relu: bool):
+    # ``affine``: the stream operand is the RAW layer input x, read once;
+    # the norm is applied in-kernel as the per-feature affine (nw, nb)
+    # computed outside from the batch statistics (BatchNorm folds to an
+    # affine once mean/var are known — the stats reduction is the only
+    # thing that must happen before the kernel). Non-affine (LayerNorm):
+    # separate normed ``z`` and residual ``skip`` streams.
+    names = ["z"] if affine else ["z", "skip"]
+    if affine:
+        names += ["nw", "nb"]
     if with_m1:
         names.append("m1")
     if with_m2:
@@ -80,7 +88,11 @@ def _make_tail_kernel(glu: str, act: str, with_m1: bool, with_m2: bool,
         j = pl.program_id(1)
 
         z = refs["z"][0].astype(jnp.float32)        # (T, Hp)
-        skip = refs["skip"][0].astype(jnp.float32)
+        if affine:
+            skip = z
+            z = z * refs["nw"][...] + refs["nb"][...]
+        else:
+            skip = refs["skip"][0].astype(jnp.float32)
 
         # ---- mixer (fused_s5 semantics) ----
         bu = jnp.dot(z, refs["wb"][...], preferred_element_type=jnp.float32)
@@ -130,8 +142,10 @@ def _make_tail_kernel(glu: str, act: str, with_m1: bool, with_m2: bool,
     jax.jit, static_argnames=("block_t", "act", "glu", "relu_state",
                               "layer_relu", "interpret"))
 def fused_layer_tail(
-    z: jax.Array,                 # (B, L, H) normed layer input
-    skip: jax.Array,              # (B, L, H) residual input (pre-norm)
+    z: jax.Array,                 # (B, L, H): normed input, or the RAW
+                                  # layer input when (nw, nb) are given
+    skip: Optional[jax.Array],    # (B, L, H) residual input; None in
+                                  # affine mode (the raw input is both)
     lam: Pair,                    # (P,) pair — discretized λ̄
     w_b: jax.Array,               # (H, 2P) stacked [B̄_re^T | B̄_im^T]
     w_c: jax.Array,               # (2P, H) stacked [C̃_re^T; -C̃_im^T] (conj
@@ -143,6 +157,8 @@ def fused_layer_tail(
     o1b: Optional[jax.Array] = None,
     m1: Optional[jax.Array] = None,    # (B, 1, H) dropout mask (prescaled)
     m2: Optional[jax.Array] = None,    # (B, 1, H)
+    nw: Optional[jax.Array] = None,    # (H,) in-kernel norm affine (BN
+    nb: Optional[jax.Array] = None,    # folded from batch statistics)
     *,
     block_t: int = 256,
     act: str = "gelu",
@@ -151,17 +167,28 @@ def fused_layer_tail(
     layer_relu: bool = False,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """out = residual(skip, GLU(act(mixer(z)))) in one kernel. (B, L, H)."""
+    """out = residual(skip, GLU(act(mixer(norm(x))))) in one kernel,
+    (B, L, H). In affine mode (nw/nb given) the stream is read ONCE —
+    the norm affine and the residual both use the raw input in VMEM."""
     assert glu in GLU_KINDS, glu
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     with_m1, with_m2 = m1 is not None, m2 is not None
+    affine = nw is not None
+    assert affine == (skip is None), "affine mode takes the raw x only"
 
-    extra = [a for a in (m1, m2, o2k, o2b, o1k, o1b) if a is not None]
+    extra = ([nw, nb] if affine else [])
+    extra += [a for a in (m1, m2, o2k, o2b, o1k, o1b) if a is not None]
+    streams = (z,) if affine else (z, skip)
 
-    def body(z, skip, lam_re, lam_im, w_b, w_c, d, *extras):
+    def body(*flat):
         from sparsernns_tpu.ops.pallas.fused_layer import pad_layer_ops
-        it = iter(extras)
+        it = iter(flat)
+        z = next(it)
+        skip = None if affine else next(it)
+        lam_re, lam_im, w_b, w_c, d = (next(it) for _ in range(5))
+        enw = next(it) if affine else None
+        enb = next(it) if affine else None
         em1 = next(it) if with_m1 else None
         em2 = next(it) if with_m2 else None
         eo2 = (next(it), next(it)) if glu != "none" else None
@@ -174,15 +201,22 @@ def fused_layer_tail(
         if l_pad != l or h_pad != h:
             pad = ((0, 0), (0, l_pad - l), (0, h_pad - h))
             z = jnp.pad(z, pad)
-            skip = jnp.pad(skip, pad)
+            if skip is not None:
+                skip = jnp.pad(skip, pad)
         # pad_layer_ops packs weights/λ tables to the kernel geometry; its
-        # norm slots are unused here (identity affine placeholders).
-        ident = jnp.ones((h,), jnp.float32)
+        # norm slots carry the affine (identity placeholders when unused).
         ops, p_pad, num_passes = pad_layer_ops(
-            (lam_re, lam_im), w_b, w_c, d, ident, jnp.zeros((h,)),
+            (lam_re, lam_im), w_b, w_c, d,
+            enw if affine else jnp.ones((h,), jnp.float32),
+            enb if affine else jnp.zeros((h,), jnp.float32),
             eo2, eo1, h_pad, t)
 
-        operands = {"z": z, "skip": skip}
+        operands = {"z": z}
+        if not affine:
+            operands["skip"] = skip
+        else:
+            operands["nw"] = ops["nw"]
+            operands["nb"] = ops["nb"]
         if with_m1:
             operands["m1"] = jnp.pad(em1, ((0, 0), (0, 0), (0, h_pad - h)))
         if with_m2:
@@ -197,8 +231,8 @@ def fused_layer_tail(
             operands.update(o1k=ops["out1_k"], o1b=ops["out1_b"])
 
         kernel, names = _make_tail_kernel(
-            glu, act, with_m1, with_m2, num_passes=num_passes, block_t=t,
-            relu_state=relu_state, layer_relu=layer_relu)
+            glu, act, with_m1, with_m2, affine, num_passes=num_passes,
+            block_t=t, relu_state=relu_state, layer_relu=layer_relu)
 
         io_block = pl.BlockSpec((1, t, h_pad), lambda i, j: (i, j, 0),
                                 memory_space=pltpu.VMEM)
@@ -228,10 +262,13 @@ def fused_layer_tail(
 
     from sparsernns_tpu.ops.pallas.fused_layer import _gen_rule
     from sparsernns_tpu.ops.pallas.partition import batch_partitioned
-    # args: z(b,l,h) skip(b,l,h) lam_re(p) lam_im(p) wb(h,2p) wc(2p,h) d(h)
-    #       [m1(b,1,h)] [m2(b,1,h)] [o2k(h,h) o2b(h)] [o1k(h,h) o1b(h)]
-    nds = [3, 3, 1, 1, 2, 2, 1]
-    batch_args = [0, 1]
+    # args: z(b,l,h) [skip(b,l,h)] lam_re(p) lam_im(p) wb(h,2p) wc(2p,h)
+    #       d(h) [nw(h) nb(h)] [m1(b,1,h)] [m2(b,1,h)]
+    #       [o2k(h,h) o2b(h)] [o1k(h,h) o1b(h)]
+    nds = [3] + ([] if affine else [3]) + [1, 1, 2, 2, 1]
+    batch_args = [0] if affine else [0, 1]
+    if affine:
+        nds += [1, 1]
     for a in (m1, m2):
         if a is not None:
             batch_args.append(len(nds))
@@ -242,7 +279,7 @@ def fused_layer_tail(
         nds += [2, 1]
     rule, repl = _gen_rule(nds, [3], batch_args)
     return batch_partitioned(body, rule, repl, batch_args=tuple(batch_args))(
-        z, skip, lam[0], lam[1], w_b, w_c, d, *extra)
+        *streams, lam[0], lam[1], w_b, w_c, d, *extra)
 
 
 # --------------------------------------------------------------------------
@@ -250,27 +287,31 @@ def fused_layer_tail(
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18))
 def fused_layer_tail_diff(z, skip, lam: Pair, w_b, w_c, d,
-                          o2k, o2b, o1k, o1b, m1, m2,
+                          o2k, o2b, o1k, o1b, m1, m2, nw, nb,
                           block_t: int = 256, act: str = "gelu",
                           glu: str = "none", relu_state: bool = False,
                           layer_relu: bool = False):
     """Differentiable whole-layer tail. Forward = one Pallas kernel that
-    saves only its inputs; backward rematerializes the chain."""
+    saves only its inputs; backward rematerializes the chain. In affine
+    mode (nw/nb arrays, skip=None) gradients flow to nw/nb — and from
+    there through the caller's batch-statistics computation back to x,
+    so BatchNorm training gradients come out of plain autodiff."""
     return fused_layer_tail(
-        z, skip, lam, w_b, w_c, d, o2k, o2b, o1k, o1b, m1, m2,
+        z, skip, lam, w_b, w_c, d, o2k, o2b, o1k, o1b, m1, m2, nw, nb,
         block_t=block_t, act=act, glu=glu, relu_state=relu_state,
         layer_relu=layer_relu)
 
 
-def _fwd(z, skip, lam, w_b, w_c, d, o2k, o2b, o1k, o1b, m1, m2,
+def _fwd(z, skip, lam, w_b, w_c, d, o2k, o2b, o1k, o1b, m1, m2, nw, nb,
          block_t, act, glu, relu_state, layer_relu):
     out = fused_layer_tail(
-        z, skip, lam, w_b, w_c, d, o2k, o2b, o1k, o1b, m1, m2,
+        z, skip, lam, w_b, w_c, d, o2k, o2b, o1k, o1b, m1, m2, nw, nb,
         block_t=block_t, act=act, glu=glu, relu_state=relu_state,
         layer_relu=layer_relu)
-    return out, (z, skip, lam, w_b, w_c, d, o2k, o2b, o1k, o1b, m1, m2)
+    return out, (z, skip, lam, w_b, w_c, d, o2k, o2b, o1k, o1b, m1, m2,
+                 nw, nb)
 
 
 def _act_and_grad(y, act: str):
@@ -283,9 +324,14 @@ def _act_and_grad(y, act: str):
 
 def _bwd(block_t, act, glu, relu_state, layer_relu, res, g):
     from sparsernns_tpu.ops.pallas.scan_kernel import pallas_diag_scan
-    z, skip, lam, w_b, w_c, d, o2k, o2b, o1k, o1b, m1, m2 = res
+    z, skip, lam, w_b, w_c, d, o2k, o2b, o1k, o1b, m1, m2, nw, nb = res
     p = w_b.shape[-1] // 2
     axes = tuple(range(z.ndim - 1))
+    affine = nw is not None
+    x_raw = None
+    if affine:
+        x_raw, skip = z, z
+        z = z * nw + nb
 
     # ---- rematerialize the forward chain ----
     bu = z @ w_b
@@ -368,8 +414,16 @@ def _bwd(block_t, act, glu, relu_state, layer_relu, res, g):
     d_lam = (jnp.sum(v[0] * xp_re + v[1] * xp_im, axis=axes),
              jnp.sum(v[1] * xp_re - v[0] * xp_im, axis=axes))
 
+    if affine:
+        # z = x*nw + nb and skip = x: fold both paths into the x grad;
+        # nw/nb cotangents continue through the caller's stats math.
+        d_nw = jnp.sum(g_z * x_raw, axis=axes)
+        d_nb = jnp.sum(g_z, axis=axes)
+        g_x = g_z * nw + g_skip
+        return (g_x, None, d_lam, d_w_b, d_w_c, d_d,
+                d_o2k, d_o2b, d_o1k, d_o1b, d_m1, d_m2, d_nw, d_nb)
     return (g_z, g_skip, d_lam, d_w_b, d_w_c, d_d,
-            d_o2k, d_o2b, d_o1k, d_o1b, d_m1, d_m2)
+            d_o2k, d_o2b, d_o1k, d_o1b, d_m1, d_m2, None, None)
 
 
 fused_layer_tail_diff.defvjp(_fwd, _bwd)

@@ -90,8 +90,8 @@ def test_tail_grads_match_composed(rng, glu):
         y = fused_layer_tail_diff(
             d["z"], d["skip"], d["lam"], d["w_b"], d["w_c"], d["d"],
             d.get("o2k"), d.get("o2b"), d.get("o1k"), d.get("o1b"),
-            d.get("m1"), d.get("m2"), 16, flags["act"], flags["glu"],
-            flags["relu_state"], flags["layer_relu"])
+            d.get("m1"), d.get("m2"), None, None, 16, flags["act"],
+            flags["glu"], flags["relu_state"], flags["layer_relu"])
         return jnp.sum(y ** 2)
 
     def loss_ref(*args):
@@ -106,6 +106,41 @@ def test_tail_grads_match_composed(rng, glu):
             np.testing.assert_allclose(
                 np.asarray(leaf_a), np.asarray(leaf_b), rtol=2e-2,
                 atol=2e-2, err_msg=f"grad mismatch for {name}")
+
+
+def test_tail_affine_mode_matches_composed(rng):
+    """Affine (BatchNorm-folded) mode: the kernel reads the raw stream
+    once and applies z = x*nw + nb in VMEM — must equal the two-stream
+    form with the affine applied outside, for values AND grads."""
+    kw = _operands(rng, glu="half1", masks=False)
+    h = kw["z"].shape[-1]
+    nw = jnp.asarray(rng.rand(h) + 0.5, jnp.float32)
+    nb = jnp.asarray(rng.randn(h) * 0.1, jnp.float32)
+    x = kw.pop("z")
+    kw.pop("skip")
+    flags = dict(act="relu", glu="half1", relu_state=True, layer_relu=True)
+
+    def loss_aff(x, nw, nb, w_b, w_c, d, o2k, o2b):
+        y = fused_layer_tail_diff(
+            x, None, kw["lam"], w_b, w_c, d, o2k, o2b, None, None,
+            None, None, nw, nb, 16, flags["act"], flags["glu"],
+            flags["relu_state"], flags["layer_relu"])
+        return jnp.sum(y ** 2)
+
+    def loss_ref(x, nw, nb, w_b, w_c, d, o2k, o2b):
+        y = composed_tail(x * nw + nb, x, kw["lam"], w_b, w_c, d,
+                          o2k, o2b, **flags)
+        return jnp.sum(y ** 2)
+
+    args = (x, nw, nb, kw["w_b"], kw["w_c"], kw["d"], kw["o2k"], kw["o2b"])
+    np.testing.assert_allclose(float(loss_aff(*args)),
+                               float(loss_ref(*args)), rtol=1e-4)
+    ga = jax.grad(loss_aff, argnums=tuple(range(8)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    for i, (a, b) in enumerate(zip(ga, gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-2,
+                                   err_msg=f"grad mismatch for arg {i}")
 
 
 def _layer_model(scan_mode, training=False, dropout=0.0, glu="half1",
