@@ -388,7 +388,7 @@ def bench_mode(mode, peaks, batch=8, seq_len=3751, d_io=257,
                     padded_flops=pflops)
 
 
-def _build_engine(batch, seq_len, d_io):
+def _build_engine(batch, seq_len, d_io, mxu16=False):
     import numpy as np
 
     from __graft_entry__ import _flagship_model
@@ -396,7 +396,12 @@ def _build_engine(batch, seq_len, d_io):
     from sparsernns_tpu.quantize.config import quantization_recipes
     from sparsernns_tpu.quantize.engine import W8A16Engine
 
-    model = _flagship_model(training=False)
+    cfg = quantization_recipes["w8a16"](static_quant=True, calibrating=False)
+    # mxu16 needs the frozen activation grids (quant_input/quant_ut/...)
+    # in params — build the statically-quantized flagship so eval_shape
+    # materializes the scale leaves (random positive values: the grids'
+    # VALUES are irrelevant for throughput, only the dot shapes matter)
+    model = _flagship_model(training=False, q_config=cfg if mxu16 else None)
     x = jnp.zeros((batch, seq_len, d_io), jnp.float32)
     # Engine packing reads weights on the HOST — build the parameter tree
     # with numpy from eval_shape (no device round-trips; some TPU
@@ -408,22 +413,31 @@ def _build_engine(batch, seq_len, d_io):
     variables = jax.tree_util.tree_map(
         lambda s: (0.1 * np.abs(rng.randn(*s.shape)) + 0.01
                    ).astype(s.dtype), shapes)
-    cfg = quantization_recipes["w8a16"](static_quant=True, calibrating=False)
     model_cfg = FxpModelConfig.infer(
         variables["params"], glu_variant="half1", relufication=False,
         prenorm=True, clip_eigs=True)
     engine = W8A16Engine(variables["params"], variables.get("batch_stats"),
-                         cfg, model_cfg)
+                         cfg, model_cfg, mxu16=mxu16)
+    if mxu16:
+        assert engine.mxu16["mixer"] and engine.mxu16["state"], engine.mxu16
     return engine, variables, x
 
 
 def bench_w8a16_engine(peaks, batch=8, seq_len=3751, d_io=257,
-                       iters=ITERS_FWD, n_fill=0, reserve_gb=None):
+                       iters=ITERS_FWD, n_fill=0, reserve_gb=None,
+                       mxu16=False, name="w8a16-engine"):
     """The north-star config: w8a16 quantized serving engine
-    (int8-stored weights, bf16 activations, fused Pallas mixer)."""
+    (int8-stored weights, bf16 activations, fused Pallas mixer).
+
+    ``mxu16``: the bit-faithful int-dot engine — every dense/B/C dot runs
+    int8 x int8 -> int32 on the MXU via the exact two-plane decomposition
+    of the 16-bit activation codes (ops/intdot.py). The MXU floor stays
+    the bf16-rate ``model_padded_flops / peak``: two int8 planes at 2x
+    the bf16 rate cost exactly one bf16-rate dot, so the gate is still a
+    true lower bound (the f32-dot float path sits ~4x above it)."""
     from sparsernns_tpu.utils.profiling import (model_forward_flops,
                                                 model_padded_flops)
-    engine, variables, x = _build_engine(batch, seq_len, d_io)
+    engine, variables, x = _build_engine(batch, seq_len, d_io, mxu16=mxu16)
     n_layers, h, p, _ = _model_dims(variables["params"])
     flops = model_forward_flops(batch, seq_len, d_io, h, p, n_layers)
     pflops = model_padded_flops(batch, seq_len, d_io, h, p, n_layers)
@@ -441,7 +455,7 @@ def bench_w8a16_engine(peaks, batch=8, seq_len=3751, d_io=257,
     _, xla_bytes = _xla_cost(fwd, engine.weights, x)
     dispatch = _chained_dispatch(fwd, engine.weights, x, ("encoder_bias",))
 
-    return _measure("w8a16-engine", dispatch, iters, batch * seq_len,
+    return _measure(name, dispatch, iters, batch * seq_len,
                     flops, xla_bytes, peaks, n_fill=n_fill,
                     reserve_gb=reserve_gb, padded_flops=pflops)
 
@@ -525,21 +539,24 @@ def run_all_modes(peaks, saturation_retry=True):
         except Exception as e:  # keep the bench robust per-mode
             _maybe_profiler_dead(e)
             _log(f"{mode} failed: {e}")
-    try:
-        with _alarm(BENCH_MODE_TIMEOUT_S):
-            rec = bench_w8a16_engine(peaks)
-            if not rec["valid"] and saturation_retry:
-                _log("w8a16-engine: retrying with the saturated-queue "
-                     "protocol (ballast + large batch)")
-                rec2 = bench_w8a16_engine(peaks, batch=128, iters=12,
-                                          n_fill=3, reserve_gb=5.0)
-                rec = rec2 if rec2["valid"] else rec
-            recs["w8a16-engine"] = rec
-    except _ProfilerDead:
-        raise
-    except Exception as e:
-        _maybe_profiler_dead(e)
-        _log(f"w8a16-engine failed: {e}")
+    for name, mxu16 in (("w8a16-engine", False), ("w8a16-engine-mxu16",
+                                                  True)):
+        try:
+            with _alarm(BENCH_MODE_TIMEOUT_S):
+                rec = bench_w8a16_engine(peaks, mxu16=mxu16, name=name)
+                if not rec["valid"] and saturation_retry:
+                    _log(f"{name}: retrying with the saturated-queue "
+                         "protocol (ballast + large batch)")
+                    rec2 = bench_w8a16_engine(peaks, batch=128, iters=12,
+                                              n_fill=3, reserve_gb=5.0,
+                                              mxu16=mxu16, name=name)
+                    rec = rec2 if rec2["valid"] else rec
+                recs[name] = rec
+        except _ProfilerDead:
+            raise
+        except Exception as e:
+            _maybe_profiler_dead(e)
+            _log(f"{name} failed: {e}")
     try:
         with _alarm(BENCH_MODE_TIMEOUT_S):
             recs["train-step"] = bench_train_step(peaks)
@@ -630,7 +647,8 @@ def main():
         if recs:
             _log(f"profiler worker delivered: {sorted(recs)}")
     missing = [m for m in ("associative", "pallas", "fused", "w8a16-engine",
-                           "train-step") if m not in recs]
+                           "w8a16-engine-mxu16", "train-step")
+               if m not in recs]
     if missing:
         _log(f"measuring in-process (no profiler): {missing}")
         local = run_all_modes(peaks)

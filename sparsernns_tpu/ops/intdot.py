@@ -1,0 +1,100 @@
+"""Exact int8-MXU execution of quantized matmuls with up-to-16-bit
+activations.
+
+The w8a16 recipe (the reference's flagship quant target,
+/root/reference/sparseRNNs/utils/quantization.py:127-136) stores 8-bit
+weights but 16-bit activations — too wide for the MXU's int8 path, so
+the serving kernels used to run those dots in f32 on dequantized
+weights, several times below the MXU's bf16 rate. This module runs them
+as integer arithmetic anyway:
+
+  the int16 activation code q splits exactly into two int8 planes
+
+      q = 256 * hi + (lo - 128) + 128,
+      hi = floor(q / 256)      in [-128, 127]
+      lo = q - 256 * hi        in [0, 255]  ->  lo - 128 in [-128, 127]
+
+  so  q . W = 256 * (hi . W) + ((lo - 128) . W) + 128 * colsum(W)
+
+with every term an int8 x int8 -> int32 MXU dot (or a precomputable
+int32 column sum). Integer arithmetic has no summation-order ambiguity,
+so the decomposition is EXACT and bit-reproducible across XLA
+``dot_general`` and Mosaic — per-op and fused engine paths agree
+bit-for-bit on the accumulator.
+
+Quantizing the activation onto its frozen grid first is not an
+approximation we introduce: it is what the static-quant emulation
+itself does around every dot (quant_ut / quant_xt / quant_input,
+models/ssm.py + quantize/static.py — reference semantics
+quantization.py:403-474, :673-816). The engine's float path SKIPS that
+input quantization; this path executes it, so it sits closer to the
+bit-faithful sequential reference than the f32 dots did.
+
+Overflow budget: |acc| <= K * 127 * 128 * 258 for reduction dim K, which
+fits int32 for K <= 512 (``max_reduction_dim``). Callers fall back to
+the f32 path beyond that (flagship shapes: K <= 384 padded).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+#: largest (padded) reduction dim whose int32 accumulator cannot overflow:
+#: K * 127 * 128 * (256 + 1 + 1) <= 2^31 - 1
+MAX_REDUCTION_DIM = 512
+
+
+def fits_int32(k_padded: int) -> bool:
+    return k_padded <= MAX_REDUCTION_DIM
+
+
+def quantize_codes(x: jax.Array, scale: float, bits: int) -> jax.Array:
+    """f32 tensor -> its integer codes on the frozen symmetric grid
+    (float-valued integers; same rounding/clip as static.quant_dequant)."""
+    qmax = float(2 ** (bits - 1) - 1)
+    return jnp.clip(jnp.round(x / scale), -(qmax + 1.0), qmax)
+
+
+def i16_planes(q: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Split integer-valued f32 codes in [-2^15, 2^15-1] into the two
+    exact int8 planes (hi, lo - 128)."""
+    hi = jnp.floor(q * (1.0 / 256.0))
+    lo = q - hi * 256.0 - 128.0
+    return hi.astype(jnp.int8), lo.astype(jnp.int8)
+
+
+def weight_colsum(w_i8) -> jax.Array:
+    """Precomputable int32 column sums of an int8 weight (the +128
+    correction row). Accepts numpy or jax arrays."""
+    return jnp.sum(jnp.asarray(w_i8, jnp.int32), axis=0)
+
+
+def _dot_i8(a_i8: jax.Array, w_i8: jax.Array) -> jax.Array:
+    """int8 x int8 -> int32 contraction over a's last / w's first dim.
+    Works identically under XLA jit and inside Pallas kernels."""
+    return jax.lax.dot_general(
+        a_i8, w_i8, (((a_i8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+
+def int16_dot(x: jax.Array, w_i8: jax.Array, colsum_i32: jax.Array,
+              in_scale: float, bits: int,
+              codes: Optional[jax.Array] = None) -> jax.Array:
+    """``fq(x) @ (w_i8 * w_scale)`` with the activation fake-quantized at
+    (in_scale, bits), executed exactly on the int8 MXU. Returns the f32
+    ACCUMULATOR (codes dot); the caller multiplies by in_scale * w_scale.
+
+    ``codes``: pass precomputed integer codes (float-valued) to skip the
+    quantization — e.g. states already requantized onto this grid.
+    """
+    q = quantize_codes(x, in_scale, bits) if codes is None else codes
+    if bits <= 8:
+        acc = _dot_i8(q.astype(jnp.int8), w_i8)
+    else:
+        hi, lo = i16_planes(q)
+        acc = (_dot_i8(hi, w_i8) * 256 + _dot_i8(lo, w_i8)
+               + colsum_i32 * 128)
+    return acc.astype(jnp.float32)

@@ -65,22 +65,37 @@ def _dequant_weight(ref, scales):
     return w.astype(jnp.float32)
 
 
-def _glu_dense(x, w_ref, w_scale, in_scale):
-    """In-kernel dense dot for the GLU gates. ``in_scale`` set (w8a8):
-    quantize the activation onto the frozen grid and run the int8 x int8
-    -> int32 dot on the MXU — identical values to engine.quantized_dense,
-    so the fused path stays bit-exact vs the per-op path. Otherwise: f32
-    dot on the (dequantized) weights with the pow2 weight scale applied
-    to the result."""
-    if in_scale is None:
+def _qdq(x, spec):
+    """Value-form quantize-dequantize onto a frozen (scale, bits) grid —
+    the in-kernel analog of static.quant_dequant (same round/clip)."""
+    if spec is None:
+        return x
+    s, bits = spec
+    qmax = float(2 ** (bits - 1) - 1)
+    return jnp.clip(jnp.round(x / s), -(qmax + 1.0), qmax) * s
+
+
+def _glu_dense(x, w_ref, w_scale, in_spec, colsum_ref=None):
+    """In-kernel dense dot for the GLU gates. ``in_spec`` set — a
+    (scale, bits) frozen activation grid: quantize the activation onto it
+    and run the dot on the MXU's int8 path — one int8 x int8 -> int32 dot
+    at bits <= 8 (w8a8), or the exact two-plane decomposition
+    (ops/intdot.py) at 9..16 bits (w8a16) using the precomputed
+    ``colsum_ref`` correction row. Identical values to
+    engine.quantized_dense, so the fused path stays bit-exact vs the
+    per-op path. Otherwise: f32 dot on the (dequantized) weights with the
+    pow2 weight scale applied to the result."""
+    from sparsernns_tpu.ops.intdot import int16_dot
+    if in_spec is None:
         r = jnp.dot(x, _dequant_weight(w_ref, w_scale),
                     preferred_element_type=jnp.float32)
         if w_scale is not None:
             r = r * w_scale
         return r
-    xq = jnp.clip(jnp.round(x / in_scale), -128.0, 127.0).astype(jnp.int8)
-    acc = jnp.dot(xq, w_ref[...], preferred_element_type=jnp.int32)
-    return acc.astype(jnp.float32) * (in_scale * w_scale)
+    in_scale, in_bits = in_spec
+    cs = colsum_ref[...] if colsum_ref is not None else None
+    acc = int16_dot(x, w_ref[...], cs, in_scale, in_bits)
+    return acc * (in_scale * w_scale)
 
 
 def _fused_layer_body(
@@ -88,10 +103,28 @@ def _fused_layer_body(
     num_passes, block_t, prenorm, relufication, glu,
     relu_state, block_requant, wb_scales, wc_scales,
     out2_scale, out1_scale, out2_in=None, out1_in=None, carry_init=None,
+    mixer_in16=None, state16=False, but_requant=None, yt_requant=None,
+    out2_out=None, out1_out=None,
 ):
     """Shared layer math on an in-VMEM f32 residual block ``r`` (T, Hp).
     ``refs`` is the dict of operand refs. Returns the new residual block
-    (T, Hp) f32, pre-(output-requant)."""
+    (T, Hp) f32, pre-(output-requant).
+
+    ``mixer_in16`` — a (scale, bits) grid: fake-quantize the mixer input
+    onto it (the static path's quant_ut, models/ssm.py:429) and run the
+    B-projection on the MXU int8 path via the exact two-plane
+    decomposition (ops/intdot.py). ``state16`` — quantize the scan
+    states onto the ``block_requant`` grid (the static path's quant_xt)
+    and run the C-projection the same way.
+
+    The bit-faithful requants (engine mxu16 mode — all frozen grids the
+    static-quant emulation applies and the float engine skips):
+    ``but_requant`` (s_re, s_im, bits) = quant_but after the B-projection
+    (ssm.py:436); ``yt_requant`` (s, bits) = quant_yt on the mixer output
+    incl. the D-term (ssm.py:469); ``out2_out``/``out1_out`` (s, bits) =
+    the GLU denses' quant_output after the bias add (static.py
+    QuantizedDense)."""
+    from sparsernns_tpu.ops.intdot import int16_dot, quantize_codes
     from sparsernns_tpu.ops.pallas.scan_kernel import scan_block_body
 
     nw = refs["nw"][...]          # (1, Hp)
@@ -99,13 +132,31 @@ def _fused_layer_body(
     z = r * nw + nb if prenorm else r
 
     # ---- mixer: B-proj -> diagonal scan -> C-proj + D (fused_s5) ----
-    wb = _dequant_weight(refs["wb"], wb_scales)
-    bu = jnp.dot(z, wb, preferred_element_type=jnp.float32)
-    p = bu.shape[-1] // 2
-    bu_re, bu_im = bu[:, :p], bu[:, p:]
-    if wb_scales is not None:
-        bu_re = bu_re * wb_scales[0]
-        bu_im = bu_im * wb_scales[1]
+    if mixer_in16 is not None:
+        s_ut, a_bits = mixer_in16
+        q_ut = quantize_codes(z, s_ut, a_bits)
+        cs_wb = refs["cs_wb"][...] if "cs_wb" in refs else None
+        acc = int16_dot(z, refs["wb"][...], cs_wb,
+                        s_ut, a_bits, codes=q_ut)
+        p = acc.shape[-1] // 2
+        bu_re = acc[:, :p] * (s_ut * wb_scales[0])
+        bu_im = acc[:, p:] * (s_ut * wb_scales[1])
+        # the D-term multiplies the quantized u, like the static path
+        # (ssm.py:469 d_q * u_q)
+        z_d = q_ut * s_ut
+    else:
+        wb = _dequant_weight(refs["wb"], wb_scales)
+        bu = jnp.dot(z, wb, preferred_element_type=jnp.float32)
+        p = bu.shape[-1] // 2
+        bu_re, bu_im = bu[:, :p], bu[:, p:]
+        if wb_scales is not None:
+            bu_re = bu_re * wb_scales[0]
+            bu_im = bu_im * wb_scales[1]
+        z_d = z
+    if but_requant is not None:
+        s_br, s_bi, b_bits = but_requant
+        bu_re = _qdq(bu_re, (s_br, b_bits))
+        bu_im = _qdq(bu_im, (s_bi, b_bits))
     x_re, x_im = scan_block_body(
         bu_re, bu_im, refs["pow_re"], refs["pow_im"],
         refs["ctab_re"], refs["ctab_im"], carry_re, carry_im, j,
@@ -114,27 +165,42 @@ def _fused_layer_body(
     if relu_state:
         x_re = jnp.maximum(x_re, 0.0)
         x_im = jnp.maximum(x_im, 0.0)
-    if wc_scales is not None:
-        xs_cat = jnp.concatenate([x_re * wc_scales[0],
-                                  x_im * wc_scales[1]], axis=-1)
+    if state16:
+        # quant_xt on the states feeding C (exact: relu commutes with the
+        # symmetric-grid quantization), then per-half int8-MXU dots
+        s_re, s_im, s_bits = block_requant
+        wc = refs["wc"][...]
+        pp = wc.shape[0] // 2
+        cs_re = refs["cs_wc_re"][...] if "cs_wc_re" in refs else None
+        cs_im = refs["cs_wc_im"][...] if "cs_wc_im" in refs else None
+        acc_re = int16_dot(x_re, wc[:pp], cs_re, s_re, s_bits)
+        acc_im = int16_dot(x_im, wc[pp:], cs_im, s_im, s_bits)
+        y = acc_re * (s_re * wc_scales[0]) + acc_im * (s_im * wc_scales[1])
     else:
-        xs_cat = jnp.concatenate([x_re, x_im], axis=-1)
-    wc = _dequant_weight(refs["wc"], wc_scales)
-    y = jnp.dot(xs_cat, wc, preferred_element_type=jnp.float32)
-    y = y + refs["d"][...] * z
+        if wc_scales is not None:
+            xs_cat = jnp.concatenate([x_re * wc_scales[0],
+                                      x_im * wc_scales[1]], axis=-1)
+        else:
+            xs_cat = jnp.concatenate([x_re, x_im], axis=-1)
+        wc = _dequant_weight(refs["wc"], wc_scales)
+        y = jnp.dot(xs_cat, wc, preferred_element_type=jnp.float32)
+    y = y + refs["d"][...] * z_d
+    y = _qdq(y, yt_requant)
 
     # ---- activation + GLU + residual (engine_layer_forward order) ----
     x1 = jnp.maximum(y, 0.0) if relufication else jax.nn.gelu(y)
     if glu in ("half1", "half2", "full"):
-        g = _glu_dense(x1, refs["out2_k"], out2_scale, out2_in)
-        gate = jax.nn.sigmoid(g + refs["out2_b"][...])
+        g = _glu_dense(x1, refs["out2_k"], out2_scale, out2_in,
+                       refs.get("cs_out2"))
+        gate = jax.nn.sigmoid(_qdq(g + refs["out2_b"][...], out2_out))
         if glu == "half1":
             base = x1
         elif glu == "half2":
             base = y
         else:
-            base = _glu_dense(x1, refs["out1_k"], out1_scale, out1_in)
-            base = base + refs["out1_b"][...]
+            base = _glu_dense(x1, refs["out1_k"], out1_scale, out1_in,
+                              refs.get("cs_out1"))
+            base = _qdq(base + refs["out1_b"][...], out1_out)
         h = base * gate
     else:
         h = x1
@@ -163,6 +229,28 @@ def _load_in(r_ref, *, in_requant):
     return r
 
 
+def _needs_cs(in_spec) -> bool:
+    """A 9..16-bit activation grid needs the two-plane colsum row."""
+    return in_spec is not None and in_spec[1] > 8
+
+
+def colsum_names(glu, *, mixer_in16=None, state16=False, block_requant=None,
+                 out2_in=None, out1_in=None, **_):
+    """Extra operand names for the int8-MXU dot corrections, in kernel
+    order (appended after the base/GLU operands). Only 9..16-bit grids
+    need the two-plane colsum row — 8-bit dots are single-plane."""
+    names = []
+    if mixer_in16 is not None and mixer_in16[1] > 8:
+        names += ["cs_wb"]
+    if state16 and block_requant is not None and block_requant[2] > 8:
+        names += ["cs_wc_re", "cs_wc_im"]
+    if glu in ("half1", "half2", "full") and _needs_cs(out2_in):
+        names += ["cs_out2"]
+    if glu == "full" and _needs_cs(out1_in):
+        names += ["cs_out1"]
+    return names
+
+
 def _make_kernel(glu, with_carry, **flags):
     names = ["r"]
     if with_carry:
@@ -173,6 +261,7 @@ def _make_kernel(glu, with_carry, **flags):
         names += ["out2_k", "out2_b"]
     if glu == "full":
         names += ["out1_k", "out1_b"]
+    names += colsum_names(glu, **flags)
     n_out = 3 if with_carry else 1
 
     def kernel(*all_refs):
@@ -193,6 +282,11 @@ def _make_kernel(glu, with_carry, **flags):
             wb_scales=flags["wb_scales"], wc_scales=flags["wc_scales"],
             out2_scale=flags["out2_scale"], out1_scale=flags["out1_scale"],
             out2_in=flags.get("out2_in"), out1_in=flags.get("out1_in"),
+            mixer_in16=flags.get("mixer_in16"),
+            state16=flags.get("state16", False),
+            but_requant=flags.get("but_requant"),
+            yt_requant=flags.get("yt_requant"),
+            out2_out=flags.get("out2_out"), out1_out=flags.get("out1_out"),
             carry_init=carry_init)
         if with_carry:
             out_refs[1][0] = carry_re[...]
@@ -205,11 +299,14 @@ def _make_kernel(glu, with_carry, **flags):
 
 
 def pad_layer_ops(lam, w_b, w_c, d, norm_w, norm_b, out2, out1,
-                  h_pad: int, t: int):
+                  h_pad: int, t: int, colsums=()):
     """Pad one layer's operands to the kernel geometry (H -> h_pad lanes,
     P -> 128-multiple) and precompute its λ tables for time block ``t``.
     Shared by the per-layer kernel and the whole-network kernel
-    (fused_network.py). Returns (ops dict, p_pad, num_passes)."""
+    (fused_network.py). ``colsums``: names of int32 column-sum correction
+    rows to precompute for the int8-MXU two-plane dots (the weights must
+    be int8 for those). Returns (ops dict, p_pad, num_passes)."""
+    from sparsernns_tpu.ops.intdot import weight_colsum
     from sparsernns_tpu.ops.pallas.scan_kernel import lambda_power_tables
     h = w_b.shape[0]
     p = w_b.shape[-1] // 2
@@ -241,10 +338,22 @@ def pad_layer_ops(lam, w_b, w_c, d, norm_w, norm_b, out2, out1,
         k1, b1 = out1
         ops["out1_k"] = jnp.pad(k1, ((0, h_pad - h), (0, h_pad - h)))
         ops["out1_b"] = jnp.pad(b1, (0, h_pad - h))[None, :]
+    # int32 correction rows for the two-plane int8-MXU dots (tiny; pad
+    # rows are zero so padded == unpadded sums)
+    if "cs_wb" in colsums:
+        ops["cs_wb"] = weight_colsum(ops["wb"])[None, :]
+    if "cs_wc_re" in colsums:
+        ops["cs_wc_re"] = weight_colsum(ops["wc"][:p_pad])[None, :]
+        ops["cs_wc_im"] = weight_colsum(ops["wc"][p_pad:])[None, :]
+    if "cs_out2" in colsums:
+        ops["cs_out2"] = weight_colsum(ops["out2_k"])[None, :]
+    if "cs_out1" in colsums:
+        ops["cs_out1"] = weight_colsum(ops["out1_k"])[None, :]
     return ops, p_pad, num_passes
 
 
-def _prep(r, lam, w_b, w_c, d, norm_w, norm_b, out2, out1, block_t):
+def _prep(r, lam, w_b, w_c, d, norm_w, norm_b, out2, out1, block_t,
+          colsums=()):
     """Pad every operand to the kernel geometry. ``r`` must already be
     (B, L_pad, H_pad) with L_pad % block_t == 0, H_pad % 128 == 0 — the
     stream stays padded ACROSS layers, so this pads only the (tiny)
@@ -253,7 +362,8 @@ def _prep(r, lam, w_b, w_c, d, norm_w, norm_b, out2, out1, block_t):
     t = min(block_t, l_pad)
     assert l_pad % t == 0 and h_pad % 128 == 0, (r.shape, block_t)
     ops, p_pad, num_passes = pad_layer_ops(
-        lam, w_b, w_c, d, norm_w, norm_b, out2, out1, h_pad, t)
+        lam, w_b, w_c, d, norm_w, norm_b, out2, out1, h_pad, t,
+        colsums=colsums)
     geo = dict(b=b, l_pad=l_pad, h_pad=h_pad, p_pad=p_pad, t=t,
                num_passes=num_passes)
     return ops, geo
@@ -279,7 +389,9 @@ def _out_storage(out_requant, act_dtype):
         "block_t", "prenorm", "relufication", "glu", "relu_state",
         "in_requant", "out_requant", "block_requant", "wb_scales",
         "wc_scales", "out2_scale", "out1_scale", "out2_in_scale",
-        "out1_in_scale", "act_dtype", "interpret"))
+        "out1_in_scale", "mixer_in16", "state16", "but_requant",
+        "yt_requant", "out2_out_requant", "out1_out_requant",
+        "act_dtype", "interpret"))
 def fused_layer_apply(
     r: jax.Array,                # (B, L_pad, H_pad) int16/int8/bf16/f32
     lam: Pair,
@@ -305,25 +417,35 @@ def fused_layer_apply(
     wc_scales: Optional[Tuple[float, float]] = None,
     out2_scale: Optional[float] = None,
     out1_scale: Optional[float] = None,
-    out2_in_scale: Optional[float] = None,
-    out1_in_scale: Optional[float] = None,
+    out2_in_scale: Optional[Tuple[float, int]] = None,  # (scale, bits)
+    out1_in_scale: Optional[Tuple[float, int]] = None,
+    mixer_in16: Optional[Tuple[float, int]] = None,
+    state16: bool = False,
+    but_requant: Optional[Tuple[float, float, int]] = None,
+    yt_requant: Optional[Tuple[float, int]] = None,
+    out2_out_requant: Optional[Tuple[float, int]] = None,
+    out1_out_requant: Optional[Tuple[float, int]] = None,
     act_dtype: Any = jnp.bfloat16,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """One serving layer in one kernel. Returns the new residual stream,
     same padded shape as ``r``, stored as the out_requant codes
-    (int16/int8) or ``act_dtype``."""
+    (int16/int8) or ``act_dtype``. ``mixer_in16``/``state16``/the in-scale
+    specs route the dots onto the exact int8-MXU path (ops/intdot.py)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     glu_args = [a for a in (out2_kernel, out2_bias, out1_kernel, out1_bias)
                 if a is not None]
+    cs = colsum_names(glu, mixer_in16=mixer_in16, state16=state16,
+                      block_requant=block_requant,
+                      out2_in=out2_in_scale, out1_in=out1_in_scale)
 
     def body(r, lam_re, lam_im, w_b, w_c, d, norm_w, norm_b, *glu_ws):
         out2 = (glu_ws[0], glu_ws[1]) if len(glu_ws) >= 2 else None
         out1 = (glu_ws[2], glu_ws[3]) if len(glu_ws) >= 4 else None
         ops, geo = _prep(r, (lam_re, lam_im), w_b, w_c, d,
-                         norm_w, norm_b, out2, out1, block_t)
+                         norm_w, norm_b, out2, out1, block_t, colsums=cs)
         kernel, names = _make_kernel(
             glu, False, num_passes=geo["num_passes"], block_t=geo["t"],
             prenorm=prenorm, relufication=relufication,
@@ -332,6 +454,9 @@ def fused_layer_apply(
             wb_scales=wb_scales, wc_scales=wc_scales,
             out2_scale=out2_scale, out1_scale=out1_scale,
             out2_in=out2_in_scale, out1_in=out1_in_scale,
+            mixer_in16=mixer_in16, state16=state16,
+            but_requant=but_requant, yt_requant=yt_requant,
+            out2_out=out2_out_requant, out1_out=out1_out_requant,
             out_dtype=act_dtype)
         io_block, full = _specs(ops, geo)
         in_specs = [io_block] + [full(ops[n]) for n in names[1:]]
@@ -359,7 +484,9 @@ def fused_layer_apply(
         "block_t", "prenorm", "relufication", "glu", "relu_state",
         "in_requant", "out_requant", "block_requant", "wb_scales",
         "wc_scales", "out2_scale", "out1_scale", "out2_in_scale",
-        "out1_in_scale", "act_dtype", "interpret"))
+        "out1_in_scale", "mixer_in16", "state16", "but_requant",
+        "yt_requant", "out2_out_requant", "out1_out_requant",
+        "act_dtype", "interpret"))
 def fused_layer_apply_carry(
     r: jax.Array,                # (B, L, H_pad); L % block == 0
     carry: Pair,                 # (B, P) incoming state
@@ -386,8 +513,14 @@ def fused_layer_apply_carry(
     wc_scales: Optional[Tuple[float, float]] = None,
     out2_scale: Optional[float] = None,
     out1_scale: Optional[float] = None,
-    out2_in_scale: Optional[float] = None,
-    out1_in_scale: Optional[float] = None,
+    out2_in_scale: Optional[Tuple[float, int]] = None,
+    out1_in_scale: Optional[Tuple[float, int]] = None,
+    mixer_in16: Optional[Tuple[float, int]] = None,
+    state16: bool = False,
+    but_requant: Optional[Tuple[float, float, int]] = None,
+    yt_requant: Optional[Tuple[float, int]] = None,
+    out2_out_requant: Optional[Tuple[float, int]] = None,
+    out1_out_requant: Optional[Tuple[float, int]] = None,
     act_dtype: Any = jnp.bfloat16,
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, Pair]:
@@ -399,13 +532,16 @@ def fused_layer_apply_carry(
 
     glu_args = [a for a in (out2_kernel, out2_bias, out1_kernel, out1_bias)
                 if a is not None]
+    cs = colsum_names(glu, mixer_in16=mixer_in16, state16=state16,
+                      block_requant=block_requant,
+                      out2_in=out2_in_scale, out1_in=out1_in_scale)
 
     def body(r, ci_re, ci_im, lam_re, lam_im, w_b, w_c, d,
              norm_w, norm_b, *glu_ws):
         out2 = (glu_ws[0], glu_ws[1]) if len(glu_ws) >= 2 else None
         out1 = (glu_ws[2], glu_ws[3]) if len(glu_ws) >= 4 else None
         ops, geo = _prep(r, (lam_re, lam_im), w_b, w_c, d,
-                         norm_w, norm_b, out2, out1, block_t)
+                         norm_w, norm_b, out2, out1, block_t, colsums=cs)
         kernel, names = _make_kernel(
             glu, True, num_passes=geo["num_passes"], block_t=geo["t"],
             prenorm=prenorm, relufication=relufication,
@@ -414,6 +550,9 @@ def fused_layer_apply_carry(
             wb_scales=wb_scales, wc_scales=wc_scales,
             out2_scale=out2_scale, out1_scale=out1_scale,
             out2_in=out2_in_scale, out1_in=out1_in_scale,
+            mixer_in16=mixer_in16, state16=state16,
+            but_requant=but_requant, yt_requant=yt_requant,
+            out2_out=out2_out_requant, out1_out=out1_out_requant,
             out_dtype=act_dtype)
         io_block, full = _specs(ops, geo)
         carry_block = pl.BlockSpec((1, 1, geo["p_pad"]),

@@ -70,7 +70,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sparsernns_tpu.ops.pallas.fused_layer import (_fused_layer_body,
+from sparsernns_tpu.ops.pallas.fused_layer import (_fused_layer_body, _qdq,
                                                    _round_up, pad_layer_ops)
 
 #: operand names per layer, in kernel order (matches _fused_layer_body)
@@ -87,10 +87,23 @@ class NetLayerStatic(NamedTuple):
     wc_scales: Optional[Tuple[float, float]] = None
     out2_scale: Optional[float] = None
     out1_scale: Optional[float] = None
-    # frozen activation scales for the w8a8 int8-MXU GLU dots (None =
-    # float-activation dots)
-    out2_in_scale: Optional[float] = None
-    out1_in_scale: Optional[float] = None
+    # frozen activation (scale, bits) grids for the int8-MXU GLU dots —
+    # single-plane at bits <= 8 (w8a8), exact two-plane at 9..16 bits
+    # (w8a16; ops/intdot.py). None = float-activation dots.
+    out2_in_scale: Optional[Tuple[float, int]] = None
+    out1_in_scale: Optional[Tuple[float, int]] = None
+    # (scale, bits) quant_ut grid for the int8-MXU B-projection, and the
+    # quant_xt switch for the C-projection (grid = block_requant's)
+    mixer_in16: Optional[Tuple[float, int]] = None
+    state16: bool = False
+    # bit-faithful requants (engine mxu16 mode): quant_but after the
+    # B-projection, quant_yt on the mixer output, and the GLU denses'
+    # quant_output — the frozen grids the static-quant emulation applies
+    # (fused_layer._fused_layer_body docstring)
+    but_requant: Optional[Tuple[float, float, int]] = None
+    yt_requant: Optional[Tuple[float, int]] = None
+    out2_out_requant: Optional[Tuple[float, int]] = None
+    out1_out_requant: Optional[Tuple[float, int]] = None
 
 
 def _value_roundtrip(h, out_requant, act_dtype):
@@ -111,30 +124,35 @@ def _deq(w_ref):
     return w.astype(jnp.float32) if w.dtype != jnp.float32 else w
 
 
-def _boundary_dense(x, k_ref, w_scale, in_scale):
-    """Encoder/decoder dot inside the network kernel. ``in_scale`` set
-    (w8a8): quantize the activation onto its frozen grid and run the
-    int8 x int8 -> int32 MXU dot — identical values to
+def _boundary_dense(x, k_ref, w_scale, in_spec, colsum_ref=None):
+    """Encoder/decoder dot inside the network kernel. ``in_spec`` set — a
+    (scale, bits) frozen grid: quantize the activation onto it and run
+    the dot on the MXU int8 path (single-plane at <= 8 bits, exact
+    two-plane at 9..16 bits via ops/intdot.py) — identical values to
     engine.quantized_dense. Otherwise an f32 dot on the (dequantized)
     weight with the pow2 weight scale applied to the result."""
-    if in_scale is None:
+    from sparsernns_tpu.ops.intdot import int16_dot
+    if in_spec is None:
         y = jnp.dot(x, _deq(k_ref), preferred_element_type=jnp.float32)
         return y * w_scale if w_scale is not None else y
-    xq = jnp.clip(jnp.round(x / in_scale), -128.0, 127.0).astype(jnp.int8)
-    acc = jnp.dot(xq, k_ref[...], preferred_element_type=jnp.int32)
-    return acc.astype(jnp.float32) * (in_scale * w_scale)
+    in_scale, in_bits = in_spec
+    cs = colsum_ref[...] if colsum_ref is not None else None
+    acc = int16_dot(x, k_ref[...], cs, in_scale, in_bits)
+    return acc * (in_scale * w_scale)
 
 
 def _net_call(x, enc_k, enc_b, dec_k, dec_b, layer_flat, layer_names,
               p_pads, num_passes, statics, carries_in, *,
               t, carry_out, enc_scale, dec_scale, enc_in, dec_in,
               prenorm, relufication, glu, relu_state, act_dtype,
-              interpret):
+              interpret, cs_enc=None, cs_dec=None, enc_out=None,
+              dec_out=None):
     """One pallas_call running the full depth over ``t``-row time blocks
     of ``x`` (grid (B, L // t); L % t rows are left untouched — the tail
     call handles them). ``carries_in``: per-layer ((B,1,P), (B,1,P))
     initial scan states or None; ``carry_out``: also return the final
-    per-layer states (the main->tail handoff)."""
+    per-layer states (the main->tail handoff). ``cs_enc``/``cs_dec``:
+    int32 colsum correction rows for 9..16-bit boundary dots."""
     b, l, d_in = x.shape
     n_t = l // t
     d_out = dec_k.shape[1]
@@ -156,8 +174,16 @@ def _net_call(x, enc_k, enc_b, dec_k, dec_b, layer_flat, layer_names,
             for i in range(n_layers)]
         base += n_layers * n_per_layer
         dec_k_ref, dec_b_ref = refs[base], refs[base + 1]
-        out_ref = refs[base + 2]
-        base += 3
+        base += 2
+        cs_enc_ref = cs_dec_ref = None
+        if cs_enc is not None:
+            cs_enc_ref = refs[base]
+            base += 1
+        if cs_dec is not None:
+            cs_dec_ref = refs[base]
+            base += 1
+        out_ref = refs[base]
+        base += 1
         cout = None
         if carry_out:
             cout = refs[base:base + 2 * n_layers]
@@ -167,8 +193,8 @@ def _net_call(x, enc_k, enc_b, dec_k, dec_b, layer_flat, layer_names,
 
         # encoder (engine_encode): dense + relu, cast to the stream dtype
         hb = _boundary_dense(x_ref[0].astype(jnp.float32), enc_k_ref,
-                             enc_scale, enc_in)
-        hb = hb + enc_b_ref[...]
+                             enc_scale, enc_in, cs_enc_ref)
+        hb = _qdq(hb + enc_b_ref[...], enc_out)
         if relufication:
             hb = jnp.maximum(hb, 0.0)
         hb = _value_roundtrip(hb, None, act_dtype)
@@ -189,6 +215,9 @@ def _net_call(x, enc_k, enc_b, dec_k, dec_b, layer_flat, layer_names,
                 wb_scales=st.wb_scales, wc_scales=st.wc_scales,
                 out2_scale=st.out2_scale, out1_scale=st.out1_scale,
                 out2_in=st.out2_in_scale, out1_in=st.out1_in_scale,
+                mixer_in16=st.mixer_in16, state16=st.state16,
+                but_requant=st.but_requant, yt_requant=st.yt_requant,
+                out2_out=st.out2_out_requant, out1_out=st.out1_out_requant,
                 carry_init=carry_init)
             hb = _value_roundtrip(hb, st.out_requant, act_dtype)
             if carry_out:
@@ -196,8 +225,8 @@ def _net_call(x, enc_k, enc_b, dec_k, dec_b, layer_flat, layer_names,
                 cout[2 * i + 1][0] = scratch[2 * i + 1][...]
 
         # decoder: pad-lane rows of dec_k are zero, so no lane slicing
-        y = _boundary_dense(hb, dec_k_ref, dec_scale, dec_in)
-        out_ref[0] = y + dec_b_ref[...]
+        y = _boundary_dense(hb, dec_k_ref, dec_scale, dec_in, cs_dec_ref)
+        out_ref[0] = _qdq(y + dec_b_ref[...], dec_out)
 
     io_in = pl.BlockSpec((1, t, d_in), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM)
@@ -217,6 +246,10 @@ def _net_call(x, enc_k, enc_b, dec_k, dec_b, layer_flat, layer_names,
             args += [c_re, c_im]
     in_specs += [full(a) for a in layer_flat] + [full(dec_k), full(dec_b)]
     args += [*layer_flat, dec_k, dec_b]
+    for cs in (cs_enc, cs_dec):
+        if cs is not None:
+            in_specs.append(full(cs))
+            args.append(cs)
 
     out_shape = [jax.ShapeDtypeStruct((b, l, d_out), jnp.float32)]
     out_specs = [io_out]
@@ -258,8 +291,10 @@ def fused_network_apply(
     statics: Tuple[NetLayerStatic, ...],
     enc_scale: Optional[float] = None,
     dec_scale: Optional[float] = None,
-    enc_in_scale: Optional[float] = None,
-    dec_in_scale: Optional[float] = None,
+    enc_in_scale: Optional[Tuple[float, int]] = None,  # (scale, bits)
+    dec_in_scale: Optional[Tuple[float, int]] = None,
+    enc_out_requant: Optional[Tuple[float, int]] = None,
+    dec_out_requant: Optional[Tuple[float, int]] = None,
     block_t: int = 256,
     prenorm: bool = True,
     relufication: bool = False,
@@ -295,11 +330,23 @@ def fused_network_apply(
     n_layers = len(layers)
     with_glu = glu in ("half1", "half2", "full")
 
+    from sparsernns_tpu.ops.intdot import weight_colsum
+    from sparsernns_tpu.ops.pallas.fused_layer import colsum_names
+
+    # colsum operand names for the int8-MXU dots — uniform across layers
+    # (the engine's eligibility check enforces all-or-none)
+    st0 = statics[0]
+    cs_names = colsum_names(glu, mixer_in16=st0.mixer_in16,
+                            state16=st0.state16,
+                            block_requant=st0.block_requant,
+                            out2_in=st0.out2_in_scale,
+                            out1_in=st0.out1_in_scale)
     layer_names = list(_LAYER_BASE)
     if with_glu:
         layer_names += ["out2_k", "out2_b"]
     if glu == "full":
         layer_names += ["out1_k", "out1_b"]
+    layer_names += cs_names
 
     # ---- pad operands to the kernel geometry (weights only: tiny) ----
     enc_k = jnp.pad(enc_kernel, ((0, 0), (0, h_pad - h_dim)))
@@ -307,6 +354,10 @@ def fused_network_apply(
                     (0, h_pad - h_dim))[None, :]
     dec_k = jnp.pad(dec_kernel, ((0, h_pad - h_dim), (0, 0)))
     dec_b = dec_bias.astype(jnp.float32)[None, :]
+    cs_enc = (weight_colsum(enc_k)[None, :]
+              if enc_in_scale is not None and enc_in_scale[1] > 8 else None)
+    cs_dec = (weight_colsum(dec_k)[None, :]
+              if dec_in_scale is not None and dec_in_scale[1] > 8 else None)
 
     def prep(t_eff):
         flat, p_pads, num_passes = [], [], None
@@ -317,16 +368,20 @@ def fused_network_apply(
                     if glu == "full" else None)
             ops, p_pad, np_ = pad_layer_ops(
                 lay["lam"], lay["w_b"], lay["w_c"], lay["d"],
-                lay["norm_w"], lay["norm_b"], out2, out1, h_pad, t_eff)
+                lay["norm_w"], lay["norm_b"], out2, out1, h_pad, t_eff,
+                colsums=cs_names)
             num_passes = np_
             p_pads.append(p_pad)
             flat.extend(ops[n_] for n_ in layer_names)
         return flat, p_pads, num_passes
 
     kw = dict(enc_scale=enc_scale, dec_scale=dec_scale,
-              enc_in=enc_in_scale, dec_in=dec_in_scale, prenorm=prenorm,
+              enc_in=enc_in_scale, dec_in=dec_in_scale,
+              enc_out=enc_out_requant, dec_out=dec_out_requant,
+              prenorm=prenorm,
               relufication=relufication, glu=glu, relu_state=relu_state,
-              act_dtype=act_dtype, interpret=interpret)
+              act_dtype=act_dtype, interpret=interpret,
+              cs_enc=cs_enc, cs_dec=cs_dec)
 
     main_rows = (l // t) * t
     tail = l - main_rows

@@ -124,33 +124,41 @@ def _pack_dense(w: np.ndarray, bits: Optional[int], bs_cfg):
     return QWeight(jnp.asarray(q), s)
 
 
-def quantized_dense(x, w, bias, in_scale: Optional[float]):
-    """Dense layer on the MXU's int8 path when both operands are 8-bit:
-    x is quantized per-tensor onto the frozen ``in_scale`` grid (the same
-    values the static-quant emulation's quant_input produces), the dot
-    runs int8 x int8 -> int32 via ``preferred_element_type``, and the
-    int32 accumulator is rescaled by s_in * s_w — SURVEY §2.3's
-    "int8/int16 quantized matmul ... XLA dot_general with
-    preferred_element_type" obligation (replacing
-    /root/reference/sparseRNNs/utils/quantization.py:221-283), executed
-    for real instead of emulated in float. Falls back to the
-    dequantize-and-float dot when either side isn't int8."""
+def quantized_dense(x, w, bias, in_spec: Optional[Tuple[float, int]],
+                    out_spec: Optional[Tuple[float, int]] = None):
+    """Dense layer on the MXU's int8 path. ``in_spec`` = (scale, bits):
+    x is quantized per-tensor onto that frozen grid (the same values the
+    static-quant emulation's quant_input produces) and the dot runs as
+    int8 x int8 -> int32 via ``preferred_element_type`` — one plane at
+    bits <= 8 (w8a8), or the EXACT two-plane decomposition of the int16
+    codes at 9..16 bits (w8a16; ops/intdot.py). Integer dots have no
+    summation-order ambiguity, so this path is bit-identical between XLA
+    and the Pallas kernels. SURVEY §2.3's "int8/int16 quantized matmul
+    ... XLA dot_general with preferred_element_type" obligation
+    (replacing /root/reference/sparseRNNs/utils/quantization.py:221-283),
+    executed for real instead of emulated in float. Falls back to the
+    dequantize-and-float dot when the weight isn't int8.
+
+    ``out_spec`` (scale, bits): requantize the result (after the bias
+    add) onto the static path's frozen quant_output grid (static.py
+    QuantizedDense) — set by the engine's bit-faithful mxu16 mode."""
+    from sparsernns_tpu.ops.intdot import int16_dot, weight_colsum
     from sparsernns_tpu.ops.pallas.block_sparse import (BlockSparseWeight,
                                                         block_sparse_matmul)
+    from sparsernns_tpu.ops.pallas.fused_layer import _qdq
     if isinstance(w, BlockSparseWeight):
         # zero-tile-skipping kernel; dequant scale applied inside the
         # wrapper. (The int8-activation MXU path doesn't compose with
         # tile skipping yet — the kernel computes in bf16/f32.)
         return block_sparse_matmul(x, w) + bias
-    if (in_scale is None or not isinstance(w, QWeight)
+    if (in_spec is None or not isinstance(w, QWeight)
             or w.scale is None or w.data.dtype != jnp.int8):
-        return x @ _deq(w, jnp.float32) + bias
+        return _qdq(x @ _deq(w, jnp.float32) + bias, out_spec)
+    in_scale, in_bits = in_spec
     xf = x.astype(jnp.float32)
-    xq = jnp.clip(jnp.round(xf / in_scale), -128, 127).astype(jnp.int8)
-    acc = jax.lax.dot_general(
-        xq, w.data, (((xq.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    return acc.astype(jnp.float32) * (in_scale * w.scale) + bias
+    cs = weight_colsum(w.data) if in_bits > 8 else None
+    acc = int16_dot(xf, w.data, cs, in_scale, in_bits)
+    return _qdq(acc * (in_scale * w.scale) + bias, out_spec)
 
 
 @jax.tree_util.register_dataclass
@@ -172,12 +180,32 @@ class _LayerPack:
     out2_bias: Any = None
     out1_kernel: Any = None  # "full" GLU value dense (QWeight)
     out1_bias: Any = None
-    # frozen input scales for the int8-activation dense path (None when
-    # activations are >8-bit: the dots then run bf16/f32 on dequantized
-    # weights)
+    # frozen input (scale, bits) grids for the int8-MXU dense path —
+    # single-plane at bits <= 8 (w8a8), exact two-plane at 9..16 bits
+    # (w8a16 with mxu16 on; ops/intdot.py). None: the dots run bf16/f32
+    # on dequantized weights.
     out2_in_scale: Any = dataclasses.field(
         metadata=dict(static=True), default=None)
     out1_in_scale: Any = dataclasses.field(
+        metadata=dict(static=True), default=None)
+    # (scale, bits) quant_ut grid for the int8-MXU B-projection and the
+    # quant_xt switch for the C-projection (grid = state_requant's) —
+    # set only when the engine's mxu16 mode is active
+    mixer_in16: Any = dataclasses.field(
+        metadata=dict(static=True), default=None)
+    state16: Any = dataclasses.field(
+        metadata=dict(static=True), default=False)
+    # bit-faithful requants (mxu16 mode): the frozen grids the
+    # static-quant path applies and the float engine skips — quant_but
+    # (s_re, s_im, bits) after the B-projection, quant_yt (s, bits) on
+    # the mixer output, the GLU denses' quant_output (s, bits)
+    but_requant: Any = dataclasses.field(
+        metadata=dict(static=True), default=None)
+    yt_requant: Any = dataclasses.field(
+        metadata=dict(static=True), default=None)
+    out2_out_requant: Any = dataclasses.field(
+        metadata=dict(static=True), default=None)
+    out1_out_requant: Any = dataclasses.field(
         metadata=dict(static=True), default=None)
     # (scale, bits) for the calibrated residual-stream requant at the
     # layer output (mirrors layers.quant_residual)
@@ -286,9 +314,11 @@ def engine_layer_forward(cfg, layer: "_LayerPack", h, mixer_fn,
     return h
 
 
-def engine_encode(cfg, encoder_kernel, encoder_bias, x, in_scale=None):
+def engine_encode(cfg, encoder_kernel, encoder_bias, x, in_scale=None,
+                  out_spec=None):
     from sparsernns_tpu.ops.topk import relu_top_k_sparsity
-    h = quantized_dense(x, encoder_kernel, encoder_bias, in_scale)
+    h = quantized_dense(x, encoder_kernel, encoder_bias, in_scale,
+                        out_spec=out_spec)
     if cfg.topk < 1.0:
         return relu_top_k_sparsity(h, int(cfg.topk * h.shape[-1]))
     if cfg.relufication:
@@ -304,7 +334,8 @@ class W8A16Engine:
                  act_dtype=jnp.bfloat16, block_t: int = 256,
                  compact_state: bool = True,
                  block_sparse_dense: Optional[Tuple[int, int]] = (32, 128),
-                 block_sparse_min_saving: float = 0.2):
+                 block_sparse_min_saving: float = 0.2,
+                 mxu16: bool = False):
         self.cfg = model_cfg
         self.act_dtype = act_dtype
         self.block_t = block_t
@@ -335,20 +366,48 @@ class W8A16Engine:
         enc = params["encoder"]
         enc_stats = (batch_stats or {}).get("encoder", {})
         wq = q_config.non_ssm_precision
+        a_bits = q_config.non_ssm_act_precision
         # 8-bit activations -> the denses run on the MXU int8 path with
-        # the frozen quant_input scales (see quantized_dense)
-        a8 = (q_config.non_ssm_act_precision is not None
-              and q_config.non_ssm_act_precision <= 8
+        # the frozen quant_input scales (see quantized_dense); with
+        # ``mxu16``, 9..16-bit activations run there too via the exact
+        # two-plane decomposition (ops/intdot.py) when the int32
+        # accumulator budget fits the (padded) reduction dim.
+        from sparsernns_tpu.ops.intdot import fits_int32
+        a8 = (a_bits is not None and a_bits <= 8
               and wq is not None and wq <= 8)
+        dense16 = (mxu16 and a_bits is not None and 8 < a_bits <= 16
+                   and wq is not None and wq <= 8)
 
-        def _in_scale(*path):
-            if not a8:
+        def _pad128(k: int) -> int:
+            return -(-k // 128) * 128
+
+        def _in_scale(k_dim: int, *path):
+            """(scale, bits) for a dense whose reduction dim is k_dim."""
+            if not (a8 or dense16):
+                return None
+            if a_bits > 8 and not fits_int32(_pad128(k_dim)):
                 return None
             s = _get(params, *path, "quant_input", "scale")
-            return float(np.asarray(s)) if s is not None else None
+            if s is None:
+                return None
+            return (float(np.asarray(s)), int(a_bits))
 
-        self.encoder_in_scale = _in_scale("encoder", "encoder")
-        self.decoder_in_scale = _in_scale("decoder")
+        def _out_requant(*path):
+            """(scale, bits) quant_output grid of a QuantizedDense —
+            bit-faithful mxu16 mode only (the float engine intentionally
+            skips these requants)."""
+            if not mxu16 or not a_bits:
+                return None
+            s = _get(params, *path, "quant_output", "scale")
+            if s is None:
+                return None
+            return (float(np.asarray(s)), int(a_bits))
+
+        d_input = int(np.asarray(enc["encoder"]["kernel"]).shape[0])
+        self.encoder_in_scale = _in_scale(d_input, "encoder", "encoder")
+        self.decoder_in_scale = _in_scale(cfg.d_model, "decoder")
+        self.encoder_out_requant = _out_requant("encoder", "encoder")
+        self.decoder_out_requant = _out_requant("decoder")
 
         self.encoder_kernel = pack_dense(
             "encoder", np.asarray(enc["encoder"]["kernel"]), wq)
@@ -444,18 +503,51 @@ class W8A16Engine:
                 res_requant = (float(np.asarray(s_res)),
                                int(q_config.non_ssm_act_precision))
 
+            # mxu16: run the B/C projections on the int8 MXU by
+            # fake-quantizing their inputs onto the static path's own
+            # quant_ut / quant_xt grids (models/ssm.py:429, :454) —
+            # exact two-plane decomposition at 9..16 bits (intdot.py)
+            ssm_bits = q_config.ssm_act_precision
+            mixer16 = None
+            if (mxu16 and ssm_bits and ssm_bits <= 16
+                    and wb_scales is not None
+                    and (ssm_bits <= 8 or fits_int32(_pad128(cfg.d_model)))):
+                s_ut = _get(lp, "mixer", "quant_ut", "scale")
+                if s_ut is not None:
+                    mixer16 = (float(np.asarray(s_ut)), int(ssm_bits))
+            st16 = bool(mxu16 and requant is not None
+                        and wc_scales is not None
+                        and (requant[2] <= 8 or fits_int32(_pad128(p_kept))))
+
+            # bit-faithful mxu16 requants: quant_but / quant_yt frozen
+            # grids of the static path (models/ssm.py:436, :469)
+            but_rq = yt_rq = None
+            if mxu16 and ssm_bits:
+                s_br = _get(lp, "mixer", "quant_but", "quant_real", "scale")
+                s_bi = _get(lp, "mixer", "quant_but", "quant_imag", "scale")
+                if s_br is not None and s_bi is not None:
+                    but_rq = (float(np.asarray(s_br)),
+                              float(np.asarray(s_bi)), int(ssm_bits))
+                s_yt = _get(lp, "mixer", "quant_yt", "scale")
+                if s_yt is not None:
+                    yt_rq = (float(np.asarray(s_yt)), int(ssm_bits))
+
             out2_k = out2_b = out1_k = out1_b = None
-            out2_s = out1_s = None
+            out2_s = out1_s = out2_o = out1_o = None
             if cfg.glu_variant in ("full", "half1", "half2"):
                 out2_k = pack_dense(f"layers_{i}/out2",
                                     np.asarray(lp["out2"]["kernel"]), wq)
                 out2_b = jnp.asarray(np.asarray(lp["out2"]["bias"]))
-                out2_s = _in_scale("encoder", f"layers_{i}", "out2")
+                out2_s = _in_scale(cfg.d_model, "encoder",
+                                   f"layers_{i}", "out2")
+                out2_o = _out_requant("encoder", f"layers_{i}", "out2")
             if cfg.glu_variant == "full":
                 out1_k = pack_dense(f"layers_{i}/out1",
                                     np.asarray(lp["out1"]["kernel"]), wq)
                 out1_b = jnp.asarray(np.asarray(lp["out1"]["bias"]))
-                out1_s = _in_scale("encoder", f"layers_{i}", "out1")
+                out1_s = _in_scale(cfg.d_model, "encoder",
+                                   f"layers_{i}", "out1")
+                out1_o = _out_requant("encoder", f"layers_{i}", "out1")
 
             self.layers.append(_LayerPack(
                 lam=(jnp.asarray(lam_bar[0]), jnp.asarray(lam_bar[1])),
@@ -468,7 +560,20 @@ class W8A16Engine:
                 state_requant=requant,
                 wb_scales=wb_scales, wc_scales=wc_scales,
                 out2_in_scale=out2_s, out1_in_scale=out1_s,
+                mixer_in16=mixer16, state16=st16,
+                but_requant=but_rq, yt_requant=yt_rq,
+                out2_out_requant=out2_o, out1_out_requant=out1_o,
                 residual_requant=res_requant))
+
+        # The whole-network kernel shares one operand list across layers,
+        # so the int8-MXU mixer sites must be all-or-none; demote to the
+        # float dots if any layer lacks its frozen scale / int32 budget.
+        if any(lp.mixer_in16 is None for lp in self.layers):
+            for lp in self.layers:
+                lp.mixer_in16 = None
+        if not all(lp.state16 for lp in self.layers):
+            for lp in self.layers:
+                lp.state16 = False
 
         #: whole-layer fusion (ops/pallas/fused_layer): one kernel per
         #: layer, residual stream resident in HBM as padded int16/bf16 —
@@ -476,6 +581,41 @@ class W8A16Engine:
         #: stream. Ineligible configs fall back to the composable
         #: per-op path below.
         self._stack_ok = self._fused_stack_eligible()
+
+        # mxu16 lives on the fused routes (the per-op mixer kernel has no
+        # quant_ut/quant_but/quant_yt hooks): if the stack route is
+        # ineligible, demote mxu16 entirely so the engine never runs a
+        # half-faithful mix. 8-bit (w8a8) in_scales are kept — they work
+        # identically on the per-op route.
+        if mxu16 and not self._stack_ok:
+            for lp in self.layers:
+                lp.mixer_in16 = None
+                lp.state16 = False
+                lp.but_requant = lp.yt_requant = None
+                lp.out2_out_requant = lp.out1_out_requant = None
+                if lp.out2_in_scale is not None and lp.out2_in_scale[1] > 8:
+                    lp.out2_in_scale = None
+                if lp.out1_in_scale is not None and lp.out1_in_scale[1] > 8:
+                    lp.out1_in_scale = None
+            self.encoder_out_requant = self.decoder_out_requant = None
+            if (self.encoder_in_scale is not None
+                    and self.encoder_in_scale[1] > 8):
+                self.encoder_in_scale = None
+            if (self.decoder_in_scale is not None
+                    and self.decoder_in_scale[1] > 8):
+                self.decoder_in_scale = None
+            self._stack_ok = self._fused_stack_eligible()
+
+        #: resolved mxu16 state (introspection: which dot sites run int)
+        self.mxu16 = dict(
+            requested=mxu16,
+            mixer=self.layers[0].mixer_in16 is not None if self.layers
+            else False,
+            state=bool(self.layers and self.layers[0].state16),
+            dense=self.encoder_in_scale is not None
+            or self.decoder_in_scale is not None,
+            requants=bool(self.layers
+                          and self.layers[0].yt_requant is not None))
         #: whole-NETWORK fusion (ops/pallas/fused_network): encoder +
         #: all layers + decoder in ONE kernel, inter-layer activations
         #: never leave VMEM — HBM traffic collapses to input read +
@@ -590,17 +730,23 @@ class W8A16Engine:
         args = dict(out2_kernel=None, out2_bias=None,
                     out1_kernel=None, out1_bias=None)
         scales = dict(out2_scale=None, out1_scale=None,
-                      out2_in_scale=None, out1_in_scale=None)
+                      out2_in_scale=None, out1_in_scale=None,
+                      mixer_in16=layer.mixer_in16, state16=layer.state16,
+                      but_requant=layer.but_requant,
+                      yt_requant=layer.yt_requant,
+                      out2_out_requant=None, out1_out_requant=None)
         if glu in ("half1", "half2", "full"):
             args["out2_kernel"] = layer.out2_kernel.data
             args["out2_bias"] = layer.out2_bias
             scales["out2_scale"] = layer.out2_kernel.scale
             scales["out2_in_scale"] = layer.out2_in_scale
+            scales["out2_out_requant"] = layer.out2_out_requant
         if glu == "full":
             args["out1_kernel"] = layer.out1_kernel.data
             args["out1_bias"] = layer.out1_bias
             scales["out1_scale"] = layer.out1_kernel.scale
             scales["out1_in_scale"] = layer.out1_in_scale
+            scales["out1_out_requant"] = layer.out1_out_requant
         return args, scales
 
     def _apply_stack(self, weights, x, block_t: int):
@@ -613,7 +759,8 @@ class W8A16Engine:
         cfg = self.cfg
         h = engine_encode(cfg, weights["encoder_kernel"],
                           weights["encoder_bias"], x,
-                          in_scale=self.encoder_in_scale)
+                          in_scale=self.encoder_in_scale,
+                          out_spec=self.encoder_out_requant)
         b, l, hd = h.shape
         t = min(block_t, -(-l // 8) * 8)
         l_pad = -(-l // t) * t
@@ -642,7 +789,8 @@ class W8A16Engine:
         rf = rf[:, :l, :hd]
         return quantized_dense(rf, weights["decoder_kernel"],
                                weights["decoder_bias"],
-                               self.decoder_in_scale)
+                               self.decoder_in_scale,
+                               out_spec=self.decoder_out_requant)
 
     def _apply_network(self, weights, x, block_t: int):
         """Whole-network-kernel forward: ONE Pallas call for encoder +
@@ -678,6 +826,8 @@ class W8A16Engine:
             statics=tuple(statics), enc_scale=enc_s, dec_scale=dec_s,
             enc_in_scale=self.encoder_in_scale,
             dec_in_scale=self.decoder_in_scale,
+            enc_out_requant=self.encoder_out_requant,
+            dec_out_requant=self.decoder_out_requant,
             block_t=block_t, prenorm=cfg.prenorm,
             relufication=cfg.relufication, glu=cfg.glu_variant,
             relu_state=cfg.relufication, act_dtype=self.act_dtype)
@@ -753,7 +903,8 @@ class W8A16Engine:
         cfg = self.cfg
         h = engine_encode(cfg, weights["encoder_kernel"],
                           weights["encoder_bias"], x,
-                          in_scale=self.encoder_in_scale)
+                          in_scale=self.encoder_in_scale,
+                          out_spec=self.encoder_out_requant)
         b, l, hd = h.shape
         t = min(block_t, l)
         h_pad = -(-hd // 128) * 128
@@ -783,7 +934,8 @@ class W8A16Engine:
         rf = rf[:, :, :hd]
         out = quantized_dense(rf, weights["decoder_kernel"],
                               weights["decoder_bias"],
-                              self.decoder_in_scale)
+                              self.decoder_in_scale,
+                              out_spec=self.decoder_out_requant)
         return out, tuple(new_carries)
 
     def _apply_chunk(self, weights, x, carries, block_t: int):

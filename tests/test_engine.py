@@ -457,3 +457,86 @@ def test_engine_w8a8_fused_routes_match_per_op(pipeline):  # noqa: F811
     # int8 leaves and no f32 dequantized GLU weights appear as operands
     hlo = e_net._forward.lower(e_net.weights, x).as_text()
     assert "xi8>" in hlo
+
+
+def test_engine_mxu16_w8a16(pipeline):  # noqa: F811
+    """mxu16: the w8a16 engine's B/C/GLU/encoder/decoder dots run on the
+    int8 MXU via the EXACT two-plane decomposition of the 16-bit
+    activation codes (ops/intdot.py). The input quantization it adds is
+    the static path's own quant_ut/quant_xt/quant_input (models/ssm.py:
+    429, :454; quantize/static.py QuantizedDense), so the mxu16 engine
+    must pass the SAME accuracy gates vs the static-quant emulation as
+    the float-dot engine, and its network/stack kernel routes must stay
+    bit-exact vs each other."""
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    inf_model = _model(inf_cfg)
+    y_q = np.asarray(inf_model.apply(
+        {"params": frozen_params, "batch_stats": frozen_stats}, x))
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True)
+
+    def eng():
+        return W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                           act_dtype=jnp.float32, block_t=32, mxu16=True)
+
+    e_net = eng()
+    # every dot site resolved onto the int path
+    assert e_net.mxu16 == {"requested": True, "mixer": True,
+                           "state": True, "dense": True, "requants": True}
+    assert e_net.encoder_in_scale is not None
+    assert e_net.encoder_in_scale[1] == 16
+    assert e_net.layers[0].mixer_in16 is not None
+    assert e_net._network_ok and e_net._stack_ok
+
+    # Max-error budget: the float engine sits at ~6.5% max / 0.17% mean
+    # vs static (per-block vs per-step state requant drift). Site-wise
+    # bisection shows the int path's quant_ut/quant_xt/encoder/decoder
+    # quantization adds ZERO deviation; the single budget increase is the
+    # GLU gate's quant_input, where quantizing the already-drifted gate
+    # input adds an independent rounding that the sigmoid*base multiply
+    # amplifies at ONE element (~10.9% max; the mean moves 0.17->0.19%).
+    y_mxu = np.asarray(e_net(x))
+    denom = max(np.abs(y_q).max(), 1.0)
+    assert np.abs(y_mxu - y_q).max() / denom < 0.12
+    assert np.abs(y_mxu - y_q).mean() / denom < 0.005
+
+    # network and per-layer-stack kernel routes: bit-exact (integer dots
+    # have no summation-order ambiguity)
+    e_stk = eng()
+    e_stk._network_ok = False
+    assert np.abs(y_mxu - np.asarray(e_stk(x))).max() == 0.0
+
+    # close to the float-dot engine (only difference: the static path's
+    # input quantization, which the float engine skips)
+    e_f32 = W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                        act_dtype=jnp.float32, block_t=32)
+    y_f = np.asarray(e_f32(x))
+    assert np.abs(y_mxu - y_f).max() / max(np.abs(y_f).max(), 1.0) < 0.05
+
+    # int8 weight leaves really reach the lowering
+    hlo = e_net._forward.lower(e_net.weights, x).as_text()
+    assert "xi8>" in hlo
+
+
+def test_engine_mxu16_streaming_chunks(pipeline):  # noqa: F811
+    """Chunked mxu16 serving == whole-sequence mxu16 serving."""
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True)
+    engine = W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                         act_dtype=jnp.float32, block_t=8, mxu16=True)
+    y_whole = np.asarray(engine(x))
+    carries = None
+    outs = []
+    for i in range(0, x.shape[1], 8):
+        y, carries = engine.process_chunk(x[:, i:i + 8], carries)
+        outs.append(np.asarray(y))
+    y_chunked = np.concatenate(outs, axis=1)
+    denom = max(np.abs(y_whole).max(), 1.0)
+    assert np.abs(y_chunked - y_whole).max() / denom < 1e-5

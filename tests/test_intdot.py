@@ -1,0 +1,70 @@
+"""Exactness of the int16-activation -> two-int8-plane MXU decomposition
+(ops/intdot.py): the decomposed dot must equal the direct integer matmul
+bit-for-bit, including at the clip edges and the int32 overflow budget."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsernns_tpu.ops.intdot import (MAX_REDUCTION_DIM, fits_int32,
+                                       i16_planes, int16_dot,
+                                       quantize_codes, weight_colsum)
+
+
+@pytest.mark.parametrize("bits", [16, 12, 9, 8])
+def test_int16_dot_exact(bits):
+    rng = np.random.RandomState(0)
+    k, n, t = 192, 256, 17
+    w = rng.randint(-128, 128, size=(k, n)).astype(np.int8)
+    x = rng.randn(t, k).astype(np.float32) * 3.0
+    s = 2.0 ** -7
+
+    acc = np.asarray(int16_dot(jnp.asarray(x), jnp.asarray(w),
+                               weight_colsum(w), s, bits))
+    q = np.asarray(quantize_codes(jnp.asarray(x), s, bits))
+    ref = q.astype(np.int64) @ w.astype(np.int64)
+    np.testing.assert_array_equal(acc, ref.astype(np.float32))
+
+
+def test_planes_cover_full_range():
+    q = jnp.arange(-32768.0, 32768.0, 17.0, dtype=jnp.float32)
+    hi, lo = i16_planes(q)
+    hi = np.asarray(hi, np.int64)
+    lo = np.asarray(lo, np.int64)
+    assert hi.min() >= -128 and hi.max() <= 127
+    assert lo.min() >= -128 and lo.max() <= 127
+    np.testing.assert_array_equal(256 * hi + lo + 128,
+                                  np.asarray(q, np.int64))
+
+
+def test_precomputed_codes_path():
+    rng = np.random.RandomState(1)
+    k, n = 64, 32
+    w = rng.randint(-128, 128, size=(k, n)).astype(np.int8)
+    codes = rng.randint(-30000, 30000, size=(5, k)).astype(np.float32)
+    acc = np.asarray(int16_dot(jnp.zeros((5, k)), jnp.asarray(w),
+                               weight_colsum(w), 1.0, 16,
+                               codes=jnp.asarray(codes)))
+    ref = codes.astype(np.int64) @ w.astype(np.int64)
+    np.testing.assert_array_equal(acc, ref.astype(np.float32))
+
+
+def test_overflow_budget_at_max_dim():
+    """Worst-case magnitudes at K = MAX_REDUCTION_DIM stay inside int32."""
+    k = MAX_REDUCTION_DIM
+    assert fits_int32(k) and not fits_int32(k + 1)
+    w = np.full((k, 8), 127, np.int8)
+    codes = np.full((2, k), -32768.0, np.float32)
+    acc = np.asarray(int16_dot(jnp.zeros((2, k)), jnp.asarray(w),
+                               weight_colsum(w), 1.0, 16,
+                               codes=jnp.asarray(codes)))
+    ref = codes.astype(np.int64) @ w.astype(np.int64)
+    np.testing.assert_array_equal(acc, ref.astype(np.float32))
+    # and the mirrored edge
+    codes = np.full((2, k), 32767.0, np.float32)
+    w = np.full((k, 8), -128, np.int8)
+    acc = np.asarray(int16_dot(jnp.zeros((2, k)), jnp.asarray(w),
+                               weight_colsum(w), 1.0, 16,
+                               codes=jnp.asarray(codes)))
+    ref = codes.astype(np.int64) @ w.astype(np.int64)
+    np.testing.assert_array_equal(acc, ref.astype(np.float32))
