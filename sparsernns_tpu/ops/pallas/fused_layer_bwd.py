@@ -1,0 +1,456 @@
+"""Whole-layer TRAINING BACKWARD kernel: the adjoint of the layer tail
+(fused_layer_train.py) in one Pallas pass per (batch, time-block).
+
+The tail's custom VJP used to rematerialize the forward chain in XLA:
+the train-step byte audit at the flagship shape showed ~18 GB of
+(B, L, H)-shaped tensors materialized per step — bu, xs, y, x1, gate,
+base, h and their cotangents, each round-tripping HBM. This kernel
+recomputes the whole chain per time block IN VMEM (the jax.checkpoint
+trade at block granularity) and emits the adjoints in the same pass, so
+a layer's backward HBM traffic collapses to
+
+    read z + read g + write g_x (+ the tiny weight-grad accumulators)
+
+Two structural tricks make the single pass possible on a TPU grid:
+
+1. **Block carry checkpoints**: recomputing block j's states needs the
+   scan carry entering the block. A tiny forward pre-pass kernel
+   (`_carry_hist`) re-reads z once and writes ONLY the per-block entry
+   carries (B, n_blocks, P) — ~60 KB at flagship shape.
+2. **Reverse-time grid**: the adjoint state recurrence v_t = g_t +
+   λ* ⊙ v_{t+1} flows right-to-left, so the grid maps block j to time
+   block (n_blocks-1-j); the adjoint carry lives in VMEM scratch across
+   grid steps (scan_kernel.scan_block_body_rev) exactly like the forward
+   carry does in the forward kernels.
+
+Weight/λ/bias gradients accumulate across grid steps into outputs with
+constant index maps (resident in VMEM, flushed once) — initialized at
+the first grid step, `+=` afterwards. Per-batch dropout-mask gradients
+accumulate per batch row the same way.
+
+Semantics mirror fused_layer_train._bwd exactly (which remains available
+as the XLA reference under SPARSERNNS_XLA_TAIL_BWD=1 and for configs the
+kernel does not cover). Reference analog: none — the reference trains
+with standard autodiff; this is the TPU answer to its HBM cost.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sparsernns_tpu.ops.scan import Pair
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _dotT_accum(a, b):
+    """aᵀ @ b over the time rows: (T, M) x (T, N) -> (M, N) on the MXU."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_rt(a, w):
+    """a @ wᵀ: contract a's last dim with w's LAST dim -> (T, w.shape[0])."""
+    return jax.lax.dot_general(a, w, (((a.ndim - 1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _rsum(x):
+    """Sum over the time rows, keepdims -> (1, N)."""
+    return jnp.sum(x, axis=0, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Carry-checkpoint pre-pass: per-block entry carries, forward time order.
+# ---------------------------------------------------------------------------
+
+
+def _make_hist_kernel(affine: bool, *, num_passes: int, block_t: int):
+    names = ["z"] + (["nw", "nb"] if affine else []) + [
+        "wb", "pow_re", "pow_im", "ctab_re", "ctab_im"]
+
+    def kernel(*all_refs):
+        from sparsernns_tpu.ops.pallas.scan_kernel import scan_block_body
+        refs = dict(zip(names, all_refs[: len(names)]))
+        ch_re_ref, ch_im_ref = all_refs[len(names): len(names) + 2]
+        carry_re, carry_im = all_refs[len(names) + 2:]
+        j = pl.program_id(1)
+
+        # entry carry of THIS block = scratch state before scanning it
+        @pl.when(j == 0)
+        def _():
+            ch_re_ref[0] = jnp.zeros_like(ch_re_ref[0])
+            ch_im_ref[0] = jnp.zeros_like(ch_im_ref[0])
+
+        @pl.when(j > 0)
+        def _():
+            ch_re_ref[0] = carry_re[...]
+            ch_im_ref[0] = carry_im[...]
+
+        z = refs["z"][0].astype(jnp.float32)
+        if affine:
+            z = z * refs["nw"][...] + refs["nb"][...]
+        bu = jnp.dot(z, refs["wb"][...], preferred_element_type=jnp.float32)
+        p = bu.shape[-1] // 2
+        scan_block_body(bu[:, :p], bu[:, p:], refs["pow_re"],
+                        refs["pow_im"], refs["ctab_re"], refs["ctab_im"],
+                        carry_re, carry_im, j,
+                        num_passes=num_passes, block_t=block_t)
+
+    return kernel, names
+
+
+# ---------------------------------------------------------------------------
+# The adjoint kernel: reverse-time grid, forward recompute per block.
+# ---------------------------------------------------------------------------
+
+
+def _make_bwd_kernel(glu: str, act: str, with_m1: bool, with_m2: bool,
+                     affine: bool, *, num_passes: int, block_t: int,
+                     relu_state: bool, layer_relu: bool):
+    from sparsernns_tpu.ops.pallas.fused_layer_train import _act_and_grad
+
+    in_names = ["z", "g"] + ([] if affine else ["skip"])
+    if affine:
+        in_names += ["nw", "nb"]
+    if with_m1:
+        in_names.append("m1")
+    if with_m2:
+        in_names.append("m2")
+    in_names += ["wb", "wc", "d", "pow_re", "pow_im", "ctab_re", "ctab_im",
+                 "rpow_re", "rpow_im", "rtab_re", "rtab_im"]
+    if glu in ("full", "half1", "half2"):
+        in_names += ["o2k", "o2b"]
+    if glu == "full":
+        in_names += ["o1k", "o1b"]
+    in_names += ["ch_re", "ch_im"]
+
+    out_names = ["gx"] + ([] if affine else ["gskip"])
+    out_names += ["dwb", "dwc", "dd", "dlam_re", "dlam_im"]
+    if glu in ("full", "half1", "half2"):
+        out_names += ["do2k", "do2b"]
+    if glu == "full":
+        out_names += ["do1k", "do1b"]
+    if with_m1:
+        out_names.append("dm1")
+    if with_m2:
+        out_names.append("dm2")
+    if affine:
+        out_names += ["dnw", "dnb"]
+
+    def kernel(*all_refs):
+        from sparsernns_tpu.ops.pallas.scan_kernel import (
+            scan_block_body, scan_block_body_rev)
+        refs = dict(zip(in_names, all_refs[: len(in_names)]))
+        outs = dict(zip(out_names,
+                        all_refs[len(in_names):
+                                 len(in_names) + len(out_names)]))
+        fc_re, fc_im, vc_re, vc_im = all_refs[len(in_names)
+                                              + len(out_names):]
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        # ---- forward recompute of THIS time block (from its carry) ----
+        x_raw = refs["z"][0].astype(jnp.float32)          # (T, Hp)
+        if affine:
+            nw = refs["nw"][...]
+            zn = x_raw * nw + refs["nb"][...]
+            skip = x_raw
+        else:
+            zn = x_raw
+            skip = refs["skip"][0].astype(jnp.float32)
+        g = refs["g"][0].astype(jnp.float32)
+
+        bu = jnp.dot(zn, refs["wb"][...],
+                     preferred_element_type=jnp.float32)
+        p = bu.shape[-1] // 2
+        ch = (refs["ch_re"][0], refs["ch_im"][0])         # (1, Pp)
+        # traced j=0: scan_block_body's carry-init branch loads ``ch``
+        # every block (each block restarts from its checkpoint).
+        x_re, x_im = scan_block_body(
+            bu[:, :p], bu[:, p:], refs["pow_re"], refs["pow_im"],
+            refs["ctab_re"], refs["ctab_im"], fc_re, fc_im,
+            jnp.zeros((), jnp.int32),
+            num_passes=num_passes, block_t=block_t, carry_init=ch)
+        if relu_state:
+            xa_re = jnp.maximum(x_re, 0.0)
+            xa_im = jnp.maximum(x_im, 0.0)
+        else:
+            xa_re, xa_im = x_re, x_im
+        xs_act = jnp.concatenate([xa_re, xa_im], axis=-1)
+        y = jnp.dot(xs_act, refs["wc"][...],
+                    preferred_element_type=jnp.float32)
+        y = y + refs["d"][...] * zn
+        x1, dact = _act_and_grad(y, act)
+        x1d = x1 * refs["m1"][0] if with_m1 else x1
+        if glu != "none":
+            s = jnp.dot(x1d, refs["o2k"][...],
+                        preferred_element_type=jnp.float32)
+            gate = jax.nn.sigmoid(s + refs["o2b"][...])
+            if glu == "half1":
+                base = x1d
+            elif glu == "half2":
+                base = y
+            else:
+                base = jnp.dot(x1d, refs["o1k"][...],
+                               preferred_element_type=jnp.float32)
+                base = base + refs["o1b"][...]
+            h = base * gate
+            hd = h * refs["m2"][0] if with_m2 else h
+        else:
+            hd = x1d
+
+        # ---- adjoint chain (fused_layer_train._bwd order) ----
+        if layer_relu:
+            g = g * ((hd + skip) > 0).astype(g.dtype)
+        g_skip = g
+        blk = {}
+        g_y_extra = None
+        if glu != "none":
+            g_h = g
+            if with_m2:
+                blk["dm2"] = _rsum(g * h)[None]
+                g_h = g * refs["m2"][0]
+            g_base = g_h * gate
+            g_s = (g_h * base) * gate * (1.0 - gate)
+            blk["do2k"] = _dotT_accum(x1d, g_s)
+            blk["do2b"] = _rsum(g_s)
+            g_x1d = _dot_rt(g_s, refs["o2k"][...])
+            if glu == "half1":
+                g_x1d = g_x1d + g_base
+            elif glu == "half2":
+                g_y_extra = g_base
+            else:
+                blk["do1k"] = _dotT_accum(x1d, g_base)
+                blk["do1b"] = _rsum(g_base)
+                g_x1d = g_x1d + _dot_rt(g_base, refs["o1k"][...])
+        else:
+            g_x1d = g
+        g_x1 = g_x1d
+        if with_m1:
+            blk["dm1"] = _rsum(g_x1d * x1)[None]
+            g_x1 = g_x1d * refs["m1"][0]
+        g_y = g_x1 * dact
+        if g_y_extra is not None:
+            g_y = g_y + g_y_extra
+
+        # ---- mixer adjoint: reverse scan with cross-block carry ----
+        g_xs = _dot_rt(g_y, refs["wc"][...])              # g_y @ wcᵀ
+        gxs_re, gxs_im = g_xs[:, :p], g_xs[:, p:]
+        if relu_state:
+            gxs_re = gxs_re * (x_re > 0).astype(gxs_re.dtype)
+            gxs_im = gxs_im * (x_im > 0).astype(gxs_im.dtype)
+        v_re, v_im = scan_block_body_rev(
+            gxs_re, gxs_im, refs["rpow_re"], refs["rpow_im"],
+            refs["rtab_re"], refs["rtab_im"], vc_re, vc_im, j,
+            num_passes=num_passes, block_t=block_t)
+        v_cat = jnp.concatenate([v_re, v_im], axis=-1)
+        g_zn = _dot_rt(v_cat, refs["wb"][...]) + g_y * refs["d"][...]
+
+        blk["dwb"] = _dotT_accum(zn, v_cat)
+        blk["dwc"] = _dotT_accum(xs_act, g_y)
+        blk["dd"] = _rsum(g_y * zn)
+        # xp = previous-step RAW states: row 0 is the entry carry
+        xp_re = jnp.concatenate([ch[0], x_re[: block_t - 1]], axis=0)
+        xp_im = jnp.concatenate([ch[1], x_im[: block_t - 1]], axis=0)
+        blk["dlam_re"] = _rsum(v_re * xp_re + v_im * xp_im)
+        blk["dlam_im"] = _rsum(v_im * xp_re - v_re * xp_im)
+
+        if affine:
+            blk["dnw"] = _rsum(g_zn * x_raw)
+            blk["dnb"] = _rsum(g_zn)
+            outs["gx"][0] = g_zn * nw + g_skip
+        else:
+            outs["gx"][0] = g_zn
+            outs["gskip"][0] = g_skip
+
+        # ---- accumulate into the resident output blocks ----
+        per_batch = {"dm1", "dm2"}
+        first_global = jnp.logical_and(i == 0, j == 0)
+        for name, val in blk.items():
+            pred = (j == 0) if name in per_batch else first_global
+
+            @pl.when(pred)
+            def _(ref=outs[name], v=val):
+                ref[...] = v.astype(ref.dtype)
+
+            @pl.when(jnp.logical_not(pred))
+            def _(ref=outs[name], v=val):
+                ref[...] = ref[...] + v.astype(ref.dtype)
+
+    return kernel, in_names, out_names
+
+
+def fused_tail_bwd(z, skip, lam: Pair, w_b, w_c, d,
+                   o2k, o2b, o1k, o1b, m1, m2, nw, nb, g, *,
+                   block_t: int, act: str, glu: str, relu_state: bool,
+                   layer_relu: bool, interpret: Optional[bool] = None):
+    """Kernel backward of fused_layer_tail. Returns the same gradient
+    tuple as fused_layer_train._bwd: (g_z_or_x, g_skip, d_lam, d_w_b,
+    d_w_c, d_d, d_o2k, d_o2b, d_o1k, d_o1b, d_m1, d_m2, d_nw, d_nb)."""
+    from sparsernns_tpu.ops.pallas.fused_layer import pad_layer_ops
+    from sparsernns_tpu.ops.pallas.scan_kernel import lambda_power_tables
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    affine = nw is not None
+    with_m1, with_m2 = m1 is not None, m2 is not None
+
+    b, l, h = z.shape
+    p = w_b.shape[-1] // 2
+    t = min(block_t, _round_up(l, 8))
+    l_pad = _round_up(l, t)
+    h_pad = _round_up(h, 128)
+    n_t = l_pad // t
+    pad3 = ((0, 0), (0, l_pad - l), (0, h_pad - h))
+    zp = jnp.pad(z, pad3) if (l_pad != l or h_pad != h) else z
+    gp = jnp.pad(g, pad3) if (l_pad != l or h_pad != h) else g
+    skipp = None
+    if not affine:
+        skipp = (jnp.pad(skip, pad3)
+                 if (l_pad != l or h_pad != h) else skip)
+
+    ops, p_pad, num_passes = pad_layer_ops(
+        lam, w_b, w_c, d,
+        nw if affine else jnp.ones((h,), jnp.float32),
+        nb if affine else jnp.zeros((h,), jnp.float32),
+        (o2k, o2b) if o2k is not None else None,
+        (o1k, o1b) if o1k is not None else None, h_pad, t)
+    # reverse tables: conj λ, fold table flipped (rtab row t = λ*^(T-t))
+    lam_re_p = jnp.pad(lam[0], (0, p_pad - p))
+    lam_im_p = jnp.pad(lam[1], (0, p_pad - p))
+    rpow_re, rpow_im, rtab = lambda_power_tables(
+        lam_re_p, -lam_im_p, t, num_passes)
+    rtab = (rtab[0][::-1], rtab[1][::-1])
+
+    operands = {"z": zp, "g": gp}
+    if not affine:
+        operands["skip"] = skipp
+    else:
+        operands["nw"] = ops["nw"]
+        operands["nb"] = ops["nb"]
+    if with_m1:
+        operands["m1"] = jnp.pad(m1, ((0, 0), (0, 0), (0, h_pad - h)))
+    if with_m2:
+        operands["m2"] = jnp.pad(m2, ((0, 0), (0, 0), (0, h_pad - h)))
+    operands.update(
+        wb=ops["wb"], wc=ops["wc"], d=ops["d"],
+        pow_re=ops["pow_re"], pow_im=ops["pow_im"],
+        ctab_re=ops["ctab_re"], ctab_im=ops["ctab_im"],
+        rpow_re=rpow_re, rpow_im=rpow_im,
+        rtab_re=rtab[0], rtab_im=rtab[1])
+    if glu != "none":
+        operands.update(o2k=ops["out2_k"], o2b=ops["out2_b"])
+    if glu == "full":
+        operands.update(o1k=ops["out1_k"], o1b=ops["out1_b"])
+
+    io_fwd = pl.BlockSpec((1, t, h_pad), lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    io_rev = pl.BlockSpec((1, t, h_pad), lambda i, j: (i, n_t - 1 - j, 0),
+                          memory_space=pltpu.VMEM)
+    mask_blk = pl.BlockSpec((1, 1, h_pad), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+
+    # ---- pre-pass: per-block entry carries (forward time order) ----
+    hk, hk_names = _make_hist_kernel(affine, num_passes=num_passes,
+                                     block_t=t)
+    hist_blk = pl.BlockSpec((1, 1, p_pad), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def hspec(n):
+        return io_fwd if n == "z" else full(operands[n])
+
+    ch_re, ch_im = pl.pallas_call(
+        hk,
+        grid=(b, n_t),
+        in_specs=[hspec(n) for n in hk_names],
+        out_specs=[hist_blk, hist_blk],
+        out_shape=[jax.ShapeDtypeStruct((b, n_t, p_pad), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((1, p_pad), jnp.float32)] * 2,
+        interpret=interpret,
+    )(*[operands[n] for n in hk_names])
+    operands["ch_re"] = ch_re
+    operands["ch_im"] = ch_im
+    hist_rev = pl.BlockSpec((1, 1, p_pad), lambda i, j: (i, n_t - 1 - j, 0),
+                            memory_space=pltpu.VMEM)
+
+    # ---- the adjoint kernel (reverse time order) ----
+    kernel, in_names, out_names = _make_bwd_kernel(
+        glu, act, with_m1, with_m2, affine, num_passes=num_passes,
+        block_t=t, relu_state=relu_state, layer_relu=layer_relu)
+
+    def in_spec(n):
+        if n in ("z", "g", "skip"):
+            return io_rev
+        if n in ("m1", "m2"):
+            return mask_blk
+        if n in ("ch_re", "ch_im"):
+            return hist_rev
+        return full(operands[n])
+
+    const2 = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM)
+    out_specs, out_shapes = [], []
+    for n in out_names:
+        if n in ("gx", "gskip"):
+            out_specs.append(io_rev)
+            out_shapes.append(
+                jax.ShapeDtypeStruct((b, l_pad, h_pad), jnp.float32))
+        elif n in ("dm1", "dm2"):
+            out_specs.append(mask_blk)
+            out_shapes.append(
+                jax.ShapeDtypeStruct((b, 1, h_pad), jnp.float32))
+        else:
+            shape = {"dwb": (h_pad, 2 * p_pad), "dwc": (2 * p_pad, h_pad),
+                     "dd": (1, h_pad), "dlam_re": (1, p_pad),
+                     "dlam_im": (1, p_pad), "do2k": (h_pad, h_pad),
+                     "do2b": (1, h_pad), "do1k": (h_pad, h_pad),
+                     "do1b": (1, h_pad), "dnw": (1, h_pad),
+                     "dnb": (1, h_pad)}[n]
+            out_specs.append(const2(shape))
+            out_shapes.append(jax.ShapeDtypeStruct(shape, jnp.float32))
+
+    res = pl.pallas_call(
+        kernel,
+        grid=(b, n_t),
+        in_specs=[in_spec(n) for n in in_names],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((1, p_pad), jnp.float32)] * 4,
+        interpret=interpret,
+    )(*[operands[n] for n in in_names])
+    r = dict(zip(out_names, res))
+
+    # ---- unpad / reassemble the _bwd gradient tuple ----
+    def unpad_w(a, rows, cols):
+        return a[:rows, :cols]
+
+    g_x = r["gx"][:, :l, :h]
+    g_skip = None if affine else r["gskip"][:, :l, :h]
+    d_wb = jnp.concatenate([r["dwb"][:h, :p], r["dwb"][:h, p_pad:p_pad + p]],
+                           axis=-1)
+    d_wc = jnp.concatenate([r["dwc"][:p, :h], r["dwc"][p_pad:p_pad + p, :h]],
+                           axis=0)
+    d_d = r["dd"][0, :h]
+    d_lam = (r["dlam_re"][0, :p], r["dlam_im"][0, :p])
+    d_o2k = unpad_w(r["do2k"], h, h) if "do2k" in r else None
+    d_o2b = r["do2b"][0, :h] if "do2b" in r else None
+    d_o1k = unpad_w(r["do1k"], h, h) if "do1k" in r else None
+    d_o1b = r["do1b"][0, :h] if "do1b" in r else None
+    d_m1 = r["dm1"][:, :, :h] if "dm1" in r else None
+    d_m2 = r["dm2"][:, :, :h] if "dm2" in r else None
+    d_nw = r["dnw"][0, :h] if affine else None
+    d_nb = r["dnb"][0, :h] if affine else None
+    if affine:
+        return (g_x, None, d_lam, d_wb, d_wc, d_d,
+                d_o2k, d_o2b, d_o1k, d_o1b, d_m1, d_m2, d_nw, d_nb)
+    return (g_x, g_skip, d_lam, d_wb, d_wc, d_d,
+            d_o2k, d_o2b, d_o1k, d_o1b, d_m1, d_m2, None, None)

@@ -323,8 +323,21 @@ def _act_and_grad(y, act: str):
 
 
 def _bwd(block_t, act, glu, relu_state, layer_relu, res, g):
+    import os
+
     from sparsernns_tpu.ops.pallas.scan_kernel import pallas_diag_scan
     z, skip, lam, w_b, w_c, d, o2k, o2b, o1k, o1b, m1, m2, nw, nb = res
+    if os.environ.get("SPARSERNNS_XLA_TAIL_BWD") != "1":
+        # Adjoint KERNEL: one reverse-time Pallas pass recomputes the
+        # chain per block in VMEM and emits every gradient — layer
+        # backward HBM traffic collapses to read z + read g + write g_x
+        # (fused_layer_bwd.py). The XLA rematerialization below remains
+        # as the reference implementation (SPARSERNNS_XLA_TAIL_BWD=1).
+        from sparsernns_tpu.ops.pallas.fused_layer_bwd import fused_tail_bwd
+        return fused_tail_bwd(
+            z, skip, lam, w_b, w_c, d, o2k, o2b, o1k, o1b, m1, m2, nw, nb,
+            g, block_t=block_t, act=act, glu=glu, relu_state=relu_state,
+            layer_relu=layer_relu)
     p = w_b.shape[-1] // 2
     axes = tuple(range(z.ndim - 1))
     affine = nw is not None

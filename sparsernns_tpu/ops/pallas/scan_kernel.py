@@ -166,6 +166,47 @@ def scan_block_body(
     return x_re, x_im
 
 
+def scan_block_body_rev(
+    g_re, g_im,                    # (T, P) block cotangents
+    pow_re_ref, pow_im_ref,        # (K, P) λ^(2^k) offset operators
+    rtab_re_ref, rtab_im_ref,      # (T, P) REVERSE fold table λ^(T-t)
+    carry_re, carry_im,            # (1, P) VMEM scratch — adjoint carry
+    j,                             # grid step (0 = LAST time block)
+    *, num_passes: int, block_t: int,
+):
+    """Reverse (right-to-left) in-kernel scan block — the adjoint of the
+    diagonal recurrence: v_t = g_t + λ ⊙ v_{t+1}. The caller passes the
+    CONJUGATE λ's tables for the S5 adjoint. Doubling runs with
+    shift-from-BELOW; ``rtab`` row t = λ^(T-t) folds the adjoint carry
+    coming from the (later-in-time) previous grid step, and the carry
+    out is v at row 0 (feeding the next-earlier block). The backward
+    grid must iterate time blocks reversed (j == 0 <-> last block)."""
+    for k in range(num_passes):
+        d = 1 << k
+        lr = pow_re_ref[k:k + 1, :]
+        li = pow_im_ref[k:k + 1, :]
+        pad = jnp.zeros((d, g_re.shape[-1]), dtype=g_re.dtype)
+        sh_re = jnp.concatenate([g_re[d:], pad], axis=0)
+        sh_im = jnp.concatenate([g_im[d:], pad], axis=0)
+        g_re = g_re + (lr * sh_re - li * sh_im)
+        g_im = g_im + (lr * sh_im + li * sh_re)
+
+    @pl.when(j == 0)
+    def _():
+        carry_re[...] = jnp.zeros_like(carry_re)
+        carry_im[...] = jnp.zeros_like(carry_im)
+
+    cr = carry_re[...]
+    ci = carry_im[...]
+    tr = rtab_re_ref[...]
+    ti = rtab_im_ref[...]
+    g_re = g_re + (tr * cr - ti * ci)
+    g_im = g_im + (tr * ci + ti * cr)
+    carry_re[...] = g_re[0:1, :]
+    carry_im[...] = g_im[0:1, :]
+    return g_re, g_im
+
+
 def _scan_block_kernel(
     bu_re_ref, bu_im_ref,          # (1, T, P) inputs
     pow_re_ref, pow_im_ref,

@@ -273,3 +273,61 @@ def test_train_step_through_fused_tail(rng):
     assert calls  # kernel path engaged inside the jitted step trace
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.parametrize("glu", ["none", "half1", "half2", "full"])
+def test_kernel_bwd_matches_xla_remat_bwd(rng, glu, monkeypatch):
+    """The adjoint KERNEL (fused_layer_bwd.py) vs the XLA remat backward
+    it replaces: same gradients to float tolerance (the only differences
+    are per-block vs whole-sequence summation order)."""
+    kw = _operands(rng, l=37, glu=glu, masks=True)
+    names = list(kw)
+    flags = dict(act="gelu", glu=glu, relu_state=True, layer_relu=True)
+
+    def loss(*args):
+        d = dict(zip(names, args))
+        y = fused_layer_tail_diff(
+            d["z"], d["skip"], d["lam"], d["w_b"], d["w_c"], d["d"],
+            d.get("o2k"), d.get("o2b"), d.get("o1k"), d.get("o1b"),
+            d.get("m1"), d.get("m2"), None, None, 16, flags["act"],
+            flags["glu"], flags["relu_state"], flags["layer_relu"])
+        return jnp.sum(jnp.sin(y))
+
+    argnums = tuple(range(len(names)))
+    gk = jax.grad(loss, argnums=argnums)(*kw.values())
+    monkeypatch.setenv("SPARSERNNS_XLA_TAIL_BWD", "1")
+    gx = jax.grad(loss, argnums=argnums)(*kw.values())
+    for name, a, b in zip(names, gk, gx):
+        for leaf_a, leaf_b in zip(jax.tree_util.tree_leaves(a),
+                                  jax.tree_util.tree_leaves(b)):
+            np.testing.assert_allclose(
+                np.asarray(leaf_a), np.asarray(leaf_b), rtol=2e-4,
+                atol=2e-4, err_msg=f"kernel-vs-XLA grad mismatch: {name}")
+
+
+def test_kernel_bwd_affine_matches_xla(rng, monkeypatch):
+    kw = _operands(rng, l=40, glu="half1", masks=False)
+    h = kw["z"].shape[-1]
+    nw = jnp.asarray(rng.randn(h) * 0.3 + 1.0, jnp.float32)
+    nb = jnp.asarray(rng.randn(h) * 0.1, jnp.float32)
+    names = [n for n in kw if n != "skip"] + ["nw", "nb"]
+    vals = {**{n: kw[n] for n in kw if n != "skip"}, "nw": nw, "nb": nb}
+
+    def loss(*args):
+        d = dict(zip(names, args))
+        y = fused_layer_tail_diff(
+            d["z"], None, d["lam"], d["w_b"], d["w_c"], d["d"],
+            d.get("o2k"), d.get("o2b"), None, None, None, None,
+            d["nw"], d["nb"], 16, "relu", "half1", True, True)
+        return jnp.sum(jnp.sin(y))
+
+    argnums = tuple(range(len(names)))
+    gk = jax.grad(loss, argnums=argnums)(*vals.values())
+    monkeypatch.setenv("SPARSERNNS_XLA_TAIL_BWD", "1")
+    gx = jax.grad(loss, argnums=argnums)(*vals.values())
+    for name, a, b in zip(names, gk, gx):
+        for leaf_a, leaf_b in zip(jax.tree_util.tree_leaves(a),
+                                  jax.tree_util.tree_leaves(b)):
+            np.testing.assert_allclose(
+                np.asarray(leaf_a), np.asarray(leaf_b), rtol=2e-4,
+                atol=2e-4, err_msg=f"affine grad mismatch: {name}")
