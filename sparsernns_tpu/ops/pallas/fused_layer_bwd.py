@@ -254,14 +254,18 @@ def _make_bwd_kernel(glu: str, act: str, with_m1: bool, with_m2: bool,
         v_cat = jnp.concatenate([v_re, v_im], axis=-1)
         g_zn = _dot_rt(v_cat, refs["wb"][...]) + g_y * refs["d"][...]
 
-        blk["dwb"] = _dotT_accum(zn, v_cat)
-        blk["dwc"] = _dotT_accum(xs_act, g_y)
+        blk["dwb"] = _dotT_accum(zn, v_cat)[None]
+        blk["dwc"] = _dotT_accum(xs_act, g_y)[None]
         blk["dd"] = _rsum(g_y * zn)
         # xp = previous-step RAW states: row 0 is the entry carry
         xp_re = jnp.concatenate([ch[0], x_re[: block_t - 1]], axis=0)
         xp_im = jnp.concatenate([ch[1], x_im[: block_t - 1]], axis=0)
         blk["dlam_re"] = _rsum(v_re * xp_re + v_im * xp_im)
         blk["dlam_im"] = _rsum(v_im * xp_re - v_re * xp_im)
+        if glu != "none":
+            blk["do2k"] = blk["do2k"][None]
+            if glu == "full":
+                blk["do1k"] = blk["do1k"][None]
 
         if affine:
             blk["dnw"] = _rsum(g_zn * x_raw)
@@ -271,11 +275,13 @@ def _make_bwd_kernel(glu: str, act: str, with_m1: bool, with_m2: bool,
             outs["gx"][0] = g_zn
             outs["gskip"][0] = g_skip
 
-        # ---- accumulate into the resident output blocks ----
-        per_batch = {"dm1", "dm2"}
-        first_global = jnp.logical_and(i == 0, j == 0)
+        # ---- accumulate into the resident PER-BATCH-ROW output blocks
+        # (summed over the batch OUTSIDE the custom call, so a DP-sharded
+        # batch reduces via a plain XLA psum — no reduction rule needed
+        # inside the custom partitioning) ----
+        del i
         for name, val in blk.items():
-            pred = (j == 0) if name in per_batch else first_global
+            pred = j == 0
 
             @pl.when(pred)
             def _(ref=outs[name], v=val):
@@ -288,167 +294,296 @@ def _make_bwd_kernel(glu: str, act: str, with_m1: bool, with_m2: bool,
     return kernel, in_names, out_names
 
 
+_NDS = {"z": 3, "g": 3, "skip": 3, "lam_re": 1, "lam_im": 1,
+        "w_b": 2, "w_c": 2, "d": 1, "o2k": 2, "o2b": 1, "o1k": 2,
+        "o1b": 1, "m1": 3, "m2": 3, "nw": 1, "nb": 1}
+_BATCH_NAMES = ("z", "g", "skip", "m1", "m2")
+
+
+def _bwd_rule(in_order, out_names):
+    """Shardy rule for the batch-partitioned backward: every operand and
+    result leads with the shared batch factor ``b`` (or is replicated);
+    gradient results reuse the factors of the weight they differentiate,
+    so a sharded weight propagates its sharding to its gradient."""
+    cnt = [0]
+
+    def fx():
+        cnt[0] += 1
+        return f"f{cnt[0]}"
+
+    fac, parts, factors, batch_args = {}, [], [], []
+    for idx, n in enumerate(in_order):
+        dims = []
+        for k in range(_NDS[n]):
+            if k == 0 and n in _BATCH_NAMES:
+                dims.append("b")
+            else:
+                f = fx()
+                factors.append(f)
+                dims.append(f)
+        fac[n] = dims
+        parts.append(" ".join(dims))
+        if n in _BATCH_NAMES:
+            batch_args.append(idx)
+    out_fac = {
+        "gx": fac["z"], "gskip": fac["z"],
+        "dwb": ["b"] + fac["w_b"], "dwc": ["b"] + fac["w_c"],
+        "dd": ["b"] + fac["d"],
+        "dlam_re": ["b"] + fac["lam_re"],
+        "dlam_im": ["b"] + fac["lam_im"],
+        "do2k": (["b"] + fac["o2k"]) if "o2k" in fac else None,
+        "do2b": (["b"] + fac["o2b"]) if "o2b" in fac else None,
+        "do1k": (["b"] + fac["o1k"]) if "o1k" in fac else None,
+        "do1b": (["b"] + fac["o1b"]) if "o1b" in fac else None,
+        "dm1": fac.get("m1"), "dm2": fac.get("m2"),
+        "dnw": (["b"] + fac["nw"]) if "nw" in fac else None,
+        "dnb": (["b"] + fac["nb"]) if "nb" in fac else None,
+    }
+    res = [" ".join(out_fac[n]) for n in out_names]
+    rule = ", ".join(parts) + " -> " + ", ".join(res)
+    return rule, tuple(factors), tuple(batch_args)
+
+
 def fused_tail_bwd(z, skip, lam: Pair, w_b, w_c, d,
                    o2k, o2b, o1k, o1b, m1, m2, nw, nb, g, *,
                    block_t: int, act: str, glu: str, relu_state: bool,
                    layer_relu: bool, interpret: Optional[bool] = None):
     """Kernel backward of fused_layer_tail. Returns the same gradient
     tuple as fused_layer_train._bwd: (g_z_or_x, g_skip, d_lam, d_w_b,
-    d_w_c, d_d, d_o2k, d_o2b, d_o1k, d_o1b, d_m1, d_m2, d_nw, d_nb)."""
-    from sparsernns_tpu.ops.pallas.fused_layer import pad_layer_ops
-    from sparsernns_tpu.ops.pallas.scan_kernel import lambda_power_tables
+    d_w_c, d_d, d_o2k, d_o2b, d_o1k, d_o1b, d_m1, d_m2, d_nw, d_nb).
+
+    The custom call is batch-partitioned (partition.batch_partitioned)
+    and every gradient it emits is PER BATCH ROW; the cross-batch sums
+    happen outside, so under data parallelism they lower to a plain XLA
+    sharded reduction (psum) with no all-gather around the kernel."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     affine = nw is not None
     with_m1, with_m2 = m1 is not None, m2 is not None
 
-    b, l, h = z.shape
-    p = w_b.shape[-1] // 2
-    t = min(block_t, _round_up(l, 8))
-    l_pad = _round_up(l, t)
-    h_pad = _round_up(h, 128)
-    n_t = l_pad // t
-    pad3 = ((0, 0), (0, l_pad - l), (0, h_pad - h))
-    zp = jnp.pad(z, pad3) if (l_pad != l or h_pad != h) else z
-    gp = jnp.pad(g, pad3) if (l_pad != l or h_pad != h) else g
-    skipp = None
-    if not affine:
-        skipp = (jnp.pad(skip, pad3)
-                 if (l_pad != l or h_pad != h) else skip)
-
-    ops, p_pad, num_passes = pad_layer_ops(
-        lam, w_b, w_c, d,
-        nw if affine else jnp.ones((h,), jnp.float32),
-        nb if affine else jnp.zeros((h,), jnp.float32),
-        (o2k, o2b) if o2k is not None else None,
-        (o1k, o1b) if o1k is not None else None, h_pad, t)
-    # reverse tables: conj λ, fold table flipped (rtab row t = λ*^(T-t))
-    lam_re_p = jnp.pad(lam[0], (0, p_pad - p))
-    lam_im_p = jnp.pad(lam[1], (0, p_pad - p))
-    rpow_re, rpow_im, rtab = lambda_power_tables(
-        lam_re_p, -lam_im_p, t, num_passes)
-    rtab = (rtab[0][::-1], rtab[1][::-1])
-
-    operands = {"z": zp, "g": gp}
-    if not affine:
-        operands["skip"] = skipp
-    else:
-        operands["nw"] = ops["nw"]
-        operands["nb"] = ops["nb"]
-    if with_m1:
-        operands["m1"] = jnp.pad(m1, ((0, 0), (0, 0), (0, h_pad - h)))
-    if with_m2:
-        operands["m2"] = jnp.pad(m2, ((0, 0), (0, 0), (0, h_pad - h)))
-    operands.update(
-        wb=ops["wb"], wc=ops["wc"], d=ops["d"],
-        pow_re=ops["pow_re"], pow_im=ops["pow_im"],
-        ctab_re=ops["ctab_re"], ctab_im=ops["ctab_im"],
-        rpow_re=rpow_re, rpow_im=rpow_im,
-        rtab_re=rtab[0], rtab_im=rtab[1])
+    in_order = ["z", "g"] + ([] if affine else ["skip"]) + [
+        "lam_re", "lam_im", "w_b", "w_c", "d"]
     if glu != "none":
-        operands.update(o2k=ops["out2_k"], o2b=ops["out2_b"])
+        in_order += ["o2k", "o2b"]
     if glu == "full":
-        operands.update(o1k=ops["out1_k"], o1b=ops["out1_b"])
+        in_order += ["o1k", "o1b"]
+    if with_m1:
+        in_order.append("m1")
+    if with_m2:
+        in_order.append("m2")
+    if affine:
+        in_order += ["nw", "nb"]
+    vals = dict(z=z, g=g, skip=skip, lam_re=lam[0], lam_im=lam[1],
+                w_b=w_b, w_c=w_c, d=d, o2k=o2k, o2b=o2b, o1k=o1k,
+                o1b=o1b, m1=m1, m2=m2, nw=nw, nb=nb)
 
-    io_fwd = pl.BlockSpec((1, t, h_pad), lambda i, j: (i, j, 0),
-                          memory_space=pltpu.VMEM)
-    io_rev = pl.BlockSpec((1, t, h_pad), lambda i, j: (i, n_t - 1 - j, 0),
-                          memory_space=pltpu.VMEM)
-    mask_blk = pl.BlockSpec((1, 1, h_pad), lambda i, j: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    full = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
-                                  memory_space=pltpu.VMEM)
+    def body(*arrays):
+        from sparsernns_tpu.ops.pallas.fused_layer import pad_layer_ops
+        from sparsernns_tpu.ops.pallas.scan_kernel import \
+            lambda_power_tables
+        a = dict(zip(in_order, arrays))
+        zz, gg = a["z"], a["g"]
+        b, l, h = zz.shape
+        p = a["w_b"].shape[-1] // 2
+        t = min(block_t, _round_up(l, 8))
+        l_pad = _round_up(l, t)
+        h_pad = _round_up(h, 128)
+        n_t = l_pad // t
+        pad3 = ((0, 0), (0, l_pad - l), (0, h_pad - h))
+        zp = jnp.pad(zz, pad3) if (l_pad != l or h_pad != h) else zz
+        gp = jnp.pad(gg, pad3) if (l_pad != l or h_pad != h) else gg
 
-    # ---- pre-pass: per-block entry carries (forward time order) ----
-    hk, hk_names = _make_hist_kernel(affine, num_passes=num_passes,
-                                     block_t=t)
-    hist_blk = pl.BlockSpec((1, 1, p_pad), lambda i, j: (i, j, 0),
-                            memory_space=pltpu.VMEM)
+        ops, p_pad, num_passes = pad_layer_ops(
+            (a["lam_re"], a["lam_im"]), a["w_b"], a["w_c"], a["d"],
+            a["nw"] if affine else jnp.ones((h,), jnp.float32),
+            a["nb"] if affine else jnp.zeros((h,), jnp.float32),
+            (a["o2k"], a["o2b"]) if glu != "none" else None,
+            (a["o1k"], a["o1b"]) if glu == "full" else None, h_pad, t)
+        # reverse tables: conj λ; fold table flipped (rtab row t = λ*^(T-t))
+        lam_re_p = jnp.pad(a["lam_re"], (0, p_pad - p))
+        lam_im_p = jnp.pad(a["lam_im"], (0, p_pad - p))
+        rpow_re, rpow_im, rtab = lambda_power_tables(
+            lam_re_p, -lam_im_p, t, num_passes)
+        rtab = (rtab[0][::-1], rtab[1][::-1])
 
-    def hspec(n):
-        return io_fwd if n == "z" else full(operands[n])
-
-    ch_re, ch_im = pl.pallas_call(
-        hk,
-        grid=(b, n_t),
-        in_specs=[hspec(n) for n in hk_names],
-        out_specs=[hist_blk, hist_blk],
-        out_shape=[jax.ShapeDtypeStruct((b, n_t, p_pad), jnp.float32)] * 2,
-        scratch_shapes=[pltpu.VMEM((1, p_pad), jnp.float32)] * 2,
-        interpret=interpret,
-    )(*[operands[n] for n in hk_names])
-    operands["ch_re"] = ch_re
-    operands["ch_im"] = ch_im
-    hist_rev = pl.BlockSpec((1, 1, p_pad), lambda i, j: (i, n_t - 1 - j, 0),
-                            memory_space=pltpu.VMEM)
-
-    # ---- the adjoint kernel (reverse time order) ----
-    kernel, in_names, out_names = _make_bwd_kernel(
-        glu, act, with_m1, with_m2, affine, num_passes=num_passes,
-        block_t=t, relu_state=relu_state, layer_relu=layer_relu)
-
-    def in_spec(n):
-        if n in ("z", "g", "skip"):
-            return io_rev
-        if n in ("m1", "m2"):
-            return mask_blk
-        if n in ("ch_re", "ch_im"):
-            return hist_rev
-        return full(operands[n])
-
-    const2 = lambda shape: pl.BlockSpec(
-        shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM)
-    out_specs, out_shapes = [], []
-    for n in out_names:
-        if n in ("gx", "gskip"):
-            out_specs.append(io_rev)
-            out_shapes.append(
-                jax.ShapeDtypeStruct((b, l_pad, h_pad), jnp.float32))
-        elif n in ("dm1", "dm2"):
-            out_specs.append(mask_blk)
-            out_shapes.append(
-                jax.ShapeDtypeStruct((b, 1, h_pad), jnp.float32))
+        operands = {"z": zp, "g": gp}
+        if not affine:
+            operands["skip"] = (jnp.pad(a["skip"], pad3)
+                                if (l_pad != l or h_pad != h)
+                                else a["skip"])
         else:
-            shape = {"dwb": (h_pad, 2 * p_pad), "dwc": (2 * p_pad, h_pad),
-                     "dd": (1, h_pad), "dlam_re": (1, p_pad),
-                     "dlam_im": (1, p_pad), "do2k": (h_pad, h_pad),
-                     "do2b": (1, h_pad), "do1k": (h_pad, h_pad),
-                     "do1b": (1, h_pad), "dnw": (1, h_pad),
-                     "dnb": (1, h_pad)}[n]
-            out_specs.append(const2(shape))
-            out_shapes.append(jax.ShapeDtypeStruct(shape, jnp.float32))
+            operands["nw"] = ops["nw"]
+            operands["nb"] = ops["nb"]
+        if with_m1:
+            operands["m1"] = jnp.pad(a["m1"],
+                                     ((0, 0), (0, 0), (0, h_pad - h)))
+        if with_m2:
+            operands["m2"] = jnp.pad(a["m2"],
+                                     ((0, 0), (0, 0), (0, h_pad - h)))
+        operands.update(
+            wb=ops["wb"], wc=ops["wc"], d=ops["d"],
+            pow_re=ops["pow_re"], pow_im=ops["pow_im"],
+            ctab_re=ops["ctab_re"], ctab_im=ops["ctab_im"],
+            rpow_re=rpow_re, rpow_im=rpow_im,
+            rtab_re=rtab[0], rtab_im=rtab[1])
+        if glu != "none":
+            operands.update(o2k=ops["out2_k"], o2b=ops["out2_b"])
+        if glu == "full":
+            operands.update(o1k=ops["out1_k"], o1b=ops["out1_b"])
 
-    res = pl.pallas_call(
-        kernel,
-        grid=(b, n_t),
-        in_specs=[in_spec(n) for n in in_names],
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((1, p_pad), jnp.float32)] * 4,
-        interpret=interpret,
-    )(*[operands[n] for n in in_names])
+        io_fwd = pl.BlockSpec((1, t, h_pad), lambda i, j: (i, j, 0),
+                              memory_space=pltpu.VMEM)
+        io_rev = pl.BlockSpec((1, t, h_pad),
+                              lambda i, j: (i, n_t - 1 - j, 0),
+                              memory_space=pltpu.VMEM)
+        mask_blk = pl.BlockSpec((1, 1, h_pad), lambda i, j: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        full = lambda arr: pl.BlockSpec(
+            arr.shape, lambda i, j: (0,) * arr.ndim,
+            memory_space=pltpu.VMEM)
+
+        # ---- pre-pass: per-block entry carries (forward time order) ----
+        hk, hk_names = _make_hist_kernel(affine, num_passes=num_passes,
+                                         block_t=t)
+        hist_blk = pl.BlockSpec((1, 1, p_pad), lambda i, j: (i, j, 0),
+                                memory_space=pltpu.VMEM)
+        ch_re, ch_im = pl.pallas_call(
+            hk,
+            grid=(b, n_t),
+            in_specs=[io_fwd if n == "z" else full(operands[n])
+                      for n in hk_names],
+            out_specs=[hist_blk, hist_blk],
+            out_shape=[jax.ShapeDtypeStruct((b, n_t, p_pad),
+                                            jnp.float32)] * 2,
+            scratch_shapes=[pltpu.VMEM((1, p_pad), jnp.float32)] * 2,
+            interpret=interpret,
+        )(*[operands[n] for n in hk_names])
+        operands["ch_re"] = ch_re
+        operands["ch_im"] = ch_im
+        hist_rev = pl.BlockSpec((1, 1, p_pad),
+                                lambda i, j: (i, n_t - 1 - j, 0),
+                                memory_space=pltpu.VMEM)
+
+        # ---- the adjoint kernel (reverse time order) ----
+        kernel, in_names, out_names = _make_bwd_kernel(
+            glu, act, with_m1, with_m2, affine, num_passes=num_passes,
+            block_t=t, relu_state=relu_state, layer_relu=layer_relu)
+
+        def in_spec(n):
+            if n in ("z", "g", "skip"):
+                return io_rev
+            if n in ("m1", "m2"):
+                return mask_blk
+            if n in ("ch_re", "ch_im"):
+                return hist_rev
+            return full(operands[n])
+
+        def row_blk(cols):
+            return pl.BlockSpec((1, cols), lambda i, j: (i, 0),
+                                memory_space=pltpu.VMEM)
+
+        def mat_blk(r, c):
+            return pl.BlockSpec((1, r, c), lambda i, j: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        out_specs, out_shapes = [], []
+        for n in out_names:
+            if n in ("gx", "gskip"):
+                out_specs.append(io_rev)
+                out_shapes.append(
+                    jax.ShapeDtypeStruct((b, l_pad, h_pad), jnp.float32))
+            elif n in ("dm1", "dm2"):
+                out_specs.append(mask_blk)
+                out_shapes.append(
+                    jax.ShapeDtypeStruct((b, 1, h_pad), jnp.float32))
+            elif n in ("dwb", "dwc", "do2k", "do1k"):
+                r, c = {"dwb": (h_pad, 2 * p_pad),
+                        "dwc": (2 * p_pad, h_pad),
+                        "do2k": (h_pad, h_pad),
+                        "do1k": (h_pad, h_pad)}[n]
+                out_specs.append(mat_blk(r, c))
+                out_shapes.append(
+                    jax.ShapeDtypeStruct((b, r, c), jnp.float32))
+            else:
+                cols = p_pad if n.startswith("dlam") else h_pad
+                out_specs.append(row_blk(cols))
+                out_shapes.append(
+                    jax.ShapeDtypeStruct((b, cols), jnp.float32))
+
+        res = pl.pallas_call(
+            kernel,
+            grid=(b, n_t),
+            in_specs=[in_spec(n) for n in in_names],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=[pltpu.VMEM((1, p_pad), jnp.float32)] * 4,
+            interpret=interpret,
+        )(*[operands[n] for n in in_names])
+        r = dict(zip(out_names, res))
+
+        # ---- unpad to ORIGINAL dims (per batch row) inside the call ----
+        out = {"gx": r["gx"][:, :l, :h]}
+        if not affine:
+            out["gskip"] = r["gskip"][:, :l, :h]
+        out["dwb"] = jnp.concatenate(
+            [r["dwb"][:, :h, :p], r["dwb"][:, :h, p_pad:p_pad + p]],
+            axis=-1)
+        out["dwc"] = jnp.concatenate(
+            [r["dwc"][:, :p, :h], r["dwc"][:, p_pad:p_pad + p, :h]],
+            axis=1)
+        out["dd"] = r["dd"][:, :h]
+        out["dlam_re"] = r["dlam_re"][:, :p]
+        out["dlam_im"] = r["dlam_im"][:, :p]
+        if glu != "none":
+            out["do2k"] = r["do2k"][:, :h, :h]
+            out["do2b"] = r["do2b"][:, :h]
+        if glu == "full":
+            out["do1k"] = r["do1k"][:, :h, :h]
+            out["do1b"] = r["do1b"][:, :h]
+        if with_m1:
+            out["dm1"] = r["dm1"][:, :, :h]
+        if with_m2:
+            out["dm2"] = r["dm2"][:, :, :h]
+        if affine:
+            out["dnw"] = r["dnw"][:, :h]
+            out["dnb"] = r["dnb"][:, :h]
+        return tuple(out[n] for n in out_names)
+
+    # the result order matches _make_bwd_kernel's out_names
+    out_names = ["gx"] + ([] if affine else ["gskip"])
+    out_names += ["dwb", "dwc", "dd", "dlam_re", "dlam_im"]
+    if glu != "none":
+        out_names += ["do2k", "do2b"]
+    if glu == "full":
+        out_names += ["do1k", "do1b"]
+    if with_m1:
+        out_names.append("dm1")
+    if with_m2:
+        out_names.append("dm2")
+    if affine:
+        out_names += ["dnw", "dnb"]
+
+    from sparsernns_tpu.ops.pallas.partition import batch_partitioned
+    rule, repl, batch_args = _bwd_rule(in_order, out_names)
+    res = batch_partitioned(body, rule, repl, batch_args=batch_args)(
+        *[vals[n] for n in in_order])
     r = dict(zip(out_names, res))
 
-    # ---- unpad / reassemble the _bwd gradient tuple ----
-    def unpad_w(a, rows, cols):
-        return a[:rows, :cols]
-
-    g_x = r["gx"][:, :l, :h]
-    g_skip = None if affine else r["gskip"][:, :l, :h]
-    d_wb = jnp.concatenate([r["dwb"][:h, :p], r["dwb"][:h, p_pad:p_pad + p]],
-                           axis=-1)
-    d_wc = jnp.concatenate([r["dwc"][:p, :h], r["dwc"][p_pad:p_pad + p, :h]],
-                           axis=0)
-    d_d = r["dd"][0, :h]
-    d_lam = (r["dlam_re"][0, :p], r["dlam_im"][0, :p])
-    d_o2k = unpad_w(r["do2k"], h, h) if "do2k" in r else None
-    d_o2b = r["do2b"][0, :h] if "do2b" in r else None
-    d_o1k = unpad_w(r["do1k"], h, h) if "do1k" in r else None
-    d_o1b = r["do1b"][0, :h] if "do1b" in r else None
-    d_m1 = r["dm1"][:, :, :h] if "dm1" in r else None
-    d_m2 = r["dm2"][:, :, :h] if "dm2" in r else None
-    d_nw = r["dnw"][0, :h] if affine else None
-    d_nb = r["dnb"][0, :h] if affine else None
+    # cross-batch sums OUTSIDE the custom call (sharded-reduce under DP)
+    g_x = r["gx"]
+    g_skip = None if affine else r["gskip"]
+    d_wb = jnp.sum(r["dwb"], axis=0)
+    d_wc = jnp.sum(r["dwc"], axis=0)
+    d_d = jnp.sum(r["dd"], axis=0)
+    d_lam = (jnp.sum(r["dlam_re"], axis=0), jnp.sum(r["dlam_im"], axis=0))
+    d_o2k = jnp.sum(r["do2k"], axis=0) if "do2k" in r else None
+    d_o2b = jnp.sum(r["do2b"], axis=0) if "do2b" in r else None
+    d_o1k = jnp.sum(r["do1k"], axis=0) if "do1k" in r else None
+    d_o1b = jnp.sum(r["do1b"], axis=0) if "do1b" in r else None
+    d_m1 = r.get("dm1")
+    d_m2 = r.get("dm2")
+    d_nw = jnp.sum(r["dnw"], axis=0) if affine else None
+    d_nb = jnp.sum(r["dnb"], axis=0) if affine else None
     if affine:
         return (g_x, None, d_lam, d_wb, d_wc, d_d,
                 d_o2k, d_o2b, d_o1k, d_o1b, d_m1, d_m2, d_nw, d_nb)

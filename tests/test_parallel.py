@@ -295,3 +295,51 @@ def test_fused_kernel_partitions_under_dp(rng):
     y_sharded = np.asarray(fwd(variables, x))
     y_plain = np.asarray(model.apply(variables, np.asarray(x)))
     np.testing.assert_allclose(y_sharded, y_plain, atol=1e-5)
+
+
+def test_tail_backward_partitions_under_dp(rng):
+    """The whole-layer BACKWARD kernel (fused_layer_bwd.py) emits
+    per-batch-row weight gradients and is batch-partitioned, so a
+    DP-sharded training gradient compiles WITHOUT all-gathering the
+    (B, L, H) streams around the custom call: the only collectives are
+    the small weight-grad reductions (psum of (H,2P)-scale partials) —
+    orders of magnitude below one stream's bytes."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sparsernns_tpu.models.seq_model import RegressionModel
+    from sparsernns_tpu.models.ssm import make_ssm_init_fn
+    from sparsernns_tpu.models.ssm_init import blocked_dplr_init
+    from sparsernns_tpu.parallel.comms import collective_bytes
+
+    mesh = make_mesh(MeshConfig(data=8, model=1, seq=1))
+    init = blocked_dplr_init(8, 1, conj_sym=True)
+    mixer = make_ssm_init_fn(h=8, p=init["P"], lambda_init=init["Lambda"],
+                             v=init["V"], vinv=init["Vinv"],
+                             clip_eigs=True, scan_mode="fused")
+    model = RegressionModel(mixer_cls=mixer, n_layers=1, d_model=8,
+                            d_output=33, dropout=0.0, prenorm=True,
+                            batchnorm=True, glu_variant="half1",
+                            training=True)
+    b, l, d_io = 8, 16, 33
+    x = jax.device_put(jnp.asarray(rng.randn(b, l, d_io), jnp.float32),
+                       NamedSharding(mesh, P(DATA_AXIS)))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    params, rest = variables["params"], {
+        k: v for k, v in variables.items() if k != "params"}
+
+    def loss(p, xi):
+        y, _ = model.apply({"params": p, **rest}, xi,
+                           mutable=["batch_stats"])
+        return jnp.sum(y ** 2)
+
+    gfn = jax.jit(jax.grad(loss))
+    acct = collective_bytes(gfn, params, x)
+    stream_bytes = b * l * 8 * 4
+    assert acct["total_bytes"] < stream_bytes, acct
+    # gradients match the unsharded run
+    g_sharded = gfn(params, x)
+    g_plain = jax.grad(loss)(params, np.asarray(x))
+    for a, bb in zip(jax.tree_util.tree_leaves(g_sharded),
+                     jax.tree_util.tree_leaves(g_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-4)
