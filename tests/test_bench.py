@@ -254,3 +254,22 @@ def test_custom_call_bytes_from_hlo():
              'custom_call_target="Sharding"')
     assert custom_call_bytes_from_hlo(other) == 0.0
     assert custom_call_bytes_from_hlo("%a = f32[4096]{0} add(%b, %c)") == 0.0
+
+
+def test_no_backend_summary_is_labelled_and_physical():
+    """If the transport never initializes, bench emits the analytic
+    roofline labelled backend-unavailable — never a hang, never an
+    impossible number."""
+    import bench
+    from sparsernns_tpu.utils.profiling import DEFAULT_PEAKS
+
+    s = bench._no_backend_summary("RuntimeError: tunnel hung")
+    assert s["measurement"] == "roofline-cost-model(backend-unavailable)"
+    assert not s["timing_valid"]
+    assert 0 < s["value"]
+    # at most the HBM bound of the network kernel's own bytes
+    peak_flops, hbm_bw = DEFAULT_PEAKS
+    b, l, d_io = 8, 3751, 257
+    hbm_bound = b * l / (2.0 * b * l * d_io * 4 / hbm_bw)
+    assert s["value"] <= hbm_bound
+    assert 0 < s["vs_baseline"] < 100
