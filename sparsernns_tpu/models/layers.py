@@ -152,14 +152,11 @@ class SequenceLayer(nn.Module):
             return jax.nn.relu(x)
         return jax.nn.gelu(x)
 
-    def _fused_tail(self, x):
-        """Whole-layer training fusion: when the configuration is
-        expressible by ops/pallas/fused_layer_train.py (float path,
-        prenorm, no top-k, fused-scan mixer), run norm in flax (BatchNorm
-        statistics must reduce over (B, L) and the mesh data axis) and
-        everything after it — mixer, GLU, dropout, residual, relufication
-        — as ONE Pallas kernel with a rematerializing custom VJP. Returns
-        the layer output, or None to take the unfused path."""
+    def _tail_ops(self):
+        """The whole-layer kernel's mixer operands when this layer's
+        configuration is expressible by ops/pallas/fused_layer_train.py,
+        else None. Shared eligibility source for the per-layer fast path
+        and the stack's padded-stream path (seq_model.py)."""
         cfg = self.q_config
         if (not self.prenorm or self.topk < 1.0 or cfg.static_quant
                 or cfg.any_quantized or self.fuse_batchnorm_linear
@@ -167,8 +164,27 @@ class SequenceLayer(nn.Module):
                 or self.is_mutable_collection("intermediates")):
             return None
         tail_ops = getattr(self.mixer, "layer_tail_operands", None)
-        ops = tail_ops() if tail_ops is not None else None
+        return tail_ops() if tail_ops is not None else None
+
+    def _fused_tail(self, x, padded_true_l=None):
+        """Whole-layer training fusion: when the configuration is
+        expressible by ops/pallas/fused_layer_train.py (float path,
+        prenorm, no top-k, fused-scan mixer), run norm in flax (BatchNorm
+        statistics must reduce over (B, L) and the mesh data axis) and
+        everything after it — mixer, GLU, dropout, residual, relufication
+        — as ONE Pallas kernel with the reverse-time adjoint kernel as
+        its VJP. Returns the layer output, or None to take the unfused
+        path.
+
+        ``padded_true_l``: the stream is ALREADY in the kernel geometry
+        (B, L_pad, H_pad) with exactly-zero pads and this is the true L —
+        no per-layer pad/slice, BatchNorm statistics from sums over the
+        padded stream (exact: pads are zero), output stays padded with
+        its pad rows re-zeroed in-kernel (seq_model.py stack path)."""
+        ops = self._tail_ops()
         if ops is None:
+            assert padded_true_l is None, (
+                "padded-stream mode requires the tail kernel")
             return None
         lam_bar, w_b, w_c, d, relu_state, block_t = ops
 
@@ -176,7 +192,7 @@ class SequenceLayer(nn.Module):
         m1 = m2 = None
         if self.dropout > 0.0 and self.training:
             keep = 1.0 - self.dropout
-            shape = (x.shape[0], 1, x.shape[-1])  # broadcast along time
+            shape = (x.shape[0], 1, self.d_model)  # broadcast along time
 
             def mask(rng):
                 return jax.random.bernoulli(
@@ -207,11 +223,33 @@ class SequenceLayer(nn.Module):
             # the running-stats update; its normalized output is unused
             # and DCE'd by XLA.
             nvar = self.norm.variables
-            h_dim = x.shape[-1]
+            h_dim = self.d_model
             params = nvar.get("params", {})
             p_scale = params.get("scale", jnp.ones((h_dim,), x.dtype))
             p_bias = params.get("bias", jnp.zeros((h_dim,), x.dtype))
-            if self.training:
+            if self.training and padded_true_l is not None:
+                # exact statistics from the padded stream: the pads are
+                # EXACTLY zero (kernel-maintained invariant), so sums are
+                # the true sums — only the divisor needs the true count.
+                denom = float(x.shape[0] * padded_true_l)
+                s1 = jnp.sum(x, axis=(0, 1))[:h_dim]
+                s2 = jnp.sum(jnp.square(x), axis=(0, 1))[:h_dim]
+                mean = s1 / denom
+                var = s2 / denom - mean * mean
+                # running-stats update (what self.norm(x) would do, with
+                # the masked statistics)
+                if self.norm.is_mutable_collection("batch_stats"):
+                    mom = self.bn_momentum
+                    ra_m = self.norm.get_variable("batch_stats", "mean")
+                    ra_v = self.norm.get_variable("batch_stats", "var")
+                    sg = jax.lax.stop_gradient
+                    self.norm.put_variable(
+                        "batch_stats", "mean",
+                        mom * ra_m + (1.0 - mom) * sg(mean))
+                    self.norm.put_variable(
+                        "batch_stats", "var",
+                        mom * ra_v + (1.0 - mom) * sg(var))
+            elif self.training:
                 mean = jnp.mean(x, axis=(0, 1))
                 var = jnp.mean(jnp.square(x), axis=(0, 1)) - mean * mean
                 self.norm(x)
@@ -222,16 +260,21 @@ class SequenceLayer(nn.Module):
             nb = p_bias - mean * nw
             z, skip = x, None
         else:
+            assert padded_true_l is None, (
+                "padded-stream mode requires BatchNorm (affine fold)")
             z, skip = self.norm(x), x
         return fused_layer_tail_diff(
             z, skip, lam_bar, w_b, w_c, d, o2k, o2b, o1k, o1b, m1, m2,
             nw, nb, block_t, "relu" if self.relufication else "gelu", glu,
-            relu_state, self.relufication)
+            relu_state, self.relufication, padded_true_l is not None,
+            padded_true_l)
 
-    def __call__(self, x):
-        fused = self._fused_tail(x)
+    def __call__(self, x, padded_true_l=None):
+        fused = self._fused_tail(x, padded_true_l)
         if fused is not None:
             return fused
+        assert padded_true_l is None, (
+            "padded-stream mode requires the tail kernel")
         skip = x
         self.sow("intermediates", "input", x)
 

@@ -128,6 +128,25 @@ class StackedEncoderModel(_Base):
         x = self.encoder(x)
         x = self.topk_op(x)
         self.sow("intermediates", "encoder_output", x)
+        # Padded-stream fast path: when every layer runs the whole-layer
+        # kernel (they share one config), pad the stream ONCE to the
+        # kernel geometry and keep it padded across the stack — no
+        # per-layer pad/slice round trips. The kernels re-zero the L-pad
+        # rows so BatchNorm statistics (computed from sums / true count)
+        # stay exact. Gated off under shard_map meshes (axis_name BN
+        # stats) — pjit shards the jnp sums itself.
+        if (self.batchnorm and self.prenorm and self.axis_name is None
+                and self.n_layers > 0
+                and self.layers[0]._tail_ops() is not None):
+            from sparsernns_tpu.ops.pallas.fused_layer_train import \
+                tail_geometry
+            block_t = self.layers[0]._tail_ops()[5]
+            b, l, h = x.shape
+            t, l_pad, h_pad = tail_geometry(l, h, block_t)
+            xp = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, h_pad - h)))
+            for layer in self.layers:
+                xp = layer(xp, padded_true_l=l)
+            return xp[:, :l, :h]
         for layer in self.layers:
             x = layer(x)
         return x

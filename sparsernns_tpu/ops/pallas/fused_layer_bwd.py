@@ -114,7 +114,8 @@ def _make_hist_kernel(affine: bool, *, num_passes: int, block_t: int):
 
 def _make_bwd_kernel(glu: str, act: str, with_m1: bool, with_m2: bool,
                      affine: bool, *, num_passes: int, block_t: int,
-                     relu_state: bool, layer_relu: bool):
+                     relu_state: bool, layer_relu: bool,
+                     true_l=None, n_t=None):
     from sparsernns_tpu.ops.pallas.fused_layer_train import _act_and_grad
 
     in_names = ["z", "g"] + ([] if affine else ["skip"])
@@ -167,6 +168,13 @@ def _make_bwd_kernel(glu: str, act: str, with_m1: bool, with_m2: bool,
             zn = x_raw
             skip = refs["skip"][0].astype(jnp.float32)
         g = refs["g"][0].astype(jnp.float32)
+        if true_l is not None:
+            # padded-stream mode: the forward zeroes the L-pad rows of
+            # its output, so its adjoint zeroes the incoming cotangent
+            # there (the logical time block is n_t-1-j — reverse grid)
+            rows = (jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
+                    + (n_t - 1 - j) * block_t)
+            g = jnp.where(rows < true_l, g, 0.0)
 
         bu = jnp.dot(zn, refs["wb"][...],
                      preferred_element_type=jnp.float32)
@@ -347,7 +355,9 @@ def _bwd_rule(in_order, out_names):
 def fused_tail_bwd(z, skip, lam: Pair, w_b, w_c, d,
                    o2k, o2b, o1k, o1b, m1, m2, nw, nb, g, *,
                    block_t: int, act: str, glu: str, relu_state: bool,
-                   layer_relu: bool, interpret: Optional[bool] = None):
+                   layer_relu: bool, pre_padded: bool = False,
+                   true_l: Optional[int] = None,
+                   interpret: Optional[bool] = None):
     """Kernel backward of fused_layer_tail. Returns the same gradient
     tuple as fused_layer_train._bwd: (g_z_or_x, g_skip, d_lam, d_w_b,
     d_w_c, d_d, d_o2k, d_o2b, d_o1k, d_o1b, d_m1, d_m2, d_nw, d_nb).
@@ -385,13 +395,21 @@ def fused_tail_bwd(z, skip, lam: Pair, w_b, w_c, d,
         zz, gg = a["z"], a["g"]
         b, l, h = zz.shape
         p = a["w_b"].shape[-1] // 2
-        t = min(block_t, _round_up(l, 8))
-        l_pad = _round_up(l, t)
-        h_pad = _round_up(h, 128)
+        if pre_padded:
+            h = a["w_b"].shape[0]
+            l_pad, h_pad = l, zz.shape[-1]
+            t = min(block_t, l_pad)
+            assert l_pad % t == 0 and h_pad % 128 == 0
+            zp, gp = zz, gg
+            pad3 = None
+        else:
+            t = min(block_t, _round_up(l, 8))
+            l_pad = _round_up(l, t)
+            h_pad = _round_up(h, 128)
+            pad3 = ((0, 0), (0, l_pad - l), (0, h_pad - h))
+            zp = jnp.pad(zz, pad3) if (l_pad != l or h_pad != h) else zz
+            gp = jnp.pad(gg, pad3) if (l_pad != l or h_pad != h) else gg
         n_t = l_pad // t
-        pad3 = ((0, 0), (0, l_pad - l), (0, h_pad - h))
-        zp = jnp.pad(zz, pad3) if (l_pad != l or h_pad != h) else zz
-        gp = jnp.pad(gg, pad3) if (l_pad != l or h_pad != h) else gg
 
         ops, p_pad, num_passes = pad_layer_ops(
             (a["lam_re"], a["lam_im"]), a["w_b"], a["w_c"], a["d"],
@@ -409,7 +427,7 @@ def fused_tail_bwd(z, skip, lam: Pair, w_b, w_c, d,
         operands = {"z": zp, "g": gp}
         if not affine:
             operands["skip"] = (jnp.pad(a["skip"], pad3)
-                                if (l_pad != l or h_pad != h)
+                                if pad3 and (l_pad != l or h_pad != h)
                                 else a["skip"])
         else:
             operands["nw"] = ops["nw"]
@@ -467,7 +485,8 @@ def fused_tail_bwd(z, skip, lam: Pair, w_b, w_c, d,
         # ---- the adjoint kernel (reverse time order) ----
         kernel, in_names, out_names = _make_bwd_kernel(
             glu, act, with_m1, with_m2, affine, num_passes=num_passes,
-            block_t=t, relu_state=relu_state, layer_relu=layer_relu)
+            block_t=t, relu_state=relu_state, layer_relu=layer_relu,
+            true_l=true_l if pre_padded else None, n_t=n_t)
 
         def in_spec(n):
             if n in ("z", "g", "skip"):
@@ -521,10 +540,16 @@ def fused_tail_bwd(z, skip, lam: Pair, w_b, w_c, d,
         )(*[operands[n] for n in in_names])
         r = dict(zip(out_names, res))
 
-        # ---- unpad to ORIGINAL dims (per batch row) inside the call ----
-        out = {"gx": r["gx"][:, :l, :h]}
-        if not affine:
-            out["gskip"] = r["gskip"][:, :l, :h]
+        # ---- unpad to ORIGINAL dims (per batch row) inside the call
+        # (stream cotangents stay padded in padded-stream mode) ----
+        if pre_padded:
+            out = {"gx": r["gx"]}
+            if not affine:
+                out["gskip"] = r["gskip"]
+        else:
+            out = {"gx": r["gx"][:, :l, :h]}
+            if not affine:
+                out["gskip"] = r["gskip"][:, :l, :h]
         out["dwb"] = jnp.concatenate(
             [r["dwb"][:, :h, :p], r["dwb"][:, :h, p_pad:p_pad + p]],
             axis=-1)

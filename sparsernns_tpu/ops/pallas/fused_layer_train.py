@@ -54,13 +54,21 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def tail_geometry(l: int, h: int, block_t: int):
+    """(t, l_pad, h_pad) kernel geometry for a (B, l, h) stream — the ONE
+    formula shared by the per-layer pads, the padded-stream stack path
+    (seq_model.py) and the backward kernel."""
+    t = min(block_t, _round_up(l, 8))
+    return t, _round_up(l, t), _round_up(h, 128)
+
+
 def _act(y, act: str):
     return jnp.maximum(y, 0.0) if act == "relu" else jax.nn.gelu(y)
 
 
 def _make_tail_kernel(glu: str, act: str, with_m1: bool, with_m2: bool,
                       affine: bool, *, num_passes: int, block_t: int,
-                      relu_state: bool, layer_relu: bool):
+                      relu_state: bool, layer_relu: bool, true_l=None):
     # ``affine``: the stream operand is the RAW layer input x, read once;
     # the norm is applied in-kernel as the per-feature affine (nw, nb)
     # computed outside from the batch statistics (BatchNorm folds to an
@@ -133,6 +141,13 @@ def _make_tail_kernel(glu: str, act: str, with_m1: bool, with_m2: bool,
         o = h + skip
         if layer_relu:
             o = jnp.maximum(o, 0.0)
+        if true_l is not None:
+            # padded-stream mode: keep the L-pad rows EXACTLY zero (the
+            # scan carry evolves through them, so untouched they would
+            # leak nonzero values into the next layer's BatchNorm sums)
+            rows = (jax.lax.broadcasted_iota(jnp.int32, o.shape, 0)
+                    + j * block_t)
+            o = jnp.where(rows < true_l, o, 0.0)
         out_ref[0] = o
 
     return kernel, names
@@ -140,7 +155,8 @@ def _make_tail_kernel(glu: str, act: str, with_m1: bool, with_m2: bool,
 
 @functools.partial(
     jax.jit, static_argnames=("block_t", "act", "glu", "relu_state",
-                              "layer_relu", "interpret"))
+                              "layer_relu", "pre_padded", "true_l",
+                              "interpret"))
 def fused_layer_tail(
     z: jax.Array,                 # (B, L, H): normed input, or the RAW
                                   # layer input when (nw, nb) are given
@@ -165,11 +181,19 @@ def fused_layer_tail(
     glu: str = "none",
     relu_state: bool = False,
     layer_relu: bool = False,
+    pre_padded: bool = False,
+    true_l: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """out = residual(skip, GLU(act(mixer(norm(x))))) in one kernel,
     (B, L, H). In affine mode (nw/nb given) the stream is read ONCE —
-    the norm affine and the residual both use the raw input in VMEM."""
+    the norm affine and the residual both use the raw input in VMEM.
+
+    ``pre_padded``: the stream already lives in the kernel geometry
+    (B, L_pad, H_pad) — no pad/slice round trip per layer; the output
+    stays padded and the kernel zeroes the L-pad rows (``true_l``) so
+    the padded-stream invariant holds across a layer stack
+    (seq_model.py padded-stream fast path)."""
     assert glu in GLU_KINDS, glu
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -195,14 +219,18 @@ def fused_layer_tail(
         eo1 = (next(it), next(it)) if glu == "full" else None
 
         b, l, h = z.shape
-        t = min(block_t, _round_up(l, 8))
-        l_pad = _round_up(l, t)
-        h_pad = _round_up(h, 128)
-        if l_pad != l or h_pad != h:
-            pad = ((0, 0), (0, l_pad - l), (0, h_pad - h))
-            z = jnp.pad(z, pad)
-            if skip is not None:
-                skip = jnp.pad(skip, pad)
+        if pre_padded:
+            h = w_b.shape[0]
+            l_pad, h_pad = l, z.shape[-1]
+            t = min(block_t, l_pad)
+            assert l_pad % t == 0 and h_pad % 128 == 0, (z.shape, block_t)
+        else:
+            t, l_pad, h_pad = tail_geometry(l, h, block_t)
+            if l_pad != l or h_pad != h:
+                pad = ((0, 0), (0, l_pad - l), (0, h_pad - h))
+                z = jnp.pad(z, pad)
+                if skip is not None:
+                    skip = jnp.pad(skip, pad)
         # pad_layer_ops packs weights/λ tables to the kernel geometry; its
         # norm slots carry the affine (identity placeholders when unused).
         ops, p_pad, num_passes = pad_layer_ops(
@@ -232,7 +260,8 @@ def fused_layer_tail(
 
         kernel, names = _make_tail_kernel(
             glu, act, with_m1, with_m2, affine, num_passes=num_passes,
-            block_t=t, relu_state=relu_state, layer_relu=layer_relu)
+            block_t=t, relu_state=relu_state, layer_relu=layer_relu,
+            true_l=true_l if pre_padded else None)
 
         io_block = pl.BlockSpec((1, t, h_pad), lambda i, j: (i, j, 0),
                                 memory_space=pltpu.VMEM)
@@ -258,7 +287,7 @@ def fused_layer_tail(
                             pltpu.VMEM((1, p_pad), jnp.float32)],
             interpret=interpret,
         )(*[operands[n] for n in names])
-        return out[:, :l, :h]
+        return out if pre_padded else out[:, :l, :h]
 
     from sparsernns_tpu.ops.pallas.fused_layer import _gen_rule
     from sparsernns_tpu.ops.pallas.partition import batch_partitioned
@@ -287,29 +316,33 @@ def fused_layer_tail(
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(14, 15, 16, 17, 18, 19, 20))
 def fused_layer_tail_diff(z, skip, lam: Pair, w_b, w_c, d,
                           o2k, o2b, o1k, o1b, m1, m2, nw, nb,
                           block_t: int = 256, act: str = "gelu",
                           glu: str = "none", relu_state: bool = False,
-                          layer_relu: bool = False):
+                          layer_relu: bool = False,
+                          pre_padded: bool = False,
+                          true_l: Optional[int] = None):
     """Differentiable whole-layer tail. Forward = one Pallas kernel that
-    saves only its inputs; backward rematerializes the chain. In affine
-    mode (nw/nb arrays, skip=None) gradients flow to nw/nb — and from
-    there through the caller's batch-statistics computation back to x,
-    so BatchNorm training gradients come out of plain autodiff."""
+    saves only its inputs; backward = the reverse-time adjoint kernel
+    (fused_layer_bwd.py; XLA remat under SPARSERNNS_XLA_TAIL_BWD=1). In
+    affine mode (nw/nb arrays, skip=None) gradients flow to nw/nb — and
+    from there through the caller's batch-statistics computation back to
+    x, so BatchNorm training gradients come out of plain autodiff."""
     return fused_layer_tail(
         z, skip, lam, w_b, w_c, d, o2k, o2b, o1k, o1b, m1, m2, nw, nb,
         block_t=block_t, act=act, glu=glu, relu_state=relu_state,
-        layer_relu=layer_relu)
+        layer_relu=layer_relu, pre_padded=pre_padded, true_l=true_l)
 
 
 def _fwd(z, skip, lam, w_b, w_c, d, o2k, o2b, o1k, o1b, m1, m2, nw, nb,
-         block_t, act, glu, relu_state, layer_relu):
+         block_t, act, glu, relu_state, layer_relu, pre_padded, true_l):
     out = fused_layer_tail(
         z, skip, lam, w_b, w_c, d, o2k, o2b, o1k, o1b, m1, m2, nw, nb,
         block_t=block_t, act=act, glu=glu, relu_state=relu_state,
-        layer_relu=layer_relu)
+        layer_relu=layer_relu, pre_padded=pre_padded, true_l=true_l)
     return out, (z, skip, lam, w_b, w_c, d, o2k, o2b, o1k, o1b, m1, m2,
                  nw, nb)
 
@@ -322,7 +355,8 @@ def _act_and_grad(y, act: str):
     return x1, vjp(jnp.ones_like(y))[0]
 
 
-def _bwd(block_t, act, glu, relu_state, layer_relu, res, g):
+def _bwd(block_t, act, glu, relu_state, layer_relu, pre_padded, true_l,
+         res, g):
     import os
 
     from sparsernns_tpu.ops.pallas.scan_kernel import pallas_diag_scan
@@ -337,7 +371,18 @@ def _bwd(block_t, act, glu, relu_state, layer_relu, res, g):
         return fused_tail_bwd(
             z, skip, lam, w_b, w_c, d, o2k, o2b, o1k, o1b, m1, m2, nw, nb,
             g, block_t=block_t, act=act, glu=glu, relu_state=relu_state,
-            layer_relu=layer_relu)
+            layer_relu=layer_relu, pre_padded=pre_padded, true_l=true_l)
+    pad_back = None
+    if pre_padded:
+        # XLA reference path on a padded stream: compute on the true
+        # window, zero-pad the stream cotangents back at the end.
+        h_true = w_b.shape[0]
+        lt = true_l if true_l is not None else z.shape[1]
+        pad_back = ((0, 0), (0, z.shape[1] - lt), (0, z.shape[2] - h_true))
+        z = z[:, :lt, :h_true]
+        if skip is not None:
+            skip = skip[:, :lt, :h_true]
+        g = g[:, :lt, :h_true]
     p = w_b.shape[-1] // 2
     axes = tuple(range(z.ndim - 1))
     affine = nw is not None
@@ -433,8 +478,13 @@ def _bwd(block_t, act, glu, relu_state, layer_relu, res, g):
         d_nw = jnp.sum(g_z * x_raw, axis=axes)
         d_nb = jnp.sum(g_z, axis=axes)
         g_x = g_z * nw + g_skip
+        if pad_back is not None:
+            g_x = jnp.pad(g_x, pad_back)
         return (g_x, None, d_lam, d_w_b, d_w_c, d_d,
                 d_o2k, d_o2b, d_o1k, d_o1b, d_m1, d_m2, d_nw, d_nb)
+    if pad_back is not None:
+        g_z = jnp.pad(g_z, pad_back)
+        g_skip = jnp.pad(g_skip, pad_back)
     return (g_z, g_skip, d_lam, d_w_b, d_w_c, d_d,
             d_o2k, d_o2b, d_o1k, d_o1b, d_m1, d_m2, None, None)
 

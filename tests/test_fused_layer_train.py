@@ -331,3 +331,56 @@ def test_kernel_bwd_affine_matches_xla(rng, monkeypatch):
             np.testing.assert_allclose(
                 np.asarray(leaf_a), np.asarray(leaf_b), rtol=2e-4,
                 atol=2e-4, err_msg=f"affine grad mismatch: {name}")
+
+
+def test_padded_stream_stack_matches_unfused(rng):
+    """The stack's padded-stream path (one pad, layers on the padded
+    stream, one slice) must match the unfused pallas path exactly-ish:
+    values, gradients AND the BatchNorm running statistics (updated
+    manually from masked sums in padded mode) — at an odd L that forces
+    nonempty pad rows through the in-kernel re-zeroing."""
+    import sparsernns_tpu.ops.pallas.fused_layer_train as flt
+
+    x = jnp.asarray(rng.randn(2, 37, 17), jnp.float32)
+    m_fused = _layer_model("fused", training=True)
+    m_ref = _layer_model("pallas", training=True)
+    variables = m_fused.init(jax.random.PRNGKey(0), x)
+
+    # engagement: the tail kernel must run in pre_padded mode
+    padded_calls = []
+    orig = flt.fused_layer_tail_diff
+    with mock.patch.object(
+            flt, "fused_layer_tail_diff",
+            side_effect=lambda *a, **k: padded_calls.append(
+                a[19] if len(a) > 19 else k.get("pre_padded"))
+            or orig(*a, **k)):
+        y_fused, upd_f = m_fused.apply(
+            variables, x, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(7)})
+    assert padded_calls == [True, True], padded_calls
+
+    y_ref, upd_r = m_ref.apply(variables, x, mutable=["batch_stats"],
+                               rngs={"dropout": jax.random.PRNGKey(7)})
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               atol=5e-3)
+    # running stats: the padded path updates them by hand (put_variable)
+    for a, b in zip(jax.tree_util.tree_leaves(upd_f),
+                    jax.tree_util.tree_leaves(upd_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    def loss(fn, params):
+        y, _ = fn.apply({"params": params,
+                         "batch_stats": variables["batch_stats"]},
+                        x, mutable=["batch_stats"],
+                        rngs={"dropout": jax.random.PRNGKey(7)})
+        return jnp.sum(jnp.sin(y))
+
+    gf = jax.grad(lambda p: loss(m_fused, p))(variables["params"])
+    gr = jax.grad(lambda p: loss(m_ref, p))(variables["params"])
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(gf),
+            jax.tree_util.tree_leaves_with_path(gr)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(ka)}")

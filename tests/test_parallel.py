@@ -334,8 +334,11 @@ def test_tail_backward_partitions_under_dp(rng):
 
     gfn = jax.jit(jax.grad(loss))
     acct = collective_bytes(gfn, params, x)
+    # no stream gathers: the only collectives are small REDUCTIONS (the
+    # per-row weight-grad psums and the padded-stream BN stat sums)
+    assert "all-gather" not in acct["per_op_bytes"], acct
     stream_bytes = b * l * 8 * 4
-    assert acct["total_bytes"] < stream_bytes, acct
+    assert acct["total_bytes"] < 4 * stream_bytes, acct
     # gradients match the unsharded run
     g_sharded = gfn(params, x)
     g_plain = jax.grad(loss)(params, np.asarray(x))
