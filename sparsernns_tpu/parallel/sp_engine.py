@@ -71,9 +71,22 @@ def make_dp_forward(engine: W8A16Engine, mesh: Mesh):
     return forward
 
 
+def _reject_mxu16(engine, what: str):
+    """The sp/tp serving paths run the per-op float-dot layer body — they
+    have no hooks for the mxu16 mode's quant_ut/quant_xt/requant chain,
+    so serving a mxu16 engine through them would silently diverge from
+    the single-chip forward. (DP wraps engine._apply and supports it.)"""
+    m = getattr(engine, "mxu16", None)
+    if m and (m.get("mixer") or m.get("state") or m.get("requants")):
+        raise NotImplementedError(
+            f"{what} does not support the mxu16 engine mode — build the "
+            "engine with mxu16=False, or use make_dp_forward")
+
+
 def make_sp_forward(engine: W8A16Engine, mesh: Mesh):
     """Sequence-parallel engine.__call__ over ``mesh``. L must be
     divisible by mesh.shape[SEQ_AXIS]."""
+    _reject_mxu16(engine, "make_sp_forward")
     cfg = engine.cfg
 
     def _chunk_forward(x_local):
@@ -104,6 +117,7 @@ def make_sp_forward(engine: W8A16Engine, mesh: Mesh):
 def make_tp_forward(engine: W8A16Engine, mesh: Mesh):
     """Tensor-parallel engine forward: the SSM state dim P sharded over the
     MODEL axis."""
+    _reject_mxu16(engine, "make_tp_forward")
     cfg = engine.cfg
 
     def _chunk_forward(x, *layer_shards):

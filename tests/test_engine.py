@@ -540,3 +540,31 @@ def test_engine_mxu16_streaming_chunks(pipeline):  # noqa: F811
     y_chunked = np.concatenate(outs, axis=1)
     denom = max(np.abs(y_whole).max(), 1.0)
     assert np.abs(y_chunked - y_whole).max() / denom < 1e-5
+
+
+def test_engine_mxu16_parallel_paths(pipeline):  # noqa: F811
+    """sp/tp serving paths have no mxu16 hooks — they must REFUSE a
+    mxu16 engine instead of silently serving different numerics; the DP
+    path wraps engine._apply and must match it exactly."""
+    import pytest as _pytest
+
+    from sparsernns_tpu.parallel.mesh import MeshConfig, make_mesh
+    from sparsernns_tpu.parallel.sp_engine import (make_dp_forward,
+                                                   make_sp_forward,
+                                                   make_tp_forward)
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True)
+    engine = W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                         act_dtype=jnp.float32, block_t=8, mxu16=True)
+    mesh = make_mesh(MeshConfig(data=8, model=1, seq=1))
+    with _pytest.raises(NotImplementedError, match="mxu16"):
+        make_sp_forward(engine, mesh)
+    with _pytest.raises(NotImplementedError, match="mxu16"):
+        make_tp_forward(engine, mesh)
+    x8 = jnp.concatenate([x + 0.01 * i for i in range(4)], axis=0)
+    y_dp = np.asarray(make_dp_forward(engine, mesh)(x8))
+    np.testing.assert_array_equal(y_dp, np.asarray(engine(x8)))
