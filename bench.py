@@ -58,6 +58,7 @@ import signal
 import subprocess
 import sys
 import time
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -661,16 +662,40 @@ def _no_backend_summary(reason: str) -> dict:
     }
 
 
+def _probe_backend(timeout_s: float) -> Optional[str]:
+    """Initialize the backend in a THROWAWAY SUBPROCESS first: a hang
+    inside the transport's C client-creation never returns to Python, so
+    an in-process SIGALRM cannot interrupt it — but a subprocess can be
+    killed on timeout. Returns None when the backend is usable, else a
+    reason string."""
+    if os.environ.get("BENCH_WORKER") == "1":
+        return None  # the parent already probed
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return f"backend init hung > {timeout_s:.0f}s (subprocess probe)"
+    if r.returncode != 0:
+        return (r.stderr or "backend init failed").strip()[-200:]
+    return None
+
+
 def main():
     from sparsernns_tpu.utils.profiling import chip_peaks
+    reason = _probe_backend(BACKEND_INIT_TIMEOUT_S)
+    if reason is not None:
+        _log(f"backend unusable: {reason}")
+        print(json.dumps(_no_backend_summary(reason)))
+        return 0
     try:
+        # belt-and-braces: the probe succeeded, but guard the parent's
+        # own init too (KeyboardInterrupt/SystemExit propagate).
         with _alarm(BACKEND_INIT_TIMEOUT_S):
             peaks = chip_peaks()
             backend = jax.default_backend()
             kind = jax.devices()[0].device_kind
-    except BaseException as e:  # noqa: BLE001 — hung transports raise
-        # _BenchTimeout; broken ones raise RuntimeError. Either way emit
-        # an honest, labelled line instead of hanging the round driver.
+    except Exception as e:
         _log(f"backend initialization failed/hung: {e!r}")
         print(json.dumps(_no_backend_summary(repr(e))))
         return 0

@@ -135,12 +135,14 @@ class StackedEncoderModel(_Base):
         # rows so BatchNorm statistics (computed from sums / true count)
         # stay exact. Gated off under shard_map meshes (axis_name BN
         # stats) — pjit shards the jnp sums itself.
-        if (self.batchnorm and self.prenorm and self.axis_name is None
-                and self.n_layers > 0
-                and self.layers[0]._tail_ops() is not None):
+        tail_ops = (self.layers[0]._tail_ops()
+                    if (self.batchnorm and self.prenorm
+                        and self.axis_name is None and self.n_layers > 0)
+                    else None)
+        if tail_ops is not None:
             from sparsernns_tpu.ops.pallas.fused_layer_train import \
                 tail_geometry
-            block_t = self.layers[0]._tail_ops()[5]
+            block_t = tail_ops[5]
             b, l, h = x.shape
             t, l_pad, h_pad = tail_geometry(l, h, block_t)
             xp = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, h_pad - h)))

@@ -403,9 +403,9 @@ def fused_tail_bwd(z, skip, lam: Pair, w_b, w_c, d,
             zp, gp = zz, gg
             pad3 = None
         else:
-            t = min(block_t, _round_up(l, 8))
-            l_pad = _round_up(l, t)
-            h_pad = _round_up(h, 128)
+            from sparsernns_tpu.ops.pallas.fused_layer_train import \
+                tail_geometry
+            t, l_pad, h_pad = tail_geometry(l, h, block_t)
             pad3 = ((0, 0), (0, l_pad - l), (0, h_pad - h))
             zp = jnp.pad(zz, pad3) if (l_pad != l or h_pad != h) else zz
             gp = jnp.pad(gg, pad3) if (l_pad != l or h_pad != h) else gg

@@ -26,8 +26,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from sparsernns_tpu.ops.scan import associative_diag_scan
 from sparsernns_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS
 from sparsernns_tpu.parallel.seqscan import seq_chunk_scan
-from sparsernns_tpu.quantize.engine import (W8A16Engine, _deq, engine_encode,
+from sparsernns_tpu.quantize.engine import (W8A16Engine, engine_encode,
                                             engine_layer_forward,
+                                            quantized_dense,
                                             state_activation)
 
 
@@ -72,10 +73,14 @@ def make_dp_forward(engine: W8A16Engine, mesh: Mesh):
 
 
 def _reject_mxu16(engine, what: str):
-    """The sp/tp serving paths run the per-op float-dot layer body — they
-    have no hooks for the mxu16 mode's quant_ut/quant_xt/requant chain,
-    so serving a mxu16 engine through them would silently diverge from
-    the single-chip forward. (DP wraps engine._apply and supports it.)"""
+    """The sp/tp serving paths run the per-op float-dot MIXER body — they
+    have no hooks for the mxu16 mode's quant_ut/quant_xt/but/yt requant
+    chain, so serving such an engine through them would silently diverge
+    from the single-chip forward. The DENSE sites are faithful here
+    (engine_encode / the decoder quantized_dense / engine_layer_forward's
+    GLU dots all consume the engine's frozen in_scales — so plain w8a8
+    engines serve identically); DP wraps engine._apply and supports
+    everything."""
     m = getattr(engine, "mxu16", None)
     if m and (m.get("mixer") or m.get("state") or m.get("requants")):
         raise NotImplementedError(
@@ -91,7 +96,7 @@ def make_sp_forward(engine: W8A16Engine, mesh: Mesh):
 
     def _chunk_forward(x_local):
         h = engine_encode(cfg, engine.encoder_kernel, engine.encoder_bias,
-                          x_local)
+                          x_local, in_scale=engine.encoder_in_scale)
         for layer in engine.layers:
             def mixer(z, layer=layer):
                 z = z.astype(jnp.float32)
@@ -106,7 +111,9 @@ def make_sp_forward(engine: W8A16Engine, mesh: Mesh):
 
             h = engine_layer_forward(cfg, layer, h, mixer,
                                      act_dtype=engine.act_dtype)
-        return h @ _deq(engine.decoder_kernel) + engine.decoder_bias
+        return quantized_dense(h, engine.decoder_kernel,
+                               engine.decoder_bias,
+                               engine.decoder_in_scale)
 
     spec = P(None, SEQ_AXIS, None)
     sharded = jax.shard_map(_chunk_forward, mesh=mesh,
@@ -122,7 +129,8 @@ def make_tp_forward(engine: W8A16Engine, mesh: Mesh):
 
     def _chunk_forward(x, *layer_shards):
         # layer_shards: per-layer (lam_re, lam_im, w_b_shard, w_c_shard)
-        h = engine_encode(cfg, engine.encoder_kernel, engine.encoder_bias, x)
+        h = engine_encode(cfg, engine.encoder_kernel, engine.encoder_bias,
+                          x, in_scale=engine.encoder_in_scale)
         for layer, shard in zip(engine.layers, layer_shards):
             lam_re, lam_im, w_b_s, w_c_s = shard
 
@@ -139,7 +147,9 @@ def make_tp_forward(engine: W8A16Engine, mesh: Mesh):
 
             h = engine_layer_forward(cfg, layer, h, mixer,
                                      act_dtype=engine.act_dtype)
-        return h @ _deq(engine.decoder_kernel) + engine.decoder_bias
+        return quantized_dense(h, engine.decoder_kernel,
+                               engine.decoder_bias,
+                               engine.decoder_in_scale)
 
     # Pre-split each layer's P-dim operands into shard-layout arrays
     # (dequantized: TP shards the float operands — the int8 packing is a

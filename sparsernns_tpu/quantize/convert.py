@@ -197,7 +197,7 @@ def convert(cfg: RunConfig) -> Dict[str, Any]:
                 clip_eigs=cfg.clip_eigs, conj_sym=cfg.conj_sym,
                 discretization=cfg.discretization,
                 topk=cfg.topk, approx_topk=cfg.approx_topk),
-            block_t=cfg.block_t)
+            block_t=cfg.block_t, mxu16=cfg.engine_mxu16)
         losses, snrs = [], []
         from sparsernns_tpu.train.losses import ndns_loss_from_mask
         for noisy, clean in valloader:

@@ -672,7 +672,9 @@ class W8A16Engine:
             clip_eigs=cfg.clip_eigs, conj_sym=cfg.conj_sym,
             discretization=cfg.discretization,
             topk=cfg.topk, approx_topk=cfg.approx_topk)
-        return W8A16Engine(params, stats, q_config, model_cfg)
+        return W8A16Engine(params, stats, q_config, model_cfg,
+                           block_t=cfg.block_t,
+                           mxu16=getattr(cfg, "engine_mxu16", False))
 
     @staticmethod
     def _int8_dense_ok(w, in_scale) -> bool:

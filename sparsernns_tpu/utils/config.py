@@ -102,6 +102,10 @@ class RunConfig:
     calibrate_quant: bool = True
     validate_static_quant: bool = True
     validate_engine: bool = True
+    # serving engine: run every w8a16/w8a8 dot on the MXU int8 path via
+    # the exact two-plane code decomposition (ops/intdot.py) with the
+    # static path's full requant chain applied in-kernel
+    engine_mxu16: bool = False
     train_static_quant: bool = False
     qaft_epochs: int = 10
 
