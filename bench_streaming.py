@@ -63,14 +63,18 @@ def _percentile(durs, q):
 
 
 def measure_chunk(chunk_frames: int, batch: int = BATCH, d_io: int = 257,
-                  iters: int = 20, use_profiler=None) -> dict:
-    """Latency record for one chunk size. Carries chain the iterations."""
+                  iters: int = 20, use_profiler=None,
+                  mxu16: bool = False) -> dict:
+    """Latency record for one chunk size. Carries chain the iterations.
+    ``mxu16``: the exact int8-MXU serving mode (two-plane dots) — the
+    compute-bound variant whose dots run ~4x the f32 rate."""
     from sparsernns_tpu.utils.profiling import chip_peaks
 
     if use_profiler is None:
         use_profiler = os.environ.get("BENCH_WORKER") == "1"
     peaks = chip_peaks()
-    engine, variables, _ = bench._build_engine(batch, chunk_frames, d_io)
+    engine, variables, _ = bench._build_engine(batch, chunk_frames, d_io,
+                                               mxu16=mxu16)
     x = jnp.asarray(
         np.random.RandomState(0).randn(batch, chunk_frames, d_io)
         .astype(np.float32) * 0.02)
@@ -109,6 +113,7 @@ def measure_chunk(chunk_frames: int, batch: int = BATCH, d_io: int = 257,
     chunk_s = chunk_frames * FRAME_MS / 1e3
     rec = {
         "chunk_frames": chunk_frames,
+        "mxu16": mxu16,
         "chunk_ms": chunk_frames * FRAME_MS,
         "batch": batch,
         "p50_ms": p50 * 1e3,
@@ -123,7 +128,8 @@ def measure_chunk(chunk_frames: int, batch: int = BATCH, d_io: int = 257,
         "valid": (source != "wall-clock-unsynced"
                   and p50 >= SOL_MARGIN * sol_t),
     }
-    print(f"[stream] chunk={chunk_frames}f ({rec['chunk_ms']:.0f}ms) "
+    print(f"[stream] chunk={chunk_frames}f{' mxu16' if mxu16 else ''} "
+          f"({rec['chunk_ms']:.0f}ms) "
           f"p50={rec['p50_ms']:.3f}ms p99={rec['p99_ms']:.3f}ms "
           f"sol={rec['sol_ms']:.3f}ms rtf/stream={rec['rtf_per_stream']:.1f} "
           f"({source}, valid={rec['valid']})", file=sys.stderr)
@@ -132,11 +138,17 @@ def measure_chunk(chunk_frames: int, batch: int = BATCH, d_io: int = 257,
 
 def run_all(chunks=CHUNK_FRAMES, canary=True) -> list:
     recs = []
-    todo = list(chunks) + ([CANARY_FRAMES] if canary else [])
-    for cf in todo:
+    todo = [(cf, False) for cf in chunks]
+    # one mxu16 latency point at the middle chunk size (the int-dot
+    # serving mode; full sweep would double the run for little signal)
+    if len(chunks) >= 2:
+        todo.append((chunks[1], True))
+    if canary:
+        todo.append((CANARY_FRAMES, False))
+    for cf, mxu16 in todo:
         try:
             with bench._alarm(bench.BENCH_MODE_TIMEOUT_S):
-                rec = measure_chunk(cf)
+                rec = measure_chunk(cf, mxu16=mxu16)
                 rec["canary"] = cf == CANARY_FRAMES and cf not in chunks
                 recs.append(rec)
         except Exception as e:  # noqa: BLE001 - keep per-chunk robustness
