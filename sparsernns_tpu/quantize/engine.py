@@ -683,6 +683,55 @@ class W8A16Engine:
         return (isinstance(w, QWeight) and w.scale is not None
                 and w.data.dtype == jnp.int8 and in_scale is not None)
 
+    @staticmethod
+    def _vmem_budget() -> int:
+        """Per-kernel VMEM residency budget (bytes). ~16 MiB/core on
+        current TPUs; default to 12 MiB so the estimate's slack stays on
+        the safe side. Override: SPARSERNNS_VMEM_BUDGET_MB."""
+        import os
+        return int(os.environ.get("SPARSERNNS_VMEM_BUDGET_MB", "12")) << 20
+
+    def _route_vmem_estimates(self) -> Tuple[int, int]:
+        """(stack, network) rough per-kernel VMEM residency in bytes:
+        padded weight/λ-table operands plus a stream working set. The
+        whole-NETWORK kernel keeps EVERY layer's operands resident, so at
+        dim_scale >= ~4 it stops fitting a ~16 MiB VMEM — these
+        estimates let the eligibility checks refuse a kernel that would
+        fail (or thrash) at Mosaic compile time instead of crashing, and
+        fall back network -> stack -> per-op. Deliberately conservative
+        (live-block count rounded up)."""
+        cfg = self.cfg
+        h_pad = -(-cfg.d_model // 128) * 128
+        t = self.block_t
+
+        def _isz(a):
+            return jnp.dtype(a.data.dtype if isinstance(a, QWeight)
+                             else a.dtype).itemsize
+
+        per_layer = []
+        ws = 0
+        for lp in self.layers:
+            p_pad = -(-(lp.w_b.shape[-1] // 2) // 128) * 128
+            b = 2 * h_pad * 2 * p_pad * _isz(lp.w_b)        # wb + wc
+            b += 2 * t * p_pad * 4 + 2 * 16 * p_pad * 4      # ctab + pow
+            b += 4 * h_pad * 4                               # d/nw/nb/bias
+            for k in (lp.out2_kernel, lp.out1_kernel):
+                if isinstance(k, QWeight) or (k is not None
+                                              and hasattr(k, "dtype")):
+                    b += h_pad * h_pad * _isz(k) + h_pad * 4
+            per_layer.append(b)
+            # live f32 stream blocks + state-width intermediates
+            ws = max(ws, 8 * t * h_pad * 4 + 4 * t * 2 * p_pad * 4)
+        enc_dec = 0
+        for w in (self.encoder_kernel, self.decoder_kernel):
+            if isinstance(w, QWeight):
+                enc_dec += w.data.size * _isz(w)
+            elif hasattr(w, "size"):
+                enc_dec += w.size * 4
+        stack = (max(per_layer) if per_layer else 0) + ws
+        network = sum(per_layer) + enc_dec + ws
+        return stack, network
+
     def _fused_stack_eligible(self) -> bool:
         """The whole-layer kernel covers: no model-dim top-k, dense (non
         block-sparse) GLU kernels — float/bf16-activation dots OR the
@@ -706,7 +755,7 @@ class W8A16Engine:
             if (lp.residual_requant is not None
                     and lp.residual_requant[1] > 16):
                 return False
-        return True
+        return self._route_vmem_estimates()[0] <= self._vmem_budget()
 
     def _fused_network_eligible(self) -> bool:
         """Whole-network fusion additionally needs plain (QWeight / f32)
@@ -722,7 +771,7 @@ class W8A16Engine:
                 return False
             if s is not None and not self._int8_dense_ok(w, s):
                 return False
-        return True
+        return self._route_vmem_estimates()[1] <= self._vmem_budget()
 
     @staticmethod
     def _layer_kernel_args(layer: "_LayerPack", glu: str):

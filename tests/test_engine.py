@@ -568,3 +568,36 @@ def test_engine_mxu16_parallel_paths(pipeline):  # noqa: F811
     x8 = jnp.concatenate([x + 0.01 * i for i in range(4)], axis=0)
     y_dp = np.asarray(make_dp_forward(engine, mesh)(x8))
     np.testing.assert_array_equal(y_dp, np.asarray(engine(x8)))
+
+
+def test_vmem_budget_demotes_routes(pipeline, monkeypatch):  # noqa: F811
+    """The fused routes estimate their VMEM residency and refuse kernels
+    that would not fit (~16 MiB/core): a tiny budget must demote
+    network -> stack -> per-op, with the per-op forward still correct —
+    the failure mode this guards is a Mosaic compile crash at
+    dim_scale >= ~4, where the whole-network kernel's resident operands
+    outgrow VMEM."""
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True)
+
+    def eng():
+        return W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                           act_dtype=jnp.float32, block_t=8)
+
+    e_full = eng()
+    assert e_full._stack_ok and e_full._network_ok
+    stack_b, net_b = e_full._route_vmem_estimates()
+    assert 0 < stack_b <= net_b < e_full._vmem_budget()
+    y_full = np.asarray(e_full(x))
+
+    monkeypatch.setenv("SPARSERNNS_VMEM_BUDGET_MB", "0")
+    e_none = eng()
+    assert not e_none._stack_ok and not e_none._network_ok
+    # mxu16 would be demoted too on the per-op route
+    y_none = np.asarray(e_none(x))
+    denom = max(np.abs(y_full).max(), 1.0)
+    assert np.abs(y_none - y_full).max() / denom < 5e-6
