@@ -191,16 +191,14 @@ class SequenceLayer(nn.Module):
         glu = self.glu_variant
         m1 = m2 = None
         if self.dropout > 0.0 and self.training:
-            keep = 1.0 - self.dropout
-            shape = (x.shape[0], 1, self.d_model)  # broadcast along time
-
-            def mask(rng):
-                return jax.random.bernoulli(
-                    rng, keep, shape).astype(x.dtype) / keep
-
-            m1 = mask(self.make_rng("dropout"))
+            # Extract the masks FROM self.drop (applied to ones): the
+            # same rng stream, fold order, and mask distribution as the
+            # unfused path — fused and unfused training see identical
+            # dropout draws for a given step rng.
+            ones = jnp.ones((x.shape[0], 1, self.d_model), x.dtype)
+            m1 = self.drop(ones)
             if glu != "none":
-                m2 = mask(self.make_rng("dropout"))
+                m2 = self.drop(ones)
 
         o2k = o2b = o1k = o1b = None
         if glu in ("full", "half1", "half2"):

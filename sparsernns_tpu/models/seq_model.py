@@ -135,9 +135,12 @@ class StackedEncoderModel(_Base):
         # rows so BatchNorm statistics (computed from sums / true count)
         # stay exact. Gated off under shard_map meshes (axis_name BN
         # stats) — pjit shards the jnp sums itself.
+        import os
         tail_ops = (self.layers[0]._tail_ops()
                     if (self.batchnorm and self.prenorm
-                        and self.axis_name is None and self.n_layers > 0)
+                        and self.axis_name is None and self.n_layers > 0
+                        and os.environ.get(
+                            "SPARSERNNS_NO_PADDED_STREAM") != "1")
                     else None)
         if tail_ops is not None:
             from sparsernns_tpu.ops.pallas.fused_layer_train import \

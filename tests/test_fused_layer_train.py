@@ -265,14 +265,15 @@ def test_train_step_through_fused_tail(rng):
         clean = jnp.asarray(rng.randn(2, 15 * 128), jnp.float32)
         step = make_ndns_train_step(model, batchnorm=True)
         losses = []
-        for i in range(3):
+        for i in range(8):
             state, m = step(state, jax.random.PRNGKey(0), noisy_mag,
                             jnp.zeros_like(noisy_mag), noisy_mag * 0.9,
                             clean)
             losses.append(float(m["loss"]))
     assert calls  # kernel path engaged inside the jitted step trace
     assert np.isfinite(losses).all()
-    assert losses[-1] < losses[0]
+    # trend over several steps (single-step deltas are dropout-noisy)
+    assert np.mean(losses[-2:]) < losses[0]
 
 
 @pytest.mark.parametrize("glu", ["none", "half1", "half2", "full"])
