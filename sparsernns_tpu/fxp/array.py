@@ -310,6 +310,33 @@ def fxp_relu(x: Union[FxpArray, ComplexFxpArray]):
     return FxpArray(jnp.maximum(x.data, 0), x.bits, x.exp, x.signed)
 
 
+def fxp_top_k(x: Union[FxpArray, ComplexFxpArray], k: int):
+    """Keep the (approximately) k largest entries along the last axis,
+    zero the rest — the integer analog of ops/topk.top_k_sparsity.
+
+    Selection parity with the float path: the integer codes are a
+    positive pow2 scaling of the float values the quantized model
+    thresholds, so `approx_max_k` over the codes picks the same entries;
+    the keep/zero compare itself runs on the integer codes (hardware: a
+    compare against the k-th-max code). Codes at bits <= 24 cast to f32
+    exactly. Complex applies per component (matching the model's
+    per-component relu_top_k on states, models/ssm.py:299-303)."""
+    if isinstance(x, ComplexFxpArray):
+        return ComplexFxpArray(real=fxp_top_k(x.real, k),
+                               imag=fxp_top_k(x.imag, k))
+    if k >= x.data.shape[-1]:
+        return x
+    top_vals, _ = jax.lax.approx_max_k(x.data.astype(jnp.float32), k)
+    thr = top_vals[..., -1:].astype(x.data.dtype)
+    keep = jnp.where(x.data >= thr, x.data, jnp.zeros_like(x.data))
+    return FxpArray(keep, x.bits, x.exp, x.signed)
+
+
+def fxp_relu_top_k(x: Union[FxpArray, ComplexFxpArray], k: int):
+    """relu(top_k(x)) — the integer ops/topk.relu_top_k_sparsity."""
+    return fxp_relu(fxp_top_k(x, k))
+
+
 def fxp_mean(x: FxpArray, axis: int = 0,
              round_mode: RoundingMode = RoundingMode.ROUND) -> FxpArray:
     """Mean via multiply by fxp(1/n) (reference fxparray.py:681-695)."""

@@ -165,11 +165,10 @@ def build_fxp_model(
     if model_cfg is None:
         model_cfg = FxpModelConfig.infer(params, **cfg_overrides)
     cfg = model_cfg
-    if cfg.topk < 1.0:
-        raise NotImplementedError(
-            "top-k activation sparsity is not implemented in the fxp "
-            "integer engine (serve topk models with the W8A16Engine, "
-            "which applies it)")
+    if cfg.topk < 1.0 and not cfg.approx_topk:
+        # mirrors the flax model: only the approx_max_k top-k exists
+        # (layers._glu_act raises the same way)
+        raise NotImplementedError("exact top-k not implemented")
     act_bits = q_config.non_ssm_act_precision or 16
     ssm_act_bits = q_config.ssm_act_precision or 16
     w_bits = q_config.non_ssm_precision or 8
@@ -282,7 +281,7 @@ def build_fxp_model(
         # mixer's behavior — distinct from the layer's post-SSM relu.
         ssm = FxpSSM(lam_bar, b_bar, c_tilde, d, specs,
                      conj_sym=cfg.conj_sym,
-                     relufication=cfg.relufication)
+                     relufication=cfg.relufication, topk=cfg.topk)
 
         out2 = out1 = None
         if cfg.glu_variant in ("full", "half1", "half2"):
@@ -318,7 +317,7 @@ def build_fxp_model(
             ssm=ssm, norm=norm, out2=out2, out1=out1,
             glu_variant=cfg.glu_variant, act_spec=layer_act_spec,
             relufication=cfg.relufication, prenorm=cfg.prenorm,
-            mult_specs=mult_specs))
+            mult_specs=mult_specs, topk=cfg.topk))
 
     dec_in = ov.get("dec_in") or _act_spec(
         params, batch_stats, ("decoder", "quant_input"),
@@ -332,7 +331,8 @@ def build_fxp_model(
         dec_in, w_bits, dec_out)
 
     encoder = FxpStackedEncoder(encoder_dense, layers,
-                                relufication=cfg.relufication)
+                                relufication=cfg.relufication,
+                                topk=cfg.topk)
     if cfg.task == "classification":
         return FxpClassificationModel(encoder, decoder, in_spec)
     return FxpRegressionModel(encoder, decoder, in_spec)

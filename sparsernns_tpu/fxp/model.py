@@ -28,7 +28,8 @@ import numpy as np
 from sparsernns_tpu.fxp.array import (ComplexFxpArray, FxpArray, RoundingMode,
                                       fxp_add, fxp_change_cfg, fxp_from_fp,
                                       fxp_matmul, fxp_mul, fxp_relu,
-                                      fxp_rshift_round)
+                                      fxp_relu_top_k, fxp_rshift_round,
+                                      fxp_top_k)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -273,11 +274,13 @@ class FxpSSM(FxpModule):
                  c_tilde: Tuple[np.ndarray, np.ndarray],
                  d: np.ndarray, specs: FxpSSMSpecs, conj_sym: bool = True,
                  relufication: bool = False,
-                 d_bias: Optional[np.ndarray] = None):
+                 d_bias: Optional[np.ndarray] = None,
+                 topk: float = 1.0):
         super().__init__()
         self.specs = specs
         self.conj_sym = conj_sym
         self.relufication = relufication
+        self.topk = topk
         self.a = ComplexFxpArray(
             real=specs.a[0].quantize(jnp.asarray(lam_bar[0])),
             imag=specs.a[1].quantize(jnp.asarray(lam_bar[1])))
@@ -363,7 +366,14 @@ class FxpSSM(FxpModule):
             FxpArray(xs_r, sp.x[0].bits, x_re_exp),
             FxpArray(xs_i, sp.x[1].bits, x_im_exp))
         if self.relufication:
-            xs = fxp_relu(xs)
+            if self.topk < 1.0:
+                # per-component relu_top_k on the states, matching the
+                # float path (models/ssm.py:299-303 / engine
+                # state_activation)
+                k = int(self.topk * xs.real.data.shape[-1])
+                xs = fxp_relu_top_k(xs, k)
+            else:
+                xs = fxp_relu(xs)
         # sown post-relufication: matches the flax model's pre_C sow
         self.sow("states", xs)
 
@@ -395,7 +405,8 @@ class FxpSequenceLayer(FxpModule):
                  out2: Optional[FxpDense], out1: Optional[FxpDense],
                  glu_variant: str, act_spec: FxpSpec,
                  relufication: bool = True, prenorm: bool = True,
-                 mult_specs: Optional[Tuple[FxpSpec, FxpSpec]] = None):
+                 mult_specs: Optional[Tuple[FxpSpec, FxpSpec]] = None,
+                 topk: float = 1.0):
         super().__init__()
         self.ssm = ssm
         self.norm = norm
@@ -405,6 +416,7 @@ class FxpSequenceLayer(FxpModule):
         self.act_spec = act_spec
         self.relufication = relufication
         self.prenorm = prenorm
+        self.topk = topk
         # Calibrated formats for the GLU multiply's operands: the static
         # path's QuantizedMultiply quantizes BOTH operands on frozen
         # per-tensor grids (quant_left/quant_right) — including the CLIP
@@ -427,7 +439,14 @@ class FxpSequenceLayer(FxpModule):
             x = skip
         y, _ = self.ssm(x)
 
-        x1 = fxp_relu(y) if self.relufication else y
+        if self.relufication and self.topk < 1.0:
+            # relu_top_k on the GLU input, matching layers._glu_act /
+            # engine_layer_forward's x1 site
+            x1 = fxp_relu_top_k(y, int(self.topk * y.data.shape[-1]))
+        elif self.relufication:
+            x1 = fxp_relu(y)
+        else:
+            x1 = y
         self.sow("pre_GLU", x1)
 
         def mult(left, g):
@@ -453,6 +472,10 @@ class FxpSequenceLayer(FxpModule):
             x = self.norm(x)
         if self.relufication:
             x = fxp_relu(x)
+        if self.topk < 1.0:
+            # layer-output top_k (post-relu, pre-requant) — matching
+            # layers.py's residual-tail site / engine_layer_forward
+            x = fxp_top_k(x, int(self.topk * x.data.shape[-1]))
         x = self.act_spec.cast(x)
         self.sow("output", x)
         return x
@@ -463,15 +486,20 @@ class FxpStackedEncoder(FxpModule):
     Reference: FxpStackedEncoderModel fxpmodel.py:1210-1289."""
 
     def __init__(self, encoder: FxpDense, layers: List[FxpSequenceLayer],
-                 relufication: bool = True):
+                 relufication: bool = True, topk: float = 1.0):
         super().__init__()
         self.encoder = encoder
         self.layers = layers
         self.relufication = relufication
+        self.topk = topk
 
     def __call__(self, x: FxpArray) -> FxpArray:
         x = self.encoder(x)
-        if self.relufication:
+        if self.topk < 1.0:
+            # top-k implies relu at the encoder output (seq_model.py's
+            # topk_op / engine_encode)
+            x = fxp_relu_top_k(x, int(self.topk * x.data.shape[-1]))
+        elif self.relufication:
             x = fxp_relu(x)
         for layer in self.layers:
             x = layer(x)

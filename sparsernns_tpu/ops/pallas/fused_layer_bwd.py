@@ -83,16 +83,19 @@ def _make_hist_kernel(affine: bool, *, num_passes: int, block_t: int):
         carry_re, carry_im = all_refs[len(names) + 2:]
         j = pl.program_id(1)
 
-        # entry carry of THIS block = scratch state before scanning it
+        # entry carry of THIS block = scratch state before scanning it.
+        # The history block holds ALL n_t rows (TPU tiling forbids a
+        # (1, 1, P) block over a (B, n_t, P) array unless n_t % 8 == 0);
+        # each grid step writes its own row j of the resident block.
         @pl.when(j == 0)
         def _():
-            ch_re_ref[0] = jnp.zeros_like(ch_re_ref[0])
-            ch_im_ref[0] = jnp.zeros_like(ch_im_ref[0])
+            ch_re_ref[0, pl.ds(0, 1)] = jnp.zeros_like(carry_re[...])
+            ch_im_ref[0, pl.ds(0, 1)] = jnp.zeros_like(carry_im[...])
 
         @pl.when(j > 0)
         def _():
-            ch_re_ref[0] = carry_re[...]
-            ch_im_ref[0] = carry_im[...]
+            ch_re_ref[0, pl.ds(j, 1)] = carry_re[...]
+            ch_im_ref[0, pl.ds(j, 1)] = carry_im[...]
 
         z = refs["z"][0].astype(jnp.float32)
         if affine:
@@ -179,7 +182,12 @@ def _make_bwd_kernel(glu: str, act: str, with_m1: bool, with_m2: bool,
         bu = jnp.dot(zn, refs["wb"][...],
                      preferred_element_type=jnp.float32)
         p = bu.shape[-1] // 2
-        ch = (refs["ch_re"][0], refs["ch_im"][0])         # (1, Pp)
+        # the history input block holds all n_t rows (same TPU tiling
+        # constraint as the pre-pass); this block's entry carry is the
+        # logical-time row n_t-1-j of the reverse grid
+        row = n_t - 1 - j
+        ch = (refs["ch_re"][0, pl.ds(row, 1)],
+              refs["ch_im"][0, pl.ds(row, 1)])            # (1, Pp)
         # traced j=0: scan_block_body's carry-init branch loads ``ch``
         # every block (each block restarts from its checkpoint).
         x_re, x_im = scan_block_body(
@@ -293,11 +301,11 @@ def _make_bwd_kernel(glu: str, act: str, with_m1: bool, with_m2: bool,
 
             @pl.when(pred)
             def _(ref=outs[name], v=val):
-                ref[...] = v.astype(ref.dtype)
+                ref[...] = v.astype(ref.dtype).reshape(ref.shape)
 
             @pl.when(jnp.logical_not(pred))
             def _(ref=outs[name], v=val):
-                ref[...] = ref[...] + v.astype(ref.dtype)
+                ref[...] = ref[...] + v.astype(ref.dtype).reshape(ref.shape)
 
     return kernel, in_names, out_names
 
@@ -463,7 +471,11 @@ def fused_tail_bwd(z, skip, lam: Pair, w_b, w_c, d,
         # ---- pre-pass: per-block entry carries (forward time order) ----
         hk, hk_names = _make_hist_kernel(affine, num_passes=num_passes,
                                          block_t=t)
-        hist_blk = pl.BlockSpec((1, 1, p_pad), lambda i, j: (i, j, 0),
+        # whole-history block, resident across j (constant index map):
+        # TPU tiling forbids a 1-row block over the n_t dim when
+        # n_t % 8 != 0; the history is tiny ((n_t, P) ~ 8 KB) so the
+        # full-rows block costs nothing.
+        hist_blk = pl.BlockSpec((1, n_t, p_pad), lambda i, j: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
         ch_re, ch_im = pl.pallas_call(
             hk,
@@ -478,9 +490,9 @@ def fused_tail_bwd(z, skip, lam: Pair, w_b, w_c, d,
         )(*[operands[n] for n in hk_names])
         operands["ch_re"] = ch_re
         operands["ch_im"] = ch_im
-        hist_rev = pl.BlockSpec((1, 1, p_pad),
-                                lambda i, j: (i, n_t - 1 - j, 0),
-                                memory_space=pltpu.VMEM)
+        # same whole-history block on the adjoint side; the kernel picks
+        # its reverse-time row dynamically (row = n_t-1-j)
+        hist_rev = hist_blk
 
         # ---- the adjoint kernel (reverse time order) ----
         kernel, in_names, out_names = _make_bwd_kernel(
@@ -497,13 +509,15 @@ def fused_tail_bwd(z, skip, lam: Pair, w_b, w_c, d,
                 return hist_rev
             return full(operands[n])
 
-        def row_blk(cols):
-            return pl.BlockSpec((1, cols), lambda i, j: (i, 0),
-                                memory_space=pltpu.VMEM)
-
         def mat_blk(r, c):
             return pl.BlockSpec((1, r, c), lambda i, j: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
+
+        def row_blk(cols):
+            # rank-3 (B, 1, cols) rather than (B, cols): a (1, cols)
+            # block over (B, cols) violates the TPU (8, 128) tiling of
+            # the last two dims; the singleton middle dim satisfies it
+            return mat_blk(1, cols)
 
         out_specs, out_shapes = [], []
         for n in out_names:
@@ -527,7 +541,7 @@ def fused_tail_bwd(z, skip, lam: Pair, w_b, w_c, d,
                 cols = p_pad if n.startswith("dlam") else h_pad
                 out_specs.append(row_blk(cols))
                 out_shapes.append(
-                    jax.ShapeDtypeStruct((b, cols), jnp.float32))
+                    jax.ShapeDtypeStruct((b, 1, cols), jnp.float32))
 
         res = pl.pallas_call(
             kernel,
@@ -556,22 +570,22 @@ def fused_tail_bwd(z, skip, lam: Pair, w_b, w_c, d,
         out["dwc"] = jnp.concatenate(
             [r["dwc"][:, :p, :h], r["dwc"][:, p_pad:p_pad + p, :h]],
             axis=1)
-        out["dd"] = r["dd"][:, :h]
-        out["dlam_re"] = r["dlam_re"][:, :p]
-        out["dlam_im"] = r["dlam_im"][:, :p]
+        out["dd"] = r["dd"][:, 0, :h]
+        out["dlam_re"] = r["dlam_re"][:, 0, :p]
+        out["dlam_im"] = r["dlam_im"][:, 0, :p]
         if glu != "none":
             out["do2k"] = r["do2k"][:, :h, :h]
-            out["do2b"] = r["do2b"][:, :h]
+            out["do2b"] = r["do2b"][:, 0, :h]
         if glu == "full":
             out["do1k"] = r["do1k"][:, :h, :h]
-            out["do1b"] = r["do1b"][:, :h]
+            out["do1b"] = r["do1b"][:, 0, :h]
         if with_m1:
             out["dm1"] = r["dm1"][:, :, :h]
         if with_m2:
             out["dm2"] = r["dm2"][:, :, :h]
         if affine:
-            out["dnw"] = r["dnw"][:, :h]
-            out["dnb"] = r["dnb"][:, :h]
+            out["dnw"] = r["dnw"][:, 0, :h]
+            out["dnb"] = r["dnb"][:, 0, :h]
         return tuple(out[n] for n in out_names)
 
     # the result order matches _make_bwd_kernel's out_names

@@ -75,3 +75,83 @@ def test_residual_stream_observer_calibrated(pipeline):  # noqa: F811
         assert "quant_residual" in lp, lp.keys()
         s = float(_np.asarray(lp["quant_residual"]["scale"]))
         assert s > 0 and abs(_np.log2(s) - round(_np.log2(s))) < 1e-6
+
+
+def test_fxp_topk_tracks_static_quant():
+    """Top-k models run in the fxp integer engine (round-2 ROADMAP gap:
+    it used to raise). All four sparsification sites — encoder output,
+    SSM states, GLU input, layer output — mirror the float path; the
+    integer codes are a monotone scaling of the float values, so
+    approx_max_k selects the same entries and the deviation stays at the
+    usual requant level."""
+    from sparsernns_tpu.models.seq_model import RegressionModel
+    from sparsernns_tpu.models.ssm import make_ssm_init_fn
+    from sparsernns_tpu.models.ssm_init import blocked_dplr_init
+    from sparsernns_tpu.quantize.calibrate import calibrate
+
+    H, D_IO, P_SIZE, LAYERS = 12, 9, 16, 2
+
+    def _topk_model(q_config):
+        init = blocked_dplr_init(P_SIZE, 2, conj_sym=True)
+        mixer = make_ssm_init_fn(
+            h=H, p=init["P"], lambda_init=init["Lambda"], v=init["V"],
+            vinv=init["Vinv"], clip_eigs=True, relufication=True,
+            q_config=q_config, scan_mode="associative")
+        return RegressionModel(
+            mixer_cls=mixer, n_layers=LAYERS, d_model=H, d_output=D_IO,
+            dropout=0.0, prenorm=True, batchnorm=True, glu_variant="half1",
+            training=False, relufication=True, q_config=q_config,
+            topk=0.5, approx_topk=True)
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 24, D_IO) * 0.5, jnp.float32)
+
+    fp_model = _topk_model(quantization_recipes["none"]())
+    variables = fp_model.init(jax.random.PRNGKey(0), x)
+
+    cal_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=True)
+    batches = [x, jnp.asarray(rng.randn(2, 24, D_IO) * 0.5, jnp.float32)]
+    frozen_params, frozen_stats = calibrate(
+        _topk_model(cal_cfg), jax.random.PRNGKey(1), x,
+        variables["params"], variables.get("batch_stats"), batches)
+
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    y_q = np.asarray(_topk_model(inf_cfg).apply(
+        {"params": frozen_params, "batch_stats": frozen_stats}, x))
+
+    mc = FxpModelConfig.infer(frozen_params, glu_variant="half1",
+                              relufication=True, prenorm=True,
+                              clip_eigs=True, topk=0.5, approx_topk=True)
+    fxp_model = build_fxp_model(
+        jax.tree_util.tree_map(np.asarray, frozen_params),
+        jax.tree_util.tree_map(np.asarray, frozen_stats), inf_cfg, mc)
+    y_f = np.asarray(fxp_model(x).to_float())
+
+    # sparsity actually happened: ≥ ~half of each layer's feature lanes
+    # were zeroed by the top-k sites on the fxp path too
+    zero_frac = float((y_f == 0.0).mean())
+    q_zero_frac = float((y_q == 0.0).mean())
+    assert abs(zero_frac - q_zero_frac) < 0.1, (zero_frac, q_zero_frac)
+    denom = max(np.abs(y_q).max(), 1e-6)
+    max_rel = np.abs(y_f - y_q).max() / denom
+    mean_rel = np.abs(y_f - y_q).mean() / denom
+    # a selection flip at a requant tie would show as a large max;
+    # keep a modest margin over the dense gate for that case
+    assert max_rel < 0.05, max_rel
+    assert mean_rel < 0.005, mean_rel
+
+
+def test_fxp_exact_topk_still_raises():
+    import pytest
+
+    mc_kw = dict(glu_variant="half1", relufication=True, prenorm=True,
+                 clip_eigs=True, topk=0.5, approx_topk=False)
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    # the config gate fires before any params are touched
+    with pytest.raises(NotImplementedError):
+        build_fxp_model({"encoder": {}}, {}, inf_cfg,
+                        FxpModelConfig(n_layers=1, d_model=4, ssm_size=4,
+                                       d_input=4, d_output=4, **mc_kw))
