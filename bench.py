@@ -41,7 +41,19 @@ dispatch-only and 13x over the HBM speed-of-light):
    the completion rate. The same speed-of-light gate validates the
    result (measured on the round-1 tunnel backend: the allocator does
    backpressure, it was dispatch that was async).
-5. If no mode produces a valid wall-clock, the reported value falls
+5. TIMING-TRUST CANARY (run first on TPU): a model-independent matmul
+   chain with a known pure-MXU floor classifies the backend. A
+   steady-state per-iter time below the floor proves an unbounded
+   dispatch queue with no-op sync — in that regime wall-clocks are
+   BACKLOG ARTIFACTS that can land anywhere (often above the model
+   floor, where the per-record gate cannot catch them), so _measure
+   refuses to produce wall-clock records at all; a saturated variant
+   (ballast + retained outputs) decides whether allocator-paced
+   timings are admissible. (Observed on the round-2 tunnel: 500
+   chained multi-second matmul calls "complete" in 7 ms and B=8 vs
+   B=128 forwards time identically — nothing host-side observes the
+   device.)
+6. If no mode produces a valid timing, the reported value falls
    back to the ROOFLINE cost-model estimate for the best config — the
    max of the HBM floor (bytes / bandwidth) and the padded-MXU floor
    (profiling.model_padded_flops / peak) — explicitly labelled
@@ -270,6 +282,78 @@ def _run_chained(dispatch, iters, n_fill=0):
     return time.perf_counter() - start, synced
 
 
+#: timing-trust regime, set once per process by _canary_check (main):
+#: "wallclock" — plain chained wall-clocks can reflect execution;
+#: "saturation" — ballast-pinned allocator backpressure paces dispatch.
+#: Both default True so non-TPU runs (tests, CPU) behave as before.
+_REGIME = {"wallclock": True, "saturation": True}
+
+
+def _canary_check(peaks) -> dict:
+    """Empirically classify whether this backend can time execution AT ALL.
+
+    The round-2 tunnel backend added a failure mode the speed-of-light
+    gate cannot catch: an UNBOUNDED dispatch queue with a no-op
+    block_until_ready, a lying is_ready(), and allocator accounting that
+    never backpressures (verified: 500 chained multi-second matmul calls
+    "complete" in 7 ms and B=8 vs B=128 engine forwards time identically).
+    In that regime every wall-clock is a backlog artifact — often ABOVE
+    the model's floor, so the per-record gate passes garbage.
+
+    The canary is model-independent: K chained (4096,4096) bf16 matmul
+    chains whose pure-MXU floor (K*2*4096^3/peak ≈ 5.6 ms at K=8) sits
+    far above dispatch overhead. Steady-state per-iter time below
+    SOL_MARGIN*floor proves the backend cannot time execution. The
+    saturation variant re-checks under a ballast pin with every
+    iteration's output retained (~3 GB in flight) — if even that stays
+    below the floor, allocator backpressure is broken too and
+    saturated-queue timings are equally inadmissible."""
+    peak_flops, _ = peaks
+    n, k_mm = 4096, 8
+    floor = k_mm * 2 * n**3 / peak_flops
+
+    def steady(extra_retained=0, reserve_gb=None):
+        ballast = _ballast(reserve_gb * 2**30) if reserve_gb else None
+        x = jnp.full((n, n), 1e-2, jnp.bfloat16)
+        w = jnp.full((n, n), 1e-4, jnp.bfloat16)
+
+        @jax.jit
+        def f(a, b):
+            for _ in range(k_mm):
+                a = (a @ b) * jnp.bfloat16(1e-4)
+            return a
+
+        out = f(x, w)
+        _sync(out)
+        retained = []
+        prev = x
+        for _ in range(8):  # drain warmup/compile backlog
+            prev = f(prev, w)
+        iters = 16
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            prev = f(prev, w)
+            if extra_retained:
+                retained.append(prev)  # hold buffers → allocator pressure
+        _sync(prev)
+        dt = (time.perf_counter() - t0) / iters
+        del ballast, retained
+        return dt
+
+    t_plain = steady()
+    wallclock = t_plain >= SOL_MARGIN * floor
+    _log(f"canary: plain steady {t_plain * 1e3:.2f} ms/iter vs floor "
+         f"{floor * 1e3:.2f} ms -> wall-clock "
+         f"{'OK' if wallclock else 'UNTIMEABLE (unbounded queue)'}")
+    if wallclock:
+        return {"wallclock": True, "saturation": True}
+    t_sat = steady(extra_retained=1, reserve_gb=2.0)
+    saturation = t_sat >= SOL_MARGIN * floor
+    _log(f"canary: saturated steady {t_sat * 1e3:.2f} ms/iter -> "
+         f"saturation {'OK' if saturation else 'BROKEN (no backpressure)'}")
+    return {"wallclock": False, "saturation": saturation}
+
+
 def _hbm_limit() -> int:
     try:
         stats = jax.devices()[0].memory_stats()
@@ -318,6 +402,19 @@ def _measure(name, dispatch, iters, frames_per_iter, flops, xla_bytes,
             if rec["valid"]:
                 return rec
             _log(f"{name}: profiler timing rejected, trying wall-clock")
+
+    # canary-proven untimeable regimes: don't run (let alone report) a
+    # wall-clock that can only be a backlog artifact — emit a cost-only
+    # record (valid=False) so summarize() can fall back to the roofline.
+    untimeable = ((reserve_gb is None and not _REGIME["wallclock"])
+                  or (reserve_gb is not None and not _REGIME["saturation"]))
+    if untimeable:
+        rec = _finalize(name + " (untimeable backend)", float("inf"), False,
+                        iters, frames_per_iter, flops, xla_bytes, peaks,
+                        saturated=reserve_gb is not None,
+                        padded_flops=padded_flops)
+        rec["untimeable"] = True
+        return rec
 
     ballast = _ballast(reserve_gb * 2**30) if reserve_gb else None
     elapsed, synced = _run_chained(dispatch, iters, n_fill)
@@ -527,7 +624,8 @@ def run_all_modes(peaks, saturation_retry=True):
         try:
             with _alarm(BENCH_MODE_TIMEOUT_S):
                 rec = bench_mode(mode, peaks)
-                if not rec["valid"] and saturation_retry:
+                if (not rec["valid"] and saturation_retry
+                        and _REGIME["saturation"]):
                     _log(f"{mode}: retrying with the saturated-queue "
                          "protocol (ballast + large batch)")
                     b, rg = (8, 6.0) if mode == "associative" else (128, 5.0)
@@ -545,7 +643,8 @@ def run_all_modes(peaks, saturation_retry=True):
         try:
             with _alarm(BENCH_MODE_TIMEOUT_S):
                 rec = bench_w8a16_engine(peaks, mxu16=mxu16, name=name)
-                if not rec["valid"] and saturation_retry:
+                if (not rec["valid"] and saturation_retry
+                        and _REGIME["saturation"]):
                     _log(f"{name}: retrying with the saturated-queue "
                          "protocol (ballast + large batch)")
                     rec2 = bench_w8a16_engine(peaks, batch=128, iters=12,
@@ -702,6 +801,14 @@ def main():
     _log(f"backend={backend} device={kind!r} "
          f"peaks: {peaks[0] / 1e12:.0f} TFLOP/s bf16, "
          f"{peaks[1] / 1e9:.0f} GB/s HBM")
+
+    if backend == "tpu":
+        try:
+            with _alarm(BENCH_MODE_TIMEOUT_S):
+                _REGIME.update(_canary_check(peaks))
+        except Exception as e:  # noqa: BLE001 - canary must not kill bench
+            _maybe_profiler_dead(e)
+            _log(f"canary failed ({e}); keeping wall-clock enabled")
 
     if os.environ.get("BENCH_WORKER") == "1":
         # isolated profiler pass: emit records for the parent, no summary

@@ -97,6 +97,22 @@ def measure_chunk(chunk_frames: int, batch: int = BATCH, d_io: int = 257,
         durs = bench._trace_module_times(dispatch, iters)
         if len(durs) >= 3:
             source = "device-profiler"
+    if len(durs) < 3 and not bench._REGIME["wallclock"]:
+        # canary-proven untimeable backend (unbounded queue, no-op sync):
+        # a wall-clock here is a backlog artifact that may land ABOVE the
+        # floor, so don't produce one at all — cost-only record.
+        rec = {
+            "chunk_frames": chunk_frames, "mxu16": mxu16,
+            "chunk_ms": chunk_frames * FRAME_MS, "batch": batch,
+            "p50_ms": None, "p99_ms": None, "n_timings": 0,
+            "sol_ms": sol_t * 1e3, "hbm_util": 0.0,
+            "rtf_per_stream": 0.0, "rtf_batch": 0.0,
+            "source": "untimeable-backend", "valid": False,
+        }
+        print(f"[stream] chunk={chunk_frames}f: untimeable backend — "
+              f"cost-only record (sol={rec['sol_ms']:.3f}ms)",
+              file=sys.stderr)
+        return rec
     if len(durs) < 3:
         out = dispatch(None)   # compile + warm
         bench._sync(out)
@@ -213,6 +229,14 @@ def summarize_stream(recs: list, backend: str) -> dict:
 
 def main() -> int:
     backend = jax.default_backend()
+    if backend == "tpu":
+        from sparsernns_tpu.utils.profiling import chip_peaks
+        try:
+            with bench._alarm(bench.BENCH_MODE_TIMEOUT_S):
+                bench._REGIME.update(bench._canary_check(chip_peaks()))
+        except Exception as e:  # noqa: BLE001 - canary must not kill bench
+            print(f"[stream] canary failed ({e}); keeping wall-clock",
+                  file=sys.stderr)
     if os.environ.get("BENCH_WORKER") == "1":
         print(_REC_TAG + json.dumps(run_all()))
         return 0

@@ -337,6 +337,91 @@ def fxp_relu_top_k(x: Union[FxpArray, ComplexFxpArray], k: int):
     return fxp_relu(fxp_top_k(x, k))
 
 
+def fxp_log_softmax(x: FxpArray, out_bits: int = 16,
+                    out_exp: int = 10) -> FxpArray:
+    """Integer log-softmax along the last axis.
+
+    The reference's fxp_log_softmax is an unimplemented stub
+    (fxparray.py:698-701, it returns its input); this is a real integer
+    implementation: y_i = z_i − ln Σ exp(z_i) with z = x − max(x), built
+    from compares, shifts, adds, and two piecewise-linear LUTs —
+    exp(z) over [−16, 0] (width-2⁻³ segments) and log₂(m) over [1, 2)
+    (width-2⁻⁵ segments) with the exponent of the sum extracted by pure
+    integer MSB search. Max abs error vs the float log_softmax of the
+    dequantized input ≈ the exp-LUT PWL error (~2e-3), far below the
+    output grid of typical 16-bit heads.
+    """
+    e = x.exp
+    ke = 3                       # exp-LUT segment width = 2^-ke
+    r = 16                       # exp(z) ≈ 0 below z = -r
+    se = 15                      # exp-LUT output frac bits (unsigned)
+    if e < ke:                   # too coarse for the LUT segments
+        x = fxp_change_cfg(x, max(x.bits, 16), ke + 2, x.signed)
+        e = x.exp
+
+    # z = x - max(x) over the last axis (exact in integers), clipped to
+    # the LUT domain [-r, 0]
+    m = jnp.max(x.data, axis=-1, keepdims=True)
+    z = x.data - m                               # <= 0
+    z = jnp.maximum(z, -(r << e) + 1)
+
+    # ---- exp LUT: exp(z_f), z_f in [-r, 0) -> (0, 1], frac bits se ----
+    import numpy as np
+    width = 2.0 ** -ke
+    edges = np.arange(-r, 0 + width / 2, width)
+    vals = np.exp(edges)
+    y0 = np.round(vals[:-1] * (1 << se))
+    slope = np.round((vals[1:] - vals[:-1]) * (1 << se))
+    y0_t = jnp.asarray(y0, jnp.int32)
+    slope_t = jnp.asarray(slope, jnp.int32)
+    shift = e - ke                               # frac bits per segment
+    idx = (z >> shift) + (r << ke)               # arithmetic shift: floor
+    idx = jnp.clip(idx, 0, (r << ke) - 1)
+    frac = z - ((idx - (r << ke)) << shift)      # in [0, 2^shift)
+    ez = y0_t[idx] + fxp_rshift_round(
+        slope_t[idx].astype(_wide_dtype()) * frac, shift,
+        RoundingMode.ROUND).astype(jnp.int32)    # (..., N) at 2^-se
+
+    # ---- s = sum exp(z): in [2^se, N * 2^se] ----
+    s = jnp.sum(ez.astype(_wide_dtype()), axis=-1, keepdims=True)
+    s = jnp.maximum(s, 1)
+
+    # ---- ln(s / 2^se) = (b - se + log2(mantissa)) * ln2 ----
+    # MSB position b by integer compares (no float ops): s < 2^(se+32)
+    n_lead = int(np.ceil(np.log2(max(2, x.data.shape[-1])))) + 1
+    b = se
+    for i in range(se + 1, se + n_lead + 1):
+        b = b + (s >= (1 << i)).astype(s.dtype)
+    k2 = 5                       # log2-LUT segment width = 2^-k2
+    edges2 = 1.0 + np.arange(0, (1 << k2) + 1) / (1 << k2)
+    vals2 = np.log2(edges2)
+    l2e = 14                     # log2-LUT output frac bits
+    ly0 = jnp.asarray(np.round(vals2[:-1] * (1 << l2e)), jnp.int32)
+    lslope = jnp.asarray(
+        np.round((vals2[1:] - vals2[:-1]) * (1 << l2e)), jnp.int32)
+    sh2 = b - k2                                 # dynamic per-element
+    idx2 = (s >> sh2) - (1 << k2)
+    idx2 = jnp.clip(idx2, 0, (1 << k2) - 1).astype(jnp.int32)
+    frac2 = s - ((idx2 + (1 << k2)).astype(s.dtype) << sh2)
+    prod = lslope[idx2].astype(_wide_dtype()) * frac2
+    log2m = ly0[idx2] + jnp.right_shift(prod, sh2).astype(jnp.int32)
+    # ln s_f at frac bits l2e: ((b - se) << l2e + log2m) * ln2
+    ln2_q = int(round(np.log(2.0) * (1 << 14)))  # ln2 at 14 frac bits
+    log2s = ((b - se).astype(_wide_dtype()) << l2e) + log2m
+    ln_s = fxp_rshift_round(log2s * ln2_q, 14, RoundingMode.ROUND)
+
+    # ---- y = z - ln(s), assembled at out_exp ----
+    dz = out_exp - e
+    z_o = (z.astype(_wide_dtype()) << dz if dz >= 0
+           else fxp_rshift_round(z.astype(_wide_dtype()), -dz,
+                                 RoundingMode.ROUND))
+    dl = out_exp - l2e
+    ln_o = (ln_s << dl if dl >= 0
+            else fxp_rshift_round(ln_s, -dl, RoundingMode.ROUND))
+    y = (z_o - ln_o).astype(jnp.int32)
+    return FxpArray(y, out_bits, out_exp, True).clip()
+
+
 def fxp_mean(x: FxpArray, axis: int = 0,
              round_mode: RoundingMode = RoundingMode.ROUND) -> FxpArray:
     """Mean via multiply by fxp(1/n) (reference fxparray.py:681-695)."""

@@ -528,22 +528,30 @@ class FxpRegressionModel(FxpModule):
 
 
 class FxpClassificationModel(FxpModule):
-    """Integer classifier: encoder stack + meanpool + decoder (+argmax;
-    log-softmax is monotone so omitted, as in the reference's stub
-    fxparray.py:698-701). Reference: FxpClassificationModel
+    """Integer classifier: encoder stack + meanpool + decoder +
+    integer log-softmax. The reference's fxp_log_softmax is an
+    unimplemented stub (fxparray.py:698-701); here it is a real integer
+    implementation (LUT exp + integer-MSB log, fxp_log_softmax), so the
+    output matches the flax ClassificationModel's log-probs in VALUE,
+    not just argmax. Reference: FxpClassificationModel
     fxpmodel.py:1292-1377."""
 
     def __init__(self, encoder: FxpStackedEncoder, decoder: FxpDense,
-                 in_spec: FxpSpec):
+                 in_spec: FxpSpec, log_softmax: bool = True):
         super().__init__()
         self.encoder = encoder
         self.decoder = decoder
         self.in_spec = in_spec
+        self.log_softmax = log_softmax
 
     def __call__(self, x) -> FxpArray:
         if not isinstance(x, FxpArray):
             x = self.in_spec.quantize(x)
         x = self.encoder(x)
-        from sparsernns_tpu.fxp.array import fxp_mean
+        from sparsernns_tpu.fxp.array import fxp_log_softmax, fxp_mean
         x = fxp_mean(x, axis=x.ndim - 2)
-        return self.decoder(x)
+        out = self.decoder(x)
+        if self.log_softmax:
+            out = fxp_log_softmax(out)
+        self.sow("output", out)
+        return out

@@ -273,3 +273,53 @@ def test_no_backend_summary_is_labelled_and_physical():
     hbm_bound = b * l / (2.0 * b * l * d_io * 4 / hbm_bw)
     assert s["value"] <= hbm_bound
     assert 0 < s["vs_baseline"] < 100
+
+
+def test_untimeable_regime_emits_cost_only_records(monkeypatch):
+    """Round-2 tunnel regime: unbounded queue, no-op sync, lying
+    is_ready, no allocator backpressure — wall-clocks are backlog
+    artifacts that can land ABOVE the floor, so the per-record gate
+    alone cannot reject them. When the canary proves the regime,
+    _measure must not report a wall-clock at all."""
+    monkeypatch.setitem(bench._REGIME, "wallclock", False)
+    monkeypatch.setitem(bench._REGIME, "saturation", False)
+    calls = []
+
+    def dispatch(prev):
+        calls.append(1)
+        return prev
+
+    rec = bench._measure("engine", dispatch, 10, 8 * 3751, 1e10, 6.5e8,
+                         PEAKS, use_profiler=False)
+    assert rec.get("untimeable") and not rec["valid"]
+    assert rec["frames_per_sec"] == 0.0
+    assert not calls  # no dispatches burned on an untimeable backend
+    # saturated retries equally inadmissible
+    rec2 = bench._measure("engine", dispatch, 10, 8 * 3751, 1e10, 6.5e8,
+                          PEAKS, reserve_gb=1.0, use_profiler=False)
+    assert rec2.get("untimeable") and not rec2["valid"]
+
+
+def test_untimeable_records_fall_back_to_roofline(monkeypatch):
+    monkeypatch.setitem(bench._REGIME, "wallclock", False)
+    monkeypatch.setitem(bench._REGIME, "saturation", False)
+
+    def dispatch(prev):
+        return prev
+
+    recs = {
+        "associative": bench._measure("associative", dispatch, 10, 8 * 3751,
+                                      1e10, 3.5e9, PEAKS,
+                                      use_profiler=False),
+        "w8a16-engine": bench._measure("w8a16-engine", dispatch, 10,
+                                       8 * 3751, 1e10, 8.0e7, PEAKS,
+                                       use_profiler=False,
+                                       padded_flops=4.33e10),
+    }
+    s = bench.summarize(recs, PEAKS)
+    assert not s["timing_valid"]
+    assert s["measurement"] == "roofline-cost-model"
+    assert s["best_config"] == "w8a16-engine"
+    # the reported value is the roofline bound, never an artifact
+    assert s["value"] == pytest.approx(
+        recs["w8a16-engine"]["sol_frames_per_sec"], rel=1e-6)

@@ -50,6 +50,23 @@ def test_fxp_classification_pipeline(rng, recipe):
     # integer classifier agrees with the float model on most predictions
     agree = np.mean(logits_fxp.argmax(-1) == y_fp.argmax(-1))
     assert agree >= 2 / 3, (agree, logits_fxp.argmax(-1), y_fp.argmax(-1))
+    # and the integer log-softmax produces actual LOG-PROBS (the
+    # reference's fxp_log_softmax is a stub): normalized and close in
+    # value wherever quantization hasn't shifted the logits themselves
+    probs = np.exp(logits_fxp)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=0.02)
+
+
+def test_fxp_log_softmax_tracks_float():
+    from sparsernns_tpu.fxp.array import fxp_from_fp, fxp_log_softmax
+    rng = np.random.RandomState(7)
+    x = rng.randn(5, 11) * 4.0
+    fx = fxp_from_fp(jnp.asarray(x), bits=16, exp=10)
+    y = np.asarray(fxp_log_softmax(fx).to_float())
+    ref = np.asarray(jax.nn.log_softmax(fx.to_float(), axis=-1))
+    mask = ref > -14  # below the exp-LUT domain the output saturates
+    assert np.abs(y - ref)[mask].max() < 5e-3
+    assert (y.argmax(-1) == ref.argmax(-1)).all()
 
 
 def test_profiling_cost_model():
