@@ -109,6 +109,14 @@ class S5SSM(nn.Module):
     block_t: int = 256
     topk: float = 1.0
     approx_topk: bool = False
+    # Activation-QAT on the fused kernel: quantize the in-scan state
+    # operands on a GLOBAL two-pass absmax (an extra unquantized
+    # projection+scan computes it) instead of the kernel's per-block
+    # dynamic scales — matches the associative path's per-tensor scale
+    # semantics at ~2x forward HBM (the backward, which dominates
+    # training, is unchanged). Off by default: per-block scales already
+    # give loss parity; turn on to tighten forward parity.
+    qat_global_scales: bool = False
     # Mesh for scan_mode="sp": the sequence-parallel TRAINING scan —
     # time sharded over SEQ with log-depth ppermute carry combine, batch
     # on DATA, state dim on MODEL (parallel/seqscan.make_sp_train_scan).
@@ -252,11 +260,25 @@ class S5SSM(nn.Module):
                  -fake_quant(ci, cfg.c_precision).T], axis=0)
             u_in = fake_quant(u, cfg.ssm_act_precision) if act_qat else u
             d_in = fake_quant(d, cfg.d_precision) if act_qat else d
+            qat_scale = None
+            if act_qat and self.qat_global_scales:
+                # two-pass GLOBAL absmax of the unquantized states: the
+                # stats pass is stop_gradient'd so its backward is dead
+                # code; the scale then feeds every in-kernel state
+                # fake-quant (per-tensor semantics, like the associative
+                # path's dynamic q_had scales)
+                bu_s = jnp.matmul(u_in, w_b,
+                                  precision=jax.lax.Precision.HIGHEST)
+                xs_s = diag_ssm_scan(
+                    lam_bar, (bu_s[..., :self.p], bu_s[..., self.p:]),
+                    mode="pallas", block_t=self.block_t)
+                qat_scale = jax.lax.stop_gradient(jnp.maximum(
+                    jnp.max(jnp.abs(xs_s[0])), jnp.max(jnp.abs(xs_s[1]))))
             # (d_bias is always None here: it is only set together with
             # b_bias, and b_bias routes to the non-fused path above)
             ys = fused_s5_apply_diff(u_in, lam_bar, w_b, w_c, d_in,
-                                     self.block_t, self.relufication,
-                                     qat_bits)
+                                     qat_scale, self.block_t,
+                                     self.relufication, qat_bits)
             return ys, None
 
         # Input projection: ONE (..., L, H) @ (H, 2P) matmul. Each operand
@@ -488,6 +510,7 @@ def make_ssm_init_fn(
     scan_mode: str = "associative",
     sp_mesh=None,
     block_t: int = 256,
+    qat_global_scales: bool = False,
 ) -> Callable:
     """Factory mirroring reference init_qS5SSM (ssm.py:625-663): returns a
     partial taking the per-layer knobs (step_rescale, topk, approx_topk)."""
@@ -499,4 +522,5 @@ def make_ssm_init_fn(
         clip_eigs=clip_eigs, bidirectional=bidirectional,
         relufication=relufication, q_config=q_config, scan_mode=scan_mode,
         sp_mesh=sp_mesh, block_t=block_t,
+        qat_global_scales=qat_global_scales,
     )

@@ -41,13 +41,19 @@ def _fused_kernel(
     d_ref,                        # (1, H) feedthrough
     pow_re_ref, pow_im_ref,       # (K, P) offset operators λ^(2^k)
     ctab_re_ref, ctab_im_ref,     # (T, P) carry-fold table λ^(t+1)
-    out_ref,                      # (1, T, H) output block
-    carry_re, carry_im,           # (1, P) scratch
-    *, num_passes: int, block_t: int, p: int, relu_state: bool,
+    *rest,                        # [qs_ref] + out_ref + scratch
+    num_passes: int, block_t: int, p: int, relu_state: bool,
     block_requant=None, wb_scales=None, wc_scales=None, qat_bits=None,
+    with_qat_scale: bool = False,
 ):
     from sparsernns_tpu.ops.pallas.scan_kernel import scan_block_body
 
+    if with_qat_scale:
+        qs_ref, out_ref, carry_re, carry_im = rest
+        qat_scale = qs_ref[0, 0]
+    else:
+        out_ref, carry_re, carry_im = rest
+        qat_scale = None
     j = pl.program_id(1)
     # input block may be stored bf16 (halved HBM traffic); compute in f32
     u = u_ref[0].astype(jnp.float32)  # (T, H)
@@ -69,7 +75,8 @@ def _fused_kernel(
         bu_re, bu_im, pow_re_ref, pow_im_ref,
         ctab_re_ref, ctab_im_ref, carry_re, carry_im, j,
         num_passes=num_passes, block_t=block_t,
-        block_requant=block_requant, qat_bits=qat_bits)
+        block_requant=block_requant, qat_bits=qat_bits,
+        qat_scale=qat_scale)
 
     if relu_state:
         x_re = jnp.maximum(x_re, 0.0)
@@ -210,43 +217,55 @@ def fused_s5_apply(
     wb_scales: Optional[Tuple[float, float]] = None,
     wc_scales: Optional[Tuple[float, float]] = None,
     qat_bits: Optional[Tuple[Optional[int], Optional[int]]] = None,
+    qat_state_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """y = Re(C x) + D ⊙ u with x the scanned state. Returns (B, L, H).
 
     ``wb_scales``/``wc_scales``: static per-half pow2 scales for int8
     weight storage — weights stay 8-bit in HBM/VMEM and dequantize on the
     VPU inside the kernel. ``qat_bits``: in-kernel activation QAT (see
-    scan_kernel.scan_block_body)."""
+    scan_kernel.scan_block_body). ``qat_state_scale``: traced global
+    state absmax (scalar array) — the two-pass global-scale QAT mode:
+    every in-kernel state fake-quant uses it instead of per-block maxima,
+    matching the associative path's per-tensor dynamic scales."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    with_qs = qat_state_scale is not None
 
-    def body(u, lam_re, lam_im, w_b, w_c, d):
+    def body(u, lam_re, lam_im, w_b, w_c, d, *maybe_qs):
         o = _prep_fused_operands(u, (lam_re, lam_im), w_b, w_c, d, block_t,
                                  allow_l_pad=True, qat_bits=qat_bits)
         kernel = functools.partial(
             _fused_kernel, num_passes=o["num_passes"], block_t=o["t"],
             p=o["p_pad"], relu_state=relu_state,
             block_requant=block_requant,
-            wb_scales=wb_scales, wc_scales=wc_scales, qat_bits=qat_bits)
+            wb_scales=wb_scales, wc_scales=wc_scales, qat_bits=qat_bits,
+            with_qat_scale=with_qs)
+        in_specs = [o["io_block"],
+                    o["full"]((o["h_pad"], 2 * o["p_pad"])),
+                    o["full"]((2 * o["p_pad"], o["h_pad"])),
+                    o["full"]((1, o["h_pad"])),
+                    o["full"]((o["num_passes"], o["p_pad"])),
+                    o["full"]((o["num_passes"], o["p_pad"])),
+                    o["full"]((o["t"], o["p_pad"])),
+                    o["full"]((o["t"], o["p_pad"]))]
+        operands = [o["u"], o["w_b"], o["w_c"], o["d"], o["pow_re"],
+                    o["pow_im"], o["ctab"][0], o["ctab"][1]]
+        if with_qs:
+            in_specs.append(o["full"]((1, 1)))
+            operands.append(maybe_qs[0].reshape(1, 1)
+                            .astype(jnp.float32))
         out = pl.pallas_call(
             kernel,
             grid=o["grid"],
-            in_specs=[o["io_block"],
-                      o["full"]((o["h_pad"], 2 * o["p_pad"])),
-                      o["full"]((2 * o["p_pad"], o["h_pad"])),
-                      o["full"]((1, o["h_pad"])),
-                      o["full"]((o["num_passes"], o["p_pad"])),
-                      o["full"]((o["num_passes"], o["p_pad"])),
-                      o["full"]((o["t"], o["p_pad"])),
-                      o["full"]((o["t"], o["p_pad"]))],
+            in_specs=in_specs,
             out_specs=o["io_block"],
             out_shape=jax.ShapeDtypeStruct((o["b"], o["l_pad"], o["h_pad"]),
                                            jnp.float32),
             scratch_shapes=[pltpu.VMEM((1, o["p_pad"]), jnp.float32),
                             pltpu.VMEM((1, o["p_pad"]), jnp.float32)],
             interpret=interpret,
-        )(o["u"], o["w_b"], o["w_c"], o["d"], o["pow_re"], o["pow_im"],
-          o["ctab"][0], o["ctab"][1])
+        )(*operands)
         return out[:, :o["l"], :o["h"]]
 
     # batch-dim SPMD rule: DP-sharded inputs run the kernel per shard
@@ -254,6 +273,13 @@ def fused_s5_apply(
     from sparsernns_tpu.ops.pallas.partition import (FUSED_REPLICATED,
                                                      FUSED_RULE,
                                                      batch_partitioned)
+    if with_qs:
+        # same rule + a replicated (1, 1) scale operand
+        rule = FUSED_RULE.replace(" -> ", ", q r -> ")
+        repl = FUSED_REPLICATED + ("q", "r")
+        return batch_partitioned(body, rule, repl)(
+            u, lam[0], lam[1], w_b, w_c, d,
+            qat_state_scale.reshape(1, 1))
     return batch_partitioned(body, FUSED_RULE, FUSED_REPLICATED)(
         u, lam[0], lam[1], w_b, w_c, d)
 

@@ -30,26 +30,32 @@ from sparsernns_tpu.ops.pallas.scan_kernel import pallas_diag_scan
 from sparsernns_tpu.ops.scan import Pair
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def fused_s5_apply_diff(u, lam: Pair, w_b, w_c, d,
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def fused_s5_apply_diff(u, lam: Pair, w_b, w_c, d, qat_state_scale=None,
                         block_t: int = 256, relu_state: bool = False,
                         qat_bits=None):
     """``qat_bits`` (a_bits, act_bits): forward runs with in-kernel
     activation QAT; the backward is the straight-through estimator — the
     adjoint of the unquantized linear scan (quantization treated as
-    identity), rematerialized without fake-quant."""
+    identity), rematerialized without fake-quant. ``qat_state_scale``:
+    traced global state absmax for the two-pass global-scale QAT mode
+    (zero cotangent — the scale is an STE constant like the quantization
+    itself)."""
     return fused_s5_apply(u, lam, w_b, w_c, d, block_t=block_t,
-                          relu_state=relu_state, qat_bits=qat_bits)
+                          relu_state=relu_state, qat_bits=qat_bits,
+                          qat_state_scale=qat_state_scale)
 
 
-def _fwd(u, lam, w_b, w_c, d, block_t, relu_state, qat_bits):
+def _fwd(u, lam, w_b, w_c, d, qat_state_scale, block_t, relu_state,
+         qat_bits):
     y = fused_s5_apply(u, lam, w_b, w_c, d, block_t=block_t,
-                       relu_state=relu_state, qat_bits=qat_bits)
-    return y, (u, lam, w_b, w_c, d)
+                       relu_state=relu_state, qat_bits=qat_bits,
+                       qat_state_scale=qat_state_scale)
+    return y, (u, lam, w_b, w_c, d, qat_state_scale)
 
 
 def _bwd(block_t, relu_state, qat_bits, res, g):
-    u, lam, w_b, w_c, d = res
+    u, lam, w_b, w_c, d, qat_state_scale = res
     p = w_b.shape[-1] // 2
 
     # rematerialize the state
@@ -88,7 +94,10 @@ def _bwd(block_t, relu_state, qat_bits, res, g):
     dlam_re = jnp.sum(v[0] * xp_re + v[1] * xp_im, axis=axes)
     dlam_im = jnp.sum(v[1] * xp_re - v[0] * xp_im, axis=axes)
 
-    return du, (dlam_re, dlam_im), dw_b, dw_c, dd
+    # qat_state_scale: STE — the scale is a quantization constant
+    dqs = None if qat_state_scale is None else jnp.zeros_like(
+        qat_state_scale)
+    return du, (dlam_re, dlam_im), dw_b, dw_c, dd, dqs
 
 
 fused_s5_apply_diff.defvjp(_fwd, _bwd)

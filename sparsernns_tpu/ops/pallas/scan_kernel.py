@@ -39,14 +39,20 @@ from sparsernns_tpu.ops.scan import Pair, lambda_powers
 DEFAULT_BLOCK_T = 256
 
 
-def dyn_fake_quant(x, bits):
+def dyn_fake_quant(x, bits, absmax=None):
     """Per-tensor dynamic symmetric quant-dequant (no STE — used inside
     forward-only kernels whose gradients flow through custom VJPs, where
-    STE means the backward simply ignores the quantization)."""
+    STE means the backward simply ignores the quantization).
+
+    ``absmax``: use this (traced) global absmax for the scale instead of
+    the operand's own max — the two-pass global-scale QAT mode, matching
+    the associative path's per-TENSOR dynamic scales instead of the
+    kernel's per-block ones."""
     if bits is None or bits >= 32:
         return x
     qmax = 2.0 ** (bits - 1) - 1.0
-    scale = jnp.maximum(jnp.max(jnp.abs(x)), 1e-20) / qmax
+    amax = jnp.max(jnp.abs(x)) if absmax is None else absmax
+    scale = jnp.maximum(amax, 1e-20) / qmax
     return jnp.clip(jnp.round(x / scale), -qmax - 1.0, qmax) * scale
 
 
@@ -89,6 +95,7 @@ def scan_block_body(
     *, num_passes: int, block_t: int, block_requant=None,
     carry_init=None,               # optional (re, im) (1, P) VALUES
     qat_bits=None,                 # (a_bits, act_bits): in-scan QAT
+    qat_scale=None,                # traced global state absmax (scalar)
 ):
     """Shared in-kernel scan block: doubling passes + carry reset/fold +
     optional block requant + carry store. Used by both the standalone scan
@@ -104,6 +111,10 @@ def scan_block_body(
     the reference's quant_binary_operator hadamards (ssm.py:54-77), whose
     per-combine-level scales the associative path applies globally. The
     λ-power tables are quantized to ``a_bits`` by the wrapper.
+
+    ``qat_scale``: traced global state absmax — when given, every state
+    fake-quant in this body uses it instead of the per-block maxima
+    (two-pass global-scale QAT, ssm.qat_global_scales).
     """
     act_bits = qat_bits[1] if qat_bits is not None else None
     # Intra-block inclusive scan: x += λ^d ⊙ shift(x, d), d = 1,2,4,...
@@ -115,8 +126,8 @@ def scan_block_body(
         sh_re = jnp.concatenate([pad, x_re[: block_t - d]], axis=0)
         sh_im = jnp.concatenate([pad, x_im[: block_t - d]], axis=0)
         if act_bits is not None:
-            sh_re = dyn_fake_quant(sh_re, act_bits)
-            sh_im = dyn_fake_quant(sh_im, act_bits)
+            sh_re = dyn_fake_quant(sh_re, act_bits, qat_scale)
+            sh_im = dyn_fake_quant(sh_im, act_bits, qat_scale)
         x_re = x_re + (lr * sh_re - li * sh_im)
         x_im = x_im + (lr * sh_im + li * sh_re)
 
@@ -134,8 +145,8 @@ def scan_block_body(
     cr = carry_re[...]  # (1, P)
     ci = carry_im[...]
     if act_bits is not None:
-        cr = dyn_fake_quant(cr, act_bits)
-        ci = dyn_fake_quant(ci, act_bits)
+        cr = dyn_fake_quant(cr, act_bits, qat_scale)
+        ci = dyn_fake_quant(ci, act_bits, qat_scale)
     tr = ctab_re_ref[...]
     ti = ctab_im_ref[...]
     x_re = x_re + (tr * cr - ti * ci)
@@ -145,8 +156,8 @@ def scan_block_body(
         # block-output state quantization: what the downstream C
         # projection (and the next block's carry) sees — mirrors the
         # fake_quant(xs) operand quantization of the faithful path
-        x_re = dyn_fake_quant(x_re, act_bits)
-        x_im = dyn_fake_quant(x_im, act_bits)
+        x_re = dyn_fake_quant(x_re, act_bits, qat_scale)
+        x_im = dyn_fake_quant(x_im, act_bits, qat_scale)
 
     if block_requant is not None:
         # Static-quant serving semantics at block granularity: requantize

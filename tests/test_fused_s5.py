@@ -71,7 +71,7 @@ def test_fused_vjp_matches_composed_grads(rng):
     d = jnp.asarray(rng.randn(h) * 0.3, jnp.float32)
 
     def loss_fused(u, lam, w_b, w_c, d):
-        y = fused_s5_apply_diff(u, lam, w_b, w_c, d, 32, False)
+        y = fused_s5_apply_diff(u, lam, w_b, w_c, d, block_t=32, relu_state=False)
         return jnp.sum(y ** 2)
 
     def loss_ref(u, lam, w_b, w_c, d):
@@ -98,7 +98,7 @@ def test_fused_vjp_relu_state_grads(rng):
     d = jnp.zeros((h,), jnp.float32)
 
     def loss_fused(w_b):
-        y = fused_s5_apply_diff(u, lam, w_b, w_c, d, 32, True)
+        y = fused_s5_apply_diff(u, lam, w_b, w_c, d, block_t=32, relu_state=True)
         return jnp.sum(y ** 2)
 
     def loss_ref(w_b):
