@@ -39,12 +39,26 @@ def main(per_device_batch: int = 4, seq_len: int = 3751, d_io: int = 257):
     from __graft_entry__ import _flagship_model
     from sparsernns_tpu.parallel.mesh import MeshConfig, make_mesh
 
+    # Timing-trust canary (bench.py): on a backend with an unbounded
+    # dispatch queue + no-op sync, per-device wall-clocks are backlog
+    # artifacts and the efficiency RATIO is meaningless noise.
+    timeable = True
+    if jax.default_backend() == "tpu":
+        import bench
+        from sparsernns_tpu.utils.profiling import chip_peaks
+        try:
+            with bench._alarm(bench.BENCH_MODE_TIMEOUT_S):
+                timeable = bench._canary_check(chip_peaks())["wallclock"]
+        except Exception as e:  # noqa: BLE001
+            print(f"[scaling] canary failed ({e}); keeping wall-clock",
+                  file=sys.stderr)
+
     n_total = len(jax.devices())
     model = _flagship_model(training=False, scan_mode="fused")
 
     results = {}
     n = 1
-    while n <= n_total:
+    while timeable and n <= n_total:
         devices = jax.devices()[:n]
         mesh = make_mesh(MeshConfig(data=n, model=1, seq=1),
                          devices=devices)
@@ -107,6 +121,18 @@ def main(per_device_batch: int = 4, seq_len: int = 3751, d_io: int = 257):
     except Exception as e:  # keep the bench robust
         print(f"[scaling] comms model failed: {e}", file=sys.stderr)
 
+    if not results:
+        # untimeable backend: report only the comms-model prediction,
+        # clearly labelled (never a backlog artifact)
+        print(json.dumps({
+            "metric": "ndns_s5_scaling_efficiency",
+            "value": (predicted or {}).get("predicted_2host_efficiency"),
+            "unit": "fraction",
+            "devices": None,
+            "measurement": "comms-model(untimeable-backend)",
+            "comms_model": predicted,
+        }))
+        return
     best_n = max(results)
     print(json.dumps({
         "metric": "ndns_s5_scaling_efficiency",
