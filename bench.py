@@ -302,18 +302,27 @@ def _canary_check(peaks) -> dict:
 
     The canary is model-independent: K chained (4096,4096) bf16 matmul
     chains whose pure-MXU floor (K*2*4096^3/peak ≈ 5.6 ms at K=8) sits
-    far above dispatch overhead. Steady-state per-iter time below
-    SOL_MARGIN*floor proves the backend cannot time execution. The
-    saturation variant re-checks under a ballast pin with every
-    iteration's output retained (~3 GB in flight) — if even that stays
-    below the floor, allocator backpressure is broken too and
+    far above dispatch overhead (profiling.timing_trust_canary — shared
+    with bench_scaling and the block_t autotuner). Steady-state per-iter
+    time below SOL_MARGIN*floor proves the backend cannot time
+    execution. The saturation variant re-checks under a ballast pin with
+    every iteration's output retained (~3 GB in flight) — if even that
+    stays below the floor, allocator backpressure is broken too and
     saturated-queue timings are equally inadmissible."""
+    from sparsernns_tpu.utils.profiling import timing_trust_canary
     peak_flops, _ = peaks
     n, k_mm = 4096, 8
     floor = k_mm * 2 * n**3 / peak_flops
 
-    def steady(extra_retained=0, reserve_gb=None):
-        ballast = _ballast(reserve_gb * 2**30) if reserve_gb else None
+    wallclock, t_plain, _ = timing_trust_canary(peak_flops)
+    _log(f"canary: plain steady {t_plain * 1e3:.2f} ms/iter vs floor "
+         f"{floor * 1e3:.2f} ms -> wall-clock "
+         f"{'OK' if wallclock else 'UNTIMEABLE (unbounded queue)'}")
+    if wallclock:
+        return {"wallclock": True, "saturation": True}
+
+    def steady_saturated():
+        ballast = _ballast(2.0 * 2**30)
         x = jnp.full((n, n), 1e-2, jnp.bfloat16)
         w = jnp.full((n, n), 1e-4, jnp.bfloat16)
 
@@ -333,21 +342,13 @@ def _canary_check(peaks) -> dict:
         t0 = time.perf_counter()
         for _ in range(iters):
             prev = f(prev, w)
-            if extra_retained:
-                retained.append(prev)  # hold buffers → allocator pressure
+            retained.append(prev)  # hold buffers → allocator pressure
         _sync(prev)
         dt = (time.perf_counter() - t0) / iters
         del ballast, retained
         return dt
 
-    t_plain = steady()
-    wallclock = t_plain >= SOL_MARGIN * floor
-    _log(f"canary: plain steady {t_plain * 1e3:.2f} ms/iter vs floor "
-         f"{floor * 1e3:.2f} ms -> wall-clock "
-         f"{'OK' if wallclock else 'UNTIMEABLE (unbounded queue)'}")
-    if wallclock:
-        return {"wallclock": True, "saturation": True}
-    t_sat = steady(extra_retained=1, reserve_gb=2.0)
+    t_sat = steady_saturated()
     saturation = t_sat >= SOL_MARGIN * floor
     _log(f"canary: saturated steady {t_sat * 1e3:.2f} ms/iter -> "
          f"saturation {'OK' if saturation else 'BROKEN (no backpressure)'}")

@@ -137,6 +137,36 @@ def _build_dispatch(mode: str, block_t: int, b: int, l: int, h: int,
     return dispatch, xla_bytes
 
 
+_WALLCLOCK_TRUSTED = None
+
+
+def _wallclock_trusted() -> bool:
+    """Once-per-process timing-trust canary (profiling.timing_trust_canary
+    — bench.py's regime detector). Non-TPU backends are trusted (tests,
+    CPU interpret runs)."""
+    global _WALLCLOCK_TRUSTED
+    if _WALLCLOCK_TRUSTED is None:
+        import jax
+
+        from sparsernns_tpu.utils.profiling import (chip_peaks,
+                                                    timing_trust_canary)
+        if jax.default_backend() != "tpu":
+            _WALLCLOCK_TRUSTED = True
+        else:
+            try:
+                ok, t_iter, floor = timing_trust_canary(chip_peaks()[0])
+                if not ok:
+                    print(f"[autotune] canary: steady {t_iter*1e3:.2f} ms "
+                          f"vs floor {floor*1e3:.2f} ms — wall-clock "
+                          "untrusted on this backend", file=sys.stderr)
+                _WALLCLOCK_TRUSTED = ok
+            except Exception as e:  # noqa: BLE001
+                print(f"[autotune] canary failed ({e}); trusting wall-clock",
+                      file=sys.stderr)
+                _WALLCLOCK_TRUSTED = True
+    return _WALLCLOCK_TRUSTED
+
+
 def measure_candidate(mode: str, block_t: int, b: int, l: int, h: int,
                       p: int, iters: int = 8,
                       use_profiler: Optional[bool] = None) -> dict:
@@ -171,6 +201,12 @@ def measure_candidate(mode: str, block_t: int, b: int, l: int, h: int,
             # the subprocess timeout. Report the failure immediately.
             return failure
     if len(durs) < 3:
+        if not _wallclock_trusted():
+            # canary-proven untimeable backend (bench.py's regime): a
+            # wall-clock here would be a backlog artifact; candidates
+            # must not win on noise
+            failure["source"] = "untimeable-backend"
+            return failure
         try:
             out = dispatch(None)  # warm/compile
             jax.block_until_ready(out)

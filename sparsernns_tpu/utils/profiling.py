@@ -95,6 +95,51 @@ def chip_peaks(device=None):
     return DEFAULT_PEAKS
 
 
+def timing_trust_canary(peak_flops: float, iters: int = 16,
+                        drain: int = 8, k_mm: int = 8, n: int = 4096):
+    """Can this backend's wall-clock time execution AT ALL?
+
+    Runs ``iters`` chained iterations of a K-matmul chain whose pure-MXU
+    floor (k_mm * 2 * n^3 / peak) sits far above per-dispatch overhead,
+    after ``drain`` untimed iterations to absorb compile backlog. On a
+    backend with an unbounded dispatch queue and a no-op sync (observed
+    on the round-2 tunnel), the steady-state per-iter time lands far
+    BELOW the floor — proof that no wall-clock in this process measures
+    execution. Returns (trusted, t_iter_s, floor_s). Model-independent;
+    shared by bench.py, bench_scaling.py, and the block_t autotuner.
+    """
+    import time as _time
+
+    floor = k_mm * 2.0 * float(n) ** 3 / peak_flops
+    x = jnp.full((n, n), 1e-2, jnp.bfloat16)
+    w = jnp.full((n, n), 1e-4, jnp.bfloat16)
+
+    @jax.jit
+    def f(a, b):
+        for _ in range(k_mm):
+            a = (a @ b) * jnp.bfloat16(1e-4)
+        return a
+
+    out = f(x, w)
+    try:
+        jax.block_until_ready(out)
+    except Exception:  # noqa: BLE001 - sync itself may be broken
+        pass
+    prev = x
+    for _ in range(drain):
+        prev = f(prev, w)
+    t0 = _time.perf_counter()
+    for _ in range(iters):
+        prev = f(prev, w)
+    try:
+        jax.block_until_ready(prev)
+    except Exception:  # noqa: BLE001
+        pass
+    t_iter = (_time.perf_counter() - t0) / iters
+    # same margin as the bench speed-of-light gate
+    return t_iter >= 0.6 * floor, t_iter, floor
+
+
 def model_forward_flops(b: int, l: int, d_io: int, h: int, p: int,
                         n_layers: int, glu_variant: str = "half1") -> float:
     """Analytic forward FLOPs for the NDNS S5 stack (encoder + n_layers
