@@ -305,64 +305,30 @@ def _canary_check(peaks) -> dict:
     far above dispatch overhead (profiling.timing_trust_canary — shared
     with bench_scaling and the block_t autotuner). Steady-state per-iter
     time below SOL_MARGIN*floor proves the backend cannot time
-    execution. The saturation variant re-checks under a ballast pin with
-    every iteration's output retained (~3 GB in flight) — if even that
+    execution. The saturation variant re-checks under a ballast pin
+    (all HBM minus 128 MiB) with every timed output retained (512 MB —
+    a working allocator must pace dispatch by ~iter 4) — if even that
     stays below the floor, allocator backpressure is broken too and
     saturated-queue timings are equally inadmissible."""
     from sparsernns_tpu.utils.profiling import timing_trust_canary
     peak_flops, _ = peaks
-    n, k_mm = 4096, 8
-    floor = k_mm * 2 * n**3 / peak_flops
 
-    wallclock, t_plain, _ = timing_trust_canary(peak_flops)
+    wallclock, t_plain, floor = timing_trust_canary(peak_flops)
     _log(f"canary: plain steady {t_plain * 1e3:.2f} ms/iter vs floor "
          f"{floor * 1e3:.2f} ms -> wall-clock "
          f"{'OK' if wallclock else 'UNTIMEABLE (unbounded queue)'}")
     if wallclock:
         return {"wallclock": True, "saturation": True}
 
-    def steady_saturated():
-        ballast = _ballast(2.0 * 2**30)
-        x = jnp.full((n, n), 1e-2, jnp.bfloat16)
-        w = jnp.full((n, n), 1e-4, jnp.bfloat16)
-
-        @jax.jit
-        def f(a, b):
-            for _ in range(k_mm):
-                a = (a @ b) * jnp.bfloat16(1e-4)
-            return a
-
-        out = f(x, w)
-        _sync(out)
-        retained = []
-        prev = x
-        for _ in range(8):  # drain warmup/compile backlog
-            prev = f(prev, w)
-        iters = 16
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            prev = f(prev, w)
-            retained.append(prev)  # hold buffers → allocator pressure
-        _sync(prev)
-        dt = (time.perf_counter() - t0) / iters
-        del ballast, retained
-        return dt
-
-    t_sat = steady_saturated()
-    saturation = t_sat >= SOL_MARGIN * floor
+    saturation, t_sat, _ = timing_trust_canary(peak_flops, saturate=True)
     _log(f"canary: saturated steady {t_sat * 1e3:.2f} ms/iter -> "
          f"saturation {'OK' if saturation else 'BROKEN (no backpressure)'}")
     return {"wallclock": False, "saturation": saturation}
 
 
 def _hbm_limit() -> int:
-    try:
-        stats = jax.devices()[0].memory_stats()
-        if stats and stats.get("bytes_limit"):
-            return int(stats["bytes_limit"])
-    except Exception:
-        pass
-    return int(15.5 * 2**30)  # v5e default
+    from sparsernns_tpu.utils.profiling import hbm_limit
+    return hbm_limit()
 
 
 def _ballast(reserve_bytes: int):

@@ -45,10 +45,18 @@ def main(per_device_batch: int = 4, seq_len: int = 3751, d_io: int = 257):
     timeable = True
     if jax.default_backend() == "tpu":
         import bench
-        from sparsernns_tpu.utils.profiling import chip_peaks
+        from sparsernns_tpu.utils.profiling import (chip_peaks,
+                                                    timing_trust_canary)
         try:
+            # plain canary only: this bench never uses saturated-queue
+            # timings, so the ballast variant would be wasted work
             with bench._alarm(bench.BENCH_MODE_TIMEOUT_S):
-                timeable = bench._canary_check(chip_peaks())["wallclock"]
+                timeable, t_iter, floor = timing_trust_canary(
+                    chip_peaks()[0])
+                if not timeable:
+                    print(f"[scaling] canary: steady {t_iter*1e3:.2f} ms "
+                          f"vs floor {floor*1e3:.2f} ms — wall-clock "
+                          "untrusted", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"[scaling] canary failed ({e}); keeping wall-clock",
                   file=sys.stderr)

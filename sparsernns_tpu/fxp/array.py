@@ -356,7 +356,14 @@ def fxp_log_softmax(x: FxpArray, out_bits: int = 16,
     r = 16                       # exp(z) ≈ 0 below z = -r
     se = 15                      # exp-LUT output frac bits (unsigned)
     if e < ke:                   # too coarse for the LUT segments
-        x = fxp_change_cfg(x, max(x.bits, 16), ke + 2, x.signed)
+        # widen bits BY the exponent shift so large-magnitude logits are
+        # not clipped by the recast (fxp_change_cfg saturates at the OLD
+        # width before widening, which collapsed distinct logits >
+        # 2^(bits-1-ke-2+e) to identical log-probs); int32 codes cap the
+        # widening at 31 bits
+        sh = ke + 2 - e
+        x = FxpArray(x.data.astype(jnp.int32) << sh,
+                     min(x.bits + sh, 31), ke + 2, x.signed).clip()
         e = x.exp
 
     # z = x - max(x) over the last axis (exact in integers), clipped to
@@ -383,13 +390,14 @@ def fxp_log_softmax(x: FxpArray, out_bits: int = 16,
         RoundingMode.ROUND).astype(jnp.int32)    # (..., N) at 2^-se
 
     # ---- s = sum exp(z): in [2^se, N * 2^se] ----
+    # int32-safe for N <= 2^(31-se) = 65536 classes
     s = jnp.sum(ez.astype(_wide_dtype()), axis=-1, keepdims=True)
     s = jnp.maximum(s, 1)
 
     # ---- ln(s / 2^se) = (b - se + log2(mantissa)) * ln2 ----
-    # MSB position b by integer compares (no float ops): s < 2^(se+32)
+    # MSB position b by integer compares (no float ops)
     n_lead = int(np.ceil(np.log2(max(2, x.data.shape[-1])))) + 1
-    b = se
+    b = jnp.full_like(s, se)
     for i in range(se + 1, se + n_lead + 1):
         b = b + (s >= (1 << i)).astype(s.dtype)
     k2 = 5                       # log2-LUT segment width = 2^-k2
@@ -399,16 +407,25 @@ def fxp_log_softmax(x: FxpArray, out_bits: int = 16,
     ly0 = jnp.asarray(np.round(vals2[:-1] * (1 << l2e)), jnp.int32)
     lslope = jnp.asarray(
         np.round((vals2[1:] - vals2[:-1]) * (1 << l2e)), jnp.int32)
-    sh2 = b - k2                                 # dynamic per-element
-    idx2 = (s >> sh2) - (1 << k2)
+    # normalize to a 15-bit mantissa FIRST so every later product stays
+    # int32-safe regardless of b (a direct lslope * frac2 overflows for
+    # heads past ~2k classes): mant in [2^14, 2^15)
+    mbits = k2 + 10
+    mant = s >> (b - (mbits - 1))
+    idx2 = (mant >> (mbits - 1 - k2)) - (1 << k2)        # [0, 2^k2)
     idx2 = jnp.clip(idx2, 0, (1 << k2) - 1).astype(jnp.int32)
-    frac2 = s - ((idx2 + (1 << k2)).astype(s.dtype) << sh2)
-    prod = lslope[idx2].astype(_wide_dtype()) * frac2
-    log2m = ly0[idx2] + jnp.right_shift(prod, sh2).astype(jnp.int32)
-    # ln s_f at frac bits l2e: ((b - se) << l2e + log2m) * ln2
+    frac2 = mant - ((idx2 + (1 << k2)).astype(s.dtype)
+                    << (mbits - 1 - k2))                  # [0, 2^9)
+    prod = lslope[idx2] * frac2.astype(jnp.int32)         # < 2^24
+    log2m = ly0[idx2] + fxp_rshift_round(prod, mbits - 1 - k2,
+                                         RoundingMode.ROUND)
+    # ln s_f at frac bits l2e, split so both products stay in int32:
+    # (b-se)*ln2 (integer part) + log2m*ln2 (fractional part)
     ln2_q = int(round(np.log(2.0) * (1 << 14)))  # ln2 at 14 frac bits
-    log2s = ((b - se).astype(_wide_dtype()) << l2e) + log2m
-    ln_s = fxp_rshift_round(log2s * ln2_q, 14, RoundingMode.ROUND)
+    assert l2e == 14
+    ln_int = (b - se).astype(jnp.int32) * ln2_q           # frac bits 14
+    ln_frac = fxp_rshift_round(log2m * ln2_q, 14, RoundingMode.ROUND)
+    ln_s = ln_int + ln_frac
 
     # ---- y = z - ln(s), assembled at out_exp ----
     dz = out_exp - e

@@ -14,6 +14,7 @@ import time
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
 
 @contextlib.contextmanager
@@ -95,8 +96,21 @@ def chip_peaks(device=None):
     return DEFAULT_PEAKS
 
 
+def hbm_limit(default_bytes: int = int(15.5 * 2**30)) -> int:
+    """Device HBM capacity from memory_stats, v5e default otherwise."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+    except Exception:  # noqa: BLE001 - backend without memory_stats
+        pass
+    return default_bytes
+
+
 def timing_trust_canary(peak_flops: float, iters: int = 16,
-                        drain: int = 8, k_mm: int = 8, n: int = 4096):
+                        drain: int = 8, k_mm: int = 8, n: int = 4096,
+                        saturate: bool = False,
+                        reserve_bytes: int = 128 << 20):
     """Can this backend's wall-clock time execution AT ALL?
 
     Runs ``iters`` chained iterations of a K-matmul chain whose pure-MXU
@@ -107,10 +121,25 @@ def timing_trust_canary(peak_flops: float, iters: int = 16,
     BELOW the floor — proof that no wall-clock in this process measures
     execution. Returns (trusted, t_iter_s, floor_s). Model-independent;
     shared by bench.py, bench_scaling.py, and the block_t autotuner.
+
+    ``saturate``: re-check under allocator backpressure — a ballast pins
+    all HBM except ``reserve_bytes`` and every timed output is RETAINED
+    (iters x 32 MB = 512 MB at the defaults, well past the 128 MiB
+    reserve, so a working allocator must block dispatch by ~iter 4). If
+    even this stays below the floor, allocator accounting is broken too
+    and saturated-queue timings are inadmissible.
     """
     import time as _time
 
     floor = k_mm * 2.0 * float(n) ** 3 / peak_flops
+    ballast = None
+    if saturate:
+        size = (hbm_limit() - int(reserve_bytes)) // 4
+        if size > 0:
+            try:
+                ballast = jnp.zeros((size,), jnp.float32)
+            except Exception:  # noqa: BLE001 - allocation refused
+                ballast = None
     x = jnp.full((n, n), 1e-2, jnp.bfloat16)
     w = jnp.full((n, n), 1e-4, jnp.bfloat16)
 
@@ -125,17 +154,21 @@ def timing_trust_canary(peak_flops: float, iters: int = 16,
         jax.block_until_ready(out)
     except Exception:  # noqa: BLE001 - sync itself may be broken
         pass
+    retained = []
     prev = x
     for _ in range(drain):
         prev = f(prev, w)
     t0 = _time.perf_counter()
     for _ in range(iters):
         prev = f(prev, w)
+        if saturate:
+            retained.append(prev)  # hold buffers -> allocator pressure
     try:
         jax.block_until_ready(prev)
     except Exception:  # noqa: BLE001
         pass
     t_iter = (_time.perf_counter() - t0) / iters
+    del ballast, retained
     # same margin as the bench speed-of-light gate
     return t_iter >= 0.6 * floor, t_iter, floor
 

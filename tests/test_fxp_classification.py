@@ -80,3 +80,30 @@ def test_profiling_cost_model():
         with t:
             pass
     assert t.mean >= 0 and len(t.times) == 2
+
+
+def test_fxp_log_softmax_wide_and_coarse_heads():
+    """Review regressions: (a) a coarse-exponent recast used to saturate
+    at the OLD bit width, collapsing distinct large logits to identical
+    log-probs; (b) the log2-mantissa product overflowed int32 for heads
+    past ~2k classes, returning positive 'log-probs'."""
+    from sparsernns_tpu.fxp.array import (FxpArray, fxp_from_fp,
+                                          fxp_log_softmax)
+    # (a) exp=1 logits [5000, 2000, 0]: winner must stay separated
+    x = FxpArray(jnp.asarray([[10000, 4000, 0]], jnp.int32), 16, 1)
+    y = np.asarray(fxp_log_softmax(x).to_float())
+    assert y[0, 0] > -0.01 and y[0, 1] < -10 and y[0, 2] < -10, y
+    # moderate values at a coarse exp track the float reference
+    x2 = FxpArray(jnp.asarray([[20, 10, 0]], jnp.int32), 16, 1)
+    y2 = np.asarray(fxp_log_softmax(x2).to_float())
+    ref2 = np.asarray(jax.nn.log_softmax(x2.to_float(), axis=-1))
+    assert np.abs(y2 - ref2).max() < 5e-3
+    # (b) 4096-class near-uniform head: all log-probs ~ -ln(4096), never
+    # positive, within the LUT error of the float reference
+    rng = np.random.RandomState(0)
+    fx = fxp_from_fp(jnp.asarray(rng.randn(2, 4096) * 0.01), bits=16,
+                     exp=10)
+    y3 = np.asarray(fxp_log_softmax(fx).to_float())
+    ref3 = np.asarray(jax.nn.log_softmax(fx.to_float(), axis=-1))
+    assert (y3 <= 0).all()
+    assert np.abs(y3 - ref3).max() < 5e-3
