@@ -30,6 +30,7 @@ from typing import Callable, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
@@ -43,12 +44,17 @@ class RoundingMode(enum.Enum):
 
 def round_array(x: Array, round_mode: RoundingMode = RoundingMode.FLOOR,
                 dtype=jnp.int32) -> Array:
+    # numpy stays numpy: module packing is HOST-side and must not create
+    # device arrays (closure-captured device constants need a
+    # device->host readback at trace time, which some transports cannot
+    # do — this broke build_fxp_model + jit on the real TPU)
+    xp = np if isinstance(x, np.ndarray) else jnp
     if round_mode == RoundingMode.ROUND:
-        return jnp.round(x).astype(dtype)
+        return xp.round(x).astype(dtype)
     if round_mode == RoundingMode.CEIL:
-        return jnp.ceil(x).astype(dtype)
+        return xp.ceil(x).astype(dtype)
     if round_mode == RoundingMode.FLOOR:
-        return jnp.floor(x).astype(dtype)
+        return xp.floor(x).astype(dtype)
     raise NotImplementedError(f"rounding mode {round_mode}")
 
 
@@ -103,8 +109,10 @@ class FxpArray:
         return self.data.astype(jnp.float32) / (1 << self.exp)
 
     def clip(self) -> "FxpArray":
+        # numpy stays numpy (host-side packing; see round_array)
+        xp = np if isinstance(self.data, np.ndarray) else jnp
         return FxpArray(
-            data=jnp.clip(self.data, self.minval(), self.maxval()),
+            data=xp.clip(self.data, self.minval(), self.maxval()),
             bits=self.bits, exp=self.exp, signed=self.signed)
 
     def overflow_count(self) -> Array:
@@ -165,10 +173,12 @@ def _wide_dtype():
 
 def fxp_from_fp(x: Array, bits: int = 16, exp: int = 8, signed: bool = True,
                 round_mode: RoundingMode = RoundingMode.FLOOR) -> FxpArray:
-    """Quantize float -> fxp (reference fxparray.py:287-307)."""
+    """Quantize float -> fxp (reference fxparray.py:287-307). numpy in ->
+    numpy out (host-side weight packing; see round_array)."""
+    xp = np if isinstance(x, np.ndarray) else jnp
     xint = x * (1 << exp)
     if not signed:
-        xint = jnp.abs(xint)
+        xint = xp.abs(xint)
     data = round_array(xint, round_mode)
     return FxpArray(data=data, bits=bits, exp=exp, signed=signed).clip()
 

@@ -66,7 +66,10 @@ def spec_for(x: np.ndarray | jax.Array, bits: int,
     absmax/qmax is the same quantity up to the rounding convention, and we
     pick the convention that matches our own calibration.)
     """
-    absmax = float(jnp.max(jnp.abs(x)))
+    # pure numpy: engine/fxp packing is HOST-side and must not round-trip
+    # through the device (some transports cannot read back — the jnp.max
+    # here made build_fxp_model fail on the real TPU)
+    absmax = float(np.max(np.abs(np.asarray(x))))
     if absmax == 0.0 or not np.isfinite(absmax):
         return FxpSpec(bits, bits - 1 if signed else bits, signed)
     qmax = 2.0 ** (bits - 1) - 1.0
@@ -154,9 +157,9 @@ class FxpDense(FxpModule):
         self.in_spec = in_spec
         self.out_spec = out_spec
         w_spec = spec_for(kernel, w_bits)
-        self.w = w_spec.quantize(jnp.asarray(kernel))
+        self.w = w_spec.quantize(np.asarray(kernel))
         acc_exp = in_spec.exp + w_spec.exp
-        self.bias = (fxp_from_fp(jnp.asarray(bias), 32, acc_exp,
+        self.bias = (fxp_from_fp(np.asarray(bias), 32, acc_exp,
                                  round_mode=RoundingMode.ROUND)
                      if bias is not None else None)
 
@@ -184,9 +187,9 @@ class FxpBatchNorm(FxpModule):
         b = np.asarray(bias) - np.asarray(mean) * w
         w = np.nan_to_num(w, nan=1.0, posinf=1.0, neginf=1.0)
         b = np.nan_to_num(b, nan=0.0)
-        self.w = spec_for(w, w_bits).quantize(jnp.asarray(w))
+        self.w = spec_for(w, w_bits).quantize(np.asarray(w))
         self.b_spec = spec_for(b, 16)
-        self.b = self.b_spec.quantize(jnp.asarray(b))
+        self.b = self.b_spec.quantize(np.asarray(b))
         self.in_spec = in_spec
         self.out_spec = out_spec
 
@@ -219,8 +222,8 @@ class FxpSigmoid(FxpModule):
         y0 = vals[:-1]
         slope = vals[1:] - vals[:-1]  # per segment
         e = out_spec.exp
-        self.y0 = jnp.asarray(np.round(y0 * (1 << e)), jnp.int32)
-        self.slope = jnp.asarray(np.round(slope * (1 << e)), jnp.int32)
+        self.y0 = np.round(y0 * (1 << e)).astype(np.int32)
+        self.slope = np.round(slope * (1 << e)).astype(np.int32)
 
     def __call__(self, x: FxpArray) -> FxpArray:
         k = self.half_log2
@@ -237,8 +240,13 @@ class FxpSigmoid(FxpModule):
         idx = (data >> shift) + offset
         idx = jnp.clip(idx, 0, n_seg - 1)
         frac = data - ((idx - offset) << shift)  # in [0, 2^shift)
-        y = self.y0[idx] + fxp_rshift_round(
-            self.slope[idx] * frac, shift, RoundingMode.ROUND)
+        # tables are stored as numpy (host-side packing; model.py keeps
+        # ALL module constants off-device so tracing never needs a
+        # readback) — jnp.asarray here embeds them at trace time
+        y0 = jnp.asarray(self.y0)
+        slope = jnp.asarray(self.slope)
+        y = y0[idx] + fxp_rshift_round(
+            slope[idx] * frac, shift, RoundingMode.ROUND)
         out = FxpArray(y, self.out_spec.bits, self.out_spec.exp,
                        self.out_spec.signed).clip()
         self.sow("output", out)
@@ -282,15 +290,15 @@ class FxpSSM(FxpModule):
         self.relufication = relufication
         self.topk = topk
         self.a = ComplexFxpArray(
-            real=specs.a[0].quantize(jnp.asarray(lam_bar[0])),
-            imag=specs.a[1].quantize(jnp.asarray(lam_bar[1])))
+            real=specs.a[0].quantize(np.asarray(lam_bar[0])),
+            imag=specs.a[1].quantize(np.asarray(lam_bar[1])))
         # store transposed for (L, H) @ (H, P) matmuls
-        self.b_re = specs.b[0].quantize(jnp.asarray(b_bar[0].T))
-        self.b_im = specs.b[1].quantize(jnp.asarray(b_bar[1].T))
-        self.c_re = specs.c[0].quantize(jnp.asarray(c_tilde[0].T))
-        self.c_im = specs.c[1].quantize(jnp.asarray(c_tilde[1].T))
-        self.d = specs.d.quantize(jnp.asarray(d))
-        self.d_bias = (spec_for(d_bias, 16).quantize(jnp.asarray(d_bias))
+        self.b_re = specs.b[0].quantize(np.asarray(b_bar[0].T))
+        self.b_im = specs.b[1].quantize(np.asarray(b_bar[1].T))
+        self.c_re = specs.c[0].quantize(np.asarray(c_tilde[0].T))
+        self.c_im = specs.c[1].quantize(np.asarray(c_tilde[1].T))
+        self.d = specs.d.quantize(np.asarray(d))
+        self.d_bias = (spec_for(d_bias, 16).quantize(np.asarray(d_bias))
                        if d_bias is not None else None)
 
     def __call__(self, u: FxpArray) -> Tuple[FxpArray, ComplexFxpArray]:
