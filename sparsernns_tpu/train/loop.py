@@ -59,7 +59,8 @@ def build_model(cfg: RunConfig, d_input: int, d_output: int,
         q_config=q_config,
         scan_mode="sp" if sp_mesh is not None
         else (scan_mode or cfg.scan_mode),
-        sp_mesh=sp_mesh, block_t=cfg.block_t)
+        sp_mesh=sp_mesh, block_t=cfg.block_t,
+        qat_global_scales=cfg.qat_global_scales)
     common = dict(
         mixer_cls=mixer, n_layers=cfg.n_layers, d_model=cfg.d_model,
         dropout=cfg.p_dropout, batchnorm=cfg.batchnorm, prenorm=cfg.prenorm,

@@ -91,6 +91,9 @@ class RunConfig:
     # --- quantization ---
     quantization: str = "none"
     quant_input: Optional[float] = None
+    # fused-kernel activation-QAT with per-TENSOR scales via a two-pass
+    # global absmax (ssm.qat_global_scales); default = per-block scales
+    qat_global_scales: bool = False
 
     # --- convert pipeline stage gates (reference convert flags) ---
     convert_quantization: str = "w8a16"
