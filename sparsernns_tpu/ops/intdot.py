@@ -30,9 +30,14 @@ quantization.py:403-474, :673-816). The engine's float path SKIPS that
 input quantization; this path executes it, so it sits closer to the
 bit-faithful sequential reference than the f32 dots did.
 
-Overflow budget: |acc| <= K * 127 * 128 * 258 for reduction dim K, which
-fits int32 for K <= 512 (``max_reduction_dim``). Callers fall back to
-the f32 path beyond that (flagship shapes: K <= 384 padded).
+Overflow budget: the true product is bounded by |q|·|w| <= 2^15 · 2^7
+per term (the static grid clips to qmin = -2^(b-1), so codes reach
+-32768 and weight codes reach -128 — both extremes, same sign, multiply
+to +2^22), so the exact int32 condition is K · 2^22 <= 2^31 - 1, i.e.
+K <= 511. Padded reduction dims are 128-multiples, so the largest
+eligible K is 384 (exactly the flagship shapes); K = 512 would reach
+2^31 at the aligned -32768 x -128 corner and wrap. Callers fall back to
+the f32 path beyond the budget.
 """
 
 from __future__ import annotations
@@ -42,13 +47,15 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-#: largest (padded) reduction dim whose int32 accumulator cannot overflow:
-#: K * 127 * 128 * (256 + 1 + 1) <= 2^31 - 1
-MAX_REDUCTION_DIM = 512
+#: largest (padded) reduction dim whose int32 accumulator cannot
+#: overflow at 16-bit activation codes: K * 2^15 * 2^7 <= 2^31 - 1
+MAX_REDUCTION_DIM = 511
 
 
-def fits_int32(k_padded: int) -> bool:
-    return k_padded <= MAX_REDUCTION_DIM
+def fits_int32(k_padded: int, a_bits: int = 16) -> bool:
+    """Exact int32-accumulator condition for the decomposition:
+    K * 2^(a_bits-1) * 128 <= 2^31 - 1 (both grids clip to -2^(b-1))."""
+    return k_padded * (1 << (a_bits - 1)) * 128 <= 2**31 - 1
 
 
 def quantize_codes(x: jax.Array, scale: float, bits: int) -> jax.Array:

@@ -109,36 +109,24 @@ class NetLayerStatic(NamedTuple):
 def _value_roundtrip(h, out_requant, act_dtype):
     """The inter-layer stream store+load of the per-layer path, in VMEM
     value form: requant codes x pow2 scale are exact in f32, so this is
-    bit-identical to materializing int16/int8 (or act_dtype) in HBM."""
+    bit-identical to materializing int16/int8 (or act_dtype) in HBM.
+    The requant itself IS fused_layer._qdq — shared so the cross-route
+    bit-exactness claims rest on one implementation."""
+    from sparsernns_tpu.ops.pallas.fused_layer import _qdq
     if out_requant is not None:
-        s, bits = out_requant
-        qmax = float(2 ** (bits - 1) - 1)
-        return jnp.clip(jnp.round(h / s), -(qmax + 1.0), qmax) * s
+        return _qdq(h, out_requant)
     if act_dtype == jnp.float32:
         return h
     return h.astype(act_dtype).astype(jnp.float32)
 
 
-def _deq(w_ref):
-    w = w_ref[...]
-    return w.astype(jnp.float32) if w.dtype != jnp.float32 else w
-
-
 def _boundary_dense(x, k_ref, w_scale, in_spec, colsum_ref=None):
-    """Encoder/decoder dot inside the network kernel. ``in_spec`` set — a
-    (scale, bits) frozen grid: quantize the activation onto it and run
-    the dot on the MXU int8 path (single-plane at <= 8 bits, exact
-    two-plane at 9..16 bits via ops/intdot.py) — identical values to
-    engine.quantized_dense. Otherwise an f32 dot on the (dequantized)
-    weight with the pow2 weight scale applied to the result."""
-    from sparsernns_tpu.ops.intdot import int16_dot
-    if in_spec is None:
-        y = jnp.dot(x, _deq(k_ref), preferred_element_type=jnp.float32)
-        return y * w_scale if w_scale is not None else y
-    in_scale, in_bits = in_spec
-    cs = colsum_ref[...] if colsum_ref is not None else None
-    acc = int16_dot(x, k_ref[...], cs, in_scale, in_bits)
-    return acc * (in_scale * w_scale)
+    """Encoder/decoder dot inside the network kernel — exactly
+    fused_layer._glu_dense (one implementation for every in-kernel
+    quantized dense, so the int8-MXU/float dot logic cannot drift
+    between the per-layer and whole-network routes)."""
+    from sparsernns_tpu.ops.pallas.fused_layer import _glu_dense
+    return _glu_dense(x, k_ref, w_scale, in_spec, colsum_ref)
 
 
 def _net_call(x, enc_k, enc_b, dec_k, dec_b, layer_flat, layer_names,

@@ -149,8 +149,11 @@ def quantized_dense(x, w, bias, in_spec: Optional[Tuple[float, int]],
     if isinstance(w, BlockSparseWeight):
         # zero-tile-skipping kernel; dequant scale applied inside the
         # wrapper. (The int8-activation MXU path doesn't compose with
-        # tile skipping yet — the kernel computes in bf16/f32.)
-        return block_sparse_matmul(x, w) + bias
+        # tile skipping yet — the kernel computes in bf16/f32.) The
+        # out_spec requant still applies: dropping it here silently
+        # skipped the mxu16 mode's frozen quant_output on block-sparse
+        # encoders/decoders while every layer requant was applied.
+        return _qdq(block_sparse_matmul(x, w) + bias, out_spec)
     if (in_spec is None or not isinstance(w, QWeight)
             or w.scale is None or w.data.dtype != jnp.int8):
         return _qdq(x @ _deq(w, jnp.float32) + bias, out_spec)
@@ -270,6 +273,7 @@ def engine_layer_forward(cfg, layer: "_LayerPack", h, mixer_fn,
     ``mixer_has_aux``: the mixer returns (y, aux) — e.g. the streaming
     carry — and this function returns (h, aux). Explicit data flow, no
     closure side-effects (VERDICT round-1 weak #4)."""
+    from sparsernns_tpu.ops.pallas.fused_layer import _qdq
     from sparsernns_tpu.ops.topk import relu_top_k_sparsity, top_k_sparsity
 
     d_model = h.shape[-1]
@@ -305,10 +309,9 @@ def engine_layer_forward(cfg, layer: "_LayerPack", h, mixer_fn,
     if use_topk:
         h = top_k_sparsity(h, k)
     if layer.residual_requant is not None:
-        s, bits = layer.residual_requant
-        qmax = float(2 ** (bits - 1) - 1)
-        h = jnp.clip(jnp.round(h.astype(jnp.float32) / s),
-                     -(qmax + 1.0), qmax) * s
+        # shared _qdq: the cross-route bit-exactness rests on ONE
+        # quantize-dequantize implementation
+        h = _qdq(h.astype(jnp.float32), layer.residual_requant)
     if mixer_has_aux:
         return h, aux
     return h
@@ -508,15 +511,23 @@ class W8A16Engine:
             # quant_ut / quant_xt grids (models/ssm.py:429, :454) —
             # exact two-plane decomposition at 9..16 bits (intdot.py)
             ssm_bits = q_config.ssm_act_precision
+            # the int8-MXU decomposition needs int8 WEIGHT packs: >8-bit
+            # B/C precisions (w16a16) store int16, whose products blow
+            # the int32 budget — gate on the pack width, like
+            # quantized_dense's dtype check (review finding)
+            b_i8 = q_config.b_precision is not None \
+                and q_config.b_precision <= 8
+            c_i8 = q_config.c_precision is not None \
+                and q_config.c_precision <= 8
             mixer16 = None
             if (mxu16 and ssm_bits and ssm_bits <= 16
-                    and wb_scales is not None
+                    and wb_scales is not None and b_i8
                     and (ssm_bits <= 8 or fits_int32(_pad128(cfg.d_model)))):
                 s_ut = _get(lp, "mixer", "quant_ut", "scale")
                 if s_ut is not None:
                     mixer16 = (float(np.asarray(s_ut)), int(ssm_bits))
             st16 = bool(mxu16 and requant is not None
-                        and wc_scales is not None
+                        and wc_scales is not None and c_i8
                         and (requant[2] <= 8 or fits_int32(_pad128(p_kept))))
 
             # bit-faithful mxu16 requants: quant_but / quant_yt frozen
@@ -566,14 +577,30 @@ class W8A16Engine:
                 residual_requant=res_requant))
 
         # The whole-network kernel shares one operand list across layers,
-        # so the int8-MXU mixer sites must be all-or-none; demote to the
+        # so the int8-MXU sites must be all-or-none; demote to the
         # float dots if any layer lacks its frozen scale / int32 budget.
+        # This includes the GLU in_scales at >8 bits: their colsum
+        # operands are derived from layer 0's statics, so a per-layer
+        # presence mismatch would leave a later layer's two-plane dot
+        # without its correction row (review finding).
         if any(lp.mixer_in16 is None for lp in self.layers):
             for lp in self.layers:
                 lp.mixer_in16 = None
         if not all(lp.state16 for lp in self.layers):
             for lp in self.layers:
                 lp.state16 = False
+
+        def _cs16(spec):
+            return spec is not None and spec[1] > 8
+
+        if len({_cs16(lp.out2_in_scale) for lp in self.layers}) > 1:
+            for lp in self.layers:
+                if _cs16(lp.out2_in_scale):
+                    lp.out2_in_scale = None
+        if len({_cs16(lp.out1_in_scale) for lp in self.layers}) > 1:
+            for lp in self.layers:
+                if _cs16(lp.out1_in_scale):
+                    lp.out1_in_scale = None
 
         #: whole-layer fusion (ops/pallas/fused_layer): one kernel per
         #: layer, residual stream resident in HBM as padded int16/bf16 —
@@ -606,7 +633,12 @@ class W8A16Engine:
                 self.decoder_in_scale = None
             self._stack_ok = self._fused_stack_eligible()
 
-        #: resolved mxu16 state (introspection: which dot sites run int)
+        #: resolved mxu16 state (introspection: which dot sites run int).
+        #: ``requants`` must cover EVERY bit-faithful requant anywhere —
+        #: the sp/tp paths use it to refuse engines whose fused forward
+        #: applies requants they cannot (sampling only layer 0's
+        #: yt_requant let but/out2/out1/enc/dec requants slip through,
+        #: review finding).
         self.mxu16 = dict(
             requested=mxu16,
             mixer=self.layers[0].mixer_in16 is not None if self.layers
@@ -614,8 +646,14 @@ class W8A16Engine:
             state=bool(self.layers and self.layers[0].state16),
             dense=self.encoder_in_scale is not None
             or self.decoder_in_scale is not None,
-            requants=bool(self.layers
-                          and self.layers[0].yt_requant is not None))
+            requants=bool(
+                any(lp.yt_requant is not None
+                    or lp.but_requant is not None
+                    or lp.out2_out_requant is not None
+                    or lp.out1_out_requant is not None
+                    for lp in self.layers)
+                or self.encoder_out_requant is not None
+                or self.decoder_out_requant is not None))
         #: whole-NETWORK fusion (ops/pallas/fused_network): encoder +
         #: all layers + decoder in ONE kernel, inter-layer activations
         #: never leave VMEM — HBM traffic collapses to input read +

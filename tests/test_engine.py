@@ -605,3 +605,57 @@ def test_vmem_budget_demotes_routes(pipeline, monkeypatch):  # noqa: F811
     y_none = np.asarray(e_none(x))
     denom = max(np.abs(y_full).max(), 1.0)
     assert np.abs(y_none - y_full).max() / denom < 5e-6
+
+
+def test_engine_mxu16_demotes_int16_weight_packs(pipeline):  # noqa: F811
+    """Review regression: w16a16 packs B/C as int16, which must NOT be
+    routed onto the int8 two-plane MXU path (its int32 budget assumes
+    int8 weights). The engine demotes the mixer/state int sites and keeps
+    serving through the float dots."""
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w16a16"](static_quant=True,
+                                             calibrating=False)
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True)
+    engine = W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                         act_dtype=jnp.float32, block_t=32, mxu16=True)
+    assert not engine.mxu16["mixer"] and not engine.mxu16["state"]
+    y = np.asarray(engine(x))
+    assert np.isfinite(y).all()
+
+
+def test_engine_mxu16_requant_introspection_covers_all_sites(pipeline):  # noqa: F811
+    """The sp/tp guard keys off mxu16['requants']; it must be true
+    whenever ANY bit-faithful requant is active anywhere (not just
+    layer 0's quant_yt)."""
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True)
+    engine = W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                         act_dtype=jnp.float32, block_t=32, mxu16=True)
+    if not engine.mxu16["requested"]:
+        return
+    # the pipeline calibrates quant_output on the GLU/enc/dec denses and
+    # quant_but/quant_yt on the mixer — any one of them must flip the flag
+    any_rq = (any(lp.yt_requant is not None or lp.but_requant is not None
+                  or lp.out2_out_requant is not None
+                  for lp in engine.layers)
+              or engine.encoder_out_requant is not None
+              or engine.decoder_out_requant is not None)
+    assert engine.mxu16["requants"] == any_rq
+    # and zeroing layer 0's yt alone must NOT clear it while others remain
+    if engine.layers[0].yt_requant is not None and any(
+            lp.out2_out_requant is not None for lp in engine.layers):
+        import dataclasses as _dc
+        engine.layers[0] = _dc.replace(engine.layers[0], yt_requant=None)
+        rebuilt = bool(
+            any(lp.yt_requant is not None or lp.but_requant is not None
+                or lp.out2_out_requant is not None
+                for lp in engine.layers)
+            or engine.encoder_out_requant is not None
+            or engine.decoder_out_requant is not None)
+        assert rebuilt  # the sp/tp guard would still refuse this engine

@@ -68,3 +68,23 @@ def test_overflow_budget_at_max_dim():
                                codes=jnp.asarray(codes)))
     ref = codes.astype(np.int64) @ w.astype(np.int64)
     np.testing.assert_array_equal(acc, ref.astype(np.float32))
+
+
+def test_overflow_budget_aligned_extreme_corner():
+    """Review regression: codes = -32768 AND weight codes = -128 multiply
+    to +2^22 per term, so K = 512 reaches exactly 2^31 and wraps — the
+    old budget (K <= 512, derived with |w| <= 127) missed it. The exact
+    gate is K * 2^15 * 2^7 <= 2^31 - 1, i.e. K <= 511; padded dims make
+    384 the largest eligible K, where the aligned corner stays exact."""
+    assert not fits_int32(512)
+    assert fits_int32(511) and fits_int32(384)
+    # w8a8 codes are 2^8 narrower: huge K budget
+    assert fits_int32(2**16, a_bits=8)
+    k = 384  # largest 128-multiple inside the exact budget
+    w = np.full((k, 8), -128, np.int8)
+    codes = np.full((2, k), -32768.0, np.float32)
+    acc = np.asarray(int16_dot(jnp.zeros((2, k)), jnp.asarray(w),
+                               weight_colsum(w), 1.0, 16,
+                               codes=jnp.asarray(codes)))
+    ref = codes.astype(np.int64) @ w.astype(np.int64)
+    np.testing.assert_array_equal(acc, ref.astype(np.float32))
