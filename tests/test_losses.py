@@ -5,7 +5,9 @@ closed-form properties and numpy."""
 import jax.numpy as jnp
 import numpy as np
 
-from sparsernns_tpu.ops.stft import stft_mixer, stft_splitter
+import jax
+
+from sparsernns_tpu.ops.stft import stft_mixer, stft_mixer_fft, stft_splitter
 from sparsernns_tpu.train.losses import (accuracy, cross_entropy_loss,
                                          ndns_loss_from_mask, si_snr)
 
@@ -43,6 +45,36 @@ def test_stft_roundtrip():
     n = min(recon.shape[-1], audio.shape[-1])
     np.testing.assert_allclose(recon[:, 256:n - 256],
                                np.asarray(audio)[:, 256:n - 256], atol=1e-3)
+
+
+def test_stft_mixer_matmul_matches_fft():
+    """The MXU matmul-DFT iSTFT is the hot training path; the jax.scipy
+    FFT istft is its semantics oracle — values AND mag-gradients must
+    agree (the loss only differentiates through mag)."""
+    rng = np.random.RandomState(7)
+    for n_frames in (126, 37):  # even/odd frame counts, incl. tiny
+        t = (n_frames - 1) * 128
+        audio = jnp.asarray(rng.randn(2, t + 128), jnp.float32)
+        mag, phase = stft_splitter(audio)
+        assert mag.shape[-1] >= n_frames
+        mag, phase = mag[..., :n_frames], phase[..., :n_frames]
+        fast = stft_mixer(mag, phase)
+        ref = stft_mixer_fft(mag, phase)
+        assert fast.shape == ref.shape
+        scale = float(np.abs(np.asarray(ref)).max()) + 1e-6
+        np.testing.assert_allclose(np.asarray(fast) / scale,
+                                   np.asarray(ref) / scale, atol=2e-6)
+
+        def loss_fast(m):
+            return jnp.sum(jnp.abs(stft_mixer(m, phase)))
+
+        def loss_ref(m):
+            return jnp.sum(jnp.abs(stft_mixer_fft(m, phase)))
+
+        g_fast = np.asarray(jax.grad(loss_fast)(mag))
+        g_ref = np.asarray(jax.grad(loss_ref)(mag))
+        gs = np.abs(g_ref).max() + 1e-6
+        np.testing.assert_allclose(g_fast / gs, g_ref / gs, atol=2e-5)
 
 
 def test_ndns_loss_zero_mask_on_clean_input():
