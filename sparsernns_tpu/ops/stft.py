@@ -161,9 +161,23 @@ def stft_mixer(mag: jax.Array, phase: jax.Array, nfft: int = NFFT,
     convolutions, no layout copies. Bit-compatible with stft_mixer_fft
     (the jax.scipy istft path) to f32 matmul precision; parity pinned in
     tests/test_losses.py. Gradients flow through `mag` via the transposed
-    dot, cutting the train step's loss-path HBM bytes ~4x (PERF.md)."""
+    dot, cutting the train step's loss-path HBM bytes ~4x (PERF.md).
+
+    Bin-count handling matches the reference's `irfft(..., n=nfft)`
+    (train_helpers.py:1399-1412): inputs with FEWER than nfft//2+1
+    frequency bins are treated as a truncated one-sided spectrum and
+    zero-padded up to the full bin count; inputs with MORE bins imply
+    the caller framed at a larger nfft, which we infer as 2*(F-1)."""
+    f_in = mag.shape[-2]
+    if f_in > nfft // 2 + 1:
+        nfft = 2 * (f_in - 1)
     if nfft % hop_length != 0:
         return stft_mixer_fft(mag, phase, nfft=nfft, hop_length=hop_length)
+    if f_in < nfft // 2 + 1:
+        # zero-pad the missing high bins (irfft n=nfft semantics)
+        pad = [(0, 0)] * (mag.ndim - 2) + [(0, nfft // 2 + 1 - f_in), (0, 0)]
+        mag = jnp.pad(mag, pad)
+        phase = jnp.pad(phase, pad)
     n_frames = mag.shape[-1]
     lead = mag.shape[:-2]
     # (..., nfft+2, L): one fused elementwise producing both DFT planes

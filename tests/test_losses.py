@@ -77,6 +77,61 @@ def test_stft_mixer_matmul_matches_fft():
         np.testing.assert_allclose(g_fast / gs, g_ref / gs, atol=2e-5)
 
 
+def test_stft_mixer_pads_truncated_bins():
+    """Regression for round-2's HEAD bug: models whose feature dim F is
+    not nfft//2+1 must still mix — the reference's irfft(..., n=512)
+    zero-pads missing bins (train_helpers.py:1399-1412). F=33 is the
+    exact shape from the failed MULTICHIP_r02 dryrun."""
+    rng = np.random.RandomState(11)
+    mag = jnp.asarray(np.abs(rng.randn(2, 33, 17)), jnp.float32)
+    phase = jnp.asarray(rng.uniform(-np.pi, np.pi, (2, 33, 17)), jnp.float32)
+    fast = stft_mixer(mag, phase)  # default nfft=512, hop=128
+    assert fast.shape == (2, 16 * 128)
+    # oracle: zero-pad the spectrum to 257 bins and run the FFT path
+    pad = [(0, 0), (0, 257 - 33), (0, 0)]
+    ref = stft_mixer_fft(jnp.pad(mag, pad), jnp.pad(phase, pad))
+    scale = float(np.abs(np.asarray(ref)).max()) + 1e-6
+    np.testing.assert_allclose(np.asarray(fast) / scale,
+                               np.asarray(ref) / scale, atol=2e-6)
+
+
+def test_stft_mixer_matches_fft_at_non_512_nfft():
+    """Mixer/splitter parity at nfft=64, hop=16 — bin-count inference
+    must not regress explicit non-default framing."""
+    rng = np.random.RandomState(12)
+    audio = jnp.asarray(rng.randn(2, 2000), jnp.float32)
+    mag, phase = stft_splitter(audio, nfft=64, hop_length=16)
+    assert mag.shape[-2] == 33
+    fast = stft_mixer(mag, phase, nfft=64, hop_length=16)
+    ref = stft_mixer_fft(mag, phase, nfft=64, hop_length=16)
+    assert fast.shape == ref.shape
+    scale = float(np.abs(np.asarray(ref)).max()) + 1e-6
+    np.testing.assert_allclose(np.asarray(fast) / scale,
+                               np.asarray(ref) / scale, atol=2e-6)
+    # F > nfft//2+1 with the DEFAULT nfft: infer nfft=2*(F-1) — a
+    # 513-bin input mixes as a 1024-point iSTFT instead of crashing
+    big_mag = jnp.asarray(np.abs(rng.randn(1, 513, 9)), jnp.float32)
+    big_phase = jnp.zeros((1, 513, 9), jnp.float32)
+    out = stft_mixer(big_mag, big_phase)
+    assert out.shape == (1, 8 * 128)
+
+
+def test_ndns_loss_small_feature_dim():
+    """ndns_loss_from_mask at F=33 (the 13-test round-2 regression)."""
+    rng = np.random.RandomState(13)
+    mag = jnp.asarray(np.abs(rng.randn(2, 33, 17)), jnp.float32)
+    phase = jnp.asarray(rng.uniform(-np.pi, np.pi, (2, 33, 17)), jnp.float32)
+    audio = jnp.asarray(rng.randn(2, 16 * 128), jnp.float32)
+    loss, snr, cleaned = ndns_loss_from_mask(
+        jnp.zeros_like(mag), mag, phase, mag, audio)
+    assert np.isfinite(float(loss)) and np.isfinite(float(snr))
+    assert cleaned.shape == mag.shape
+    # and gradients flow (the train-step path)
+    g = jax.grad(lambda m: ndns_loss_from_mask(m, mag, phase, mag, audio)[0])(
+        jnp.zeros_like(mag))
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_ndns_loss_zero_mask_on_clean_input():
     rng = np.random.RandomState(3)
     audio = jnp.asarray(rng.randn(1, 16000), jnp.float32)
