@@ -33,11 +33,26 @@ bit-faithful sequential reference than the f32 dots did.
 Overflow budget: the true product is bounded by |q|·|w| <= 2^15 · 2^7
 per term (the static grid clips to qmin = -2^(b-1), so codes reach
 -32768 and weight codes reach -128 — both extremes, same sign, multiply
-to +2^22), so the exact int32 condition is K · 2^22 <= 2^31 - 1, i.e.
-K <= 511. Padded reduction dims are 128-multiples, so the largest
-eligible K is 384 (exactly the flagship shapes); K = 512 would reach
-2^31 at the aligned -32768 x -128 corner and wrap. Callers fall back to
-the f32 path beyond the budget.
+to +2^22), so the single-accumulator int32 condition is
+K · 2^22 <= 2^31 - 1, i.e. K <= 511. Padded reduction dims are
+128-multiples, so the largest single-accumulator K is 384 (exactly the
+flagship shapes at dim_scale=1).
+
+Beyond that (e.g. dim_scale=2 -> 2P=512) the dots still run on the int8
+MXU via PLANE-WISE accumulation: each int8 x int8 plane dot is bounded
+by K · 2^14 (int32-safe to K = 131071) and the lo-plane + colsum pair by
+K · 2^15 (safe to K = 65536), so the planes are accumulated separately
+in int32 and combined in f32:
+
+    acc = 256.0 * f32(hi . W) + f32((lo - 128) . W + 128 * colsum)
+
+Every integer term is exact; the one f32 add rounds only when the
+accumulator magnitude exceeds 2^24 — the same bound the <=511 path's
+final int32 -> f32 cast already had on its OUTPUT, so the returned
+value is never less precise than the single-accumulator formula's.
+MAX_REDUCTION_DIM is therefore the plane-wise budget 65536; fits_int32
+still answers the stricter single-accumulator question (used to pick
+the formula, keeping <=511-dim results bit-identical to round 2).
 """
 
 from __future__ import annotations
@@ -47,15 +62,23 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-#: largest (padded) reduction dim whose int32 accumulator cannot
-#: overflow at 16-bit activation codes: K * 2^15 * 2^7 <= 2^31 - 1
-MAX_REDUCTION_DIM = 511
+#: largest (padded) reduction dim the int path serves: plane-wise
+#: accumulation bound K * 2^15 <= 2^31 - 1 (lo-plane dot + colsum row)
+MAX_REDUCTION_DIM = 65536
 
 
 def fits_int32(k_padded: int, a_bits: int = 16) -> bool:
-    """Exact int32-accumulator condition for the decomposition:
-    K * 2^(a_bits-1) * 128 <= 2^31 - 1 (both grids clip to -2^(b-1))."""
+    """Single-int32-accumulator condition for the fused decomposition:
+    K * 2^(a_bits-1) * 128 <= 2^31 - 1 (both grids clip to -2^(b-1)).
+    Beyond this, int16_dot switches to plane-wise accumulation —
+    use fits_planewise for the serve-at-all eligibility question."""
     return k_padded * (1 << (a_bits - 1)) * 128 <= 2**31 - 1
+
+
+def fits_planewise(k_padded: int) -> bool:
+    """Plane-wise accumulation budget: every int8-plane dot is bounded
+    by K * 2^14 and the lo-plane + 128*colsum pair by K * 2^15."""
+    return k_padded <= MAX_REDUCTION_DIM
 
 
 def quantize_codes(x: jax.Array, scale: float, bits: int) -> jax.Array:
@@ -98,10 +121,18 @@ def int16_dot(x: jax.Array, w_i8: jax.Array, colsum_i32: jax.Array,
     quantization — e.g. states already requantized onto this grid.
     """
     q = quantize_codes(x, in_scale, bits) if codes is None else codes
+    k = q.shape[-1]
     if bits <= 8:
-        acc = _dot_i8(q.astype(jnp.int8), w_i8)
-    else:
+        acc = _dot_i8(q.astype(jnp.int8), w_i8).astype(jnp.float32)
+    elif fits_int32(k, bits):
         hi, lo = i16_planes(q)
         acc = (_dot_i8(hi, w_i8) * 256 + _dot_i8(lo, w_i8)
-               + colsum_i32 * 128)
-    return acc.astype(jnp.float32)
+               + colsum_i32 * 128).astype(jnp.float32)
+    else:
+        # plane-wise accumulation (K > 511): each int32 term is exact
+        # (bounds in the module docstring); ONE f32 add combines them
+        hi, lo = i16_planes(q)
+        acc = (_dot_i8(hi, w_i8).astype(jnp.float32) * 256.0
+               + (_dot_i8(lo, w_i8)
+                  + colsum_i32 * 128).astype(jnp.float32))
+    return acc

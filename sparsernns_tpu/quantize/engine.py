@@ -375,7 +375,7 @@ class W8A16Engine:
         # ``mxu16``, 9..16-bit activations run there too via the exact
         # two-plane decomposition (ops/intdot.py) when the int32
         # accumulator budget fits the (padded) reduction dim.
-        from sparsernns_tpu.ops.intdot import fits_int32
+        from sparsernns_tpu.ops.intdot import fits_planewise
         a8 = (a_bits is not None and a_bits <= 8
               and wq is not None and wq <= 8)
         dense16 = (mxu16 and a_bits is not None and 8 < a_bits <= 16
@@ -388,7 +388,7 @@ class W8A16Engine:
             """(scale, bits) for a dense whose reduction dim is k_dim."""
             if not (a8 or dense16):
                 return None
-            if a_bits > 8 and not fits_int32(_pad128(k_dim)):
+            if a_bits > 8 and not fits_planewise(_pad128(k_dim)):
                 return None
             s = _get(params, *path, "quant_input", "scale")
             if s is None:
@@ -522,13 +522,13 @@ class W8A16Engine:
             mixer16 = None
             if (mxu16 and ssm_bits and ssm_bits <= 16
                     and wb_scales is not None and b_i8
-                    and (ssm_bits <= 8 or fits_int32(_pad128(cfg.d_model)))):
+                    and (ssm_bits <= 8 or fits_planewise(_pad128(cfg.d_model)))):
                 s_ut = _get(lp, "mixer", "quant_ut", "scale")
                 if s_ut is not None:
                     mixer16 = (float(np.asarray(s_ut)), int(ssm_bits))
             st16 = bool(mxu16 and requant is not None
                         and wc_scales is not None and c_i8
-                        and (requant[2] <= 8 or fits_int32(_pad128(p_kept))))
+                        and (requant[2] <= 8 or fits_planewise(_pad128(p_kept))))
 
             # bit-faithful mxu16 requants: quant_but / quant_yt frozen
             # grids of the static path (models/ssm.py:436, :469)

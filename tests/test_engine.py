@@ -659,3 +659,79 @@ def test_engine_mxu16_requant_introspection_covers_all_sites(pipeline):  # noqa:
             or engine.encoder_out_requant is not None
             or engine.decoder_out_requant is not None)
         assert rebuilt  # the sp/tp guard would still refuse this engine
+
+
+@pytest.fixture(scope="module")
+def pipeline_p256():
+    """Calibrated pipeline at ssm_size=512 (conj-sym P=256 -> the packed
+    C projection's reduction dim is 2P=512) — the dim_scale=2 flagship
+    geometry that exceeds the single-int32-accumulator budget."""
+    from sparsernns_tpu.models.seq_model import RegressionModel
+    from sparsernns_tpu.models.ssm import make_ssm_init_fn
+    from sparsernns_tpu.models.ssm_init import blocked_dplr_init
+    from sparsernns_tpu.quantize.calibrate import calibrate
+
+    h, d_io, layers = 16, 9, 2
+
+    def model(q_config):
+        init = blocked_dplr_init(512, 8, conj_sym=True)
+        mixer = make_ssm_init_fn(
+            h=h, p=init["P"], lambda_init=init["Lambda"], v=init["V"],
+            vinv=init["Vinv"], clip_eigs=True, relufication=True,
+            q_config=q_config)
+        return RegressionModel(
+            mixer_cls=mixer, n_layers=layers, d_model=h, d_output=d_io,
+            dropout=0.0, prenorm=True, batchnorm=True, glu_variant="half1",
+            training=False, relufication=True, q_config=q_config)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 24, d_io) * 0.5, jnp.float32)
+    fp_model = model(quantization_recipes["none"]())
+    variables = fp_model.init(jax.random.PRNGKey(0), x)
+    cal_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=True)
+    frozen_params, frozen_stats = calibrate(
+        model(cal_cfg), jax.random.PRNGKey(1), x,
+        variables["params"], variables.get("batch_stats"), [x])
+    inf_model = model(quantization_recipes["w8a16"](static_quant=True,
+                                                    calibrating=False))
+    y_q = np.asarray(inf_model.apply(
+        {"params": frozen_params, "batch_stats": frozen_stats}, x))
+    return x, y_q, frozen_params, frozen_stats
+
+
+def test_engine_mxu16_w8a16_p256(pipeline_p256):
+    """VERDICT r2 #5: lift the K<=511 int32 cap. At P=256 the state
+    (C-projection) reduction dim is 2P=512 — beyond the single int32
+    accumulator — and must now serve on the int8 MXU via plane-wise
+    accumulation (ops/intdot.py) instead of silently demoting to f32
+    dots. Reference target: w8a16 at every dim, quantization.py:127-136."""
+    x, y_q, frozen_params, frozen_stats = pipeline_p256
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True)
+
+    def eng():
+        return W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                           act_dtype=jnp.float32, block_t=8, mxu16=True)
+
+    e_net = eng()
+    # the 2P=512 state site stays on the int path (the round-2 gate
+    # demoted it) and so does everything else
+    assert e_net.layers[0].w_c.shape[0] == 512
+    assert e_net.mxu16["state"] and e_net.mxu16["mixer"]
+    assert e_net.mxu16["dense"]
+
+    y_mxu = np.asarray(e_net(x))
+    denom = max(np.abs(y_q).max(), 1.0)
+    assert np.abs(y_mxu - y_q).max() / denom < 0.12
+    assert np.abs(y_mxu - y_q).mean() / denom < 0.005
+
+    # network / stack kernel routes bit-exact (plane-wise accumulation is
+    # deterministic: exact int32 terms, one f32 add)
+    if e_net._network_ok:
+        e_stk = eng()
+        e_stk._network_ok = False
+        assert np.abs(y_mxu - np.asarray(e_stk(x))).max() == 0.0

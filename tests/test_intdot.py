@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from sparsernns_tpu.ops.intdot import (MAX_REDUCTION_DIM, fits_int32,
-                                       i16_planes, int16_dot,
+                                       fits_planewise, i16_planes, int16_dot,
                                        quantize_codes, weight_colsum)
 
 
@@ -50,8 +50,9 @@ def test_precomputed_codes_path():
 
 
 def test_overflow_budget_at_max_dim():
-    """Worst-case magnitudes at K = MAX_REDUCTION_DIM stay inside int32."""
-    k = MAX_REDUCTION_DIM
+    """Worst-case magnitudes at the single-accumulator budget (K = 511)
+    stay inside int32."""
+    k = 511
     assert fits_int32(k) and not fits_int32(k + 1)
     w = np.full((k, 8), 127, np.int8)
     codes = np.full((2, k), -32768.0, np.float32)
@@ -68,6 +69,43 @@ def test_overflow_budget_at_max_dim():
                                codes=jnp.asarray(codes)))
     ref = codes.astype(np.int64) @ w.astype(np.int64)
     np.testing.assert_array_equal(acc, ref.astype(np.float32))
+
+
+def test_planewise_path_at_k512():
+    """K = 512 (dim_scale=2's 2P) exceeds the single int32 budget and
+    takes the plane-wise path — which at this K is still bit-identical
+    to the correctly-rounded int64 reference: hi.W <= 2^23 and
+    lo.W + 128*colsum <= 2^24 are both exactly f32-representable, so the
+    one combining add is the only rounding, same as the int64->f32 cast."""
+    assert not fits_int32(512) and fits_planewise(512)
+    assert fits_planewise(MAX_REDUCTION_DIM)
+    assert not fits_planewise(MAX_REDUCTION_DIM + 1)
+    rng = np.random.RandomState(3)
+    k, n, t = 512, 64, 9
+    w = rng.randint(-128, 128, size=(k, n)).astype(np.int8)
+    codes = rng.randint(-32768, 32768, size=(t, k)).astype(np.float32)
+    acc = np.asarray(int16_dot(jnp.zeros((t, k)), jnp.asarray(w),
+                               weight_colsum(w), 1.0, 16,
+                               codes=jnp.asarray(codes)))
+    ref = codes.astype(np.int64) @ w.astype(np.int64)
+    np.testing.assert_array_equal(acc, ref.astype(np.float32))
+    # the aligned worst-case corner: true acc = 512 * 2^22 = 2^31 exactly
+    w = np.full((k, 8), -128, np.int8)
+    corner = np.full((2, k), -32768.0, np.float32)
+    acc = np.asarray(int16_dot(jnp.zeros((2, k)), jnp.asarray(w),
+                               weight_colsum(w), 1.0, 16,
+                               codes=jnp.asarray(corner)))
+    ref = corner.astype(np.int64) @ w.astype(np.int64)
+    np.testing.assert_array_equal(acc, ref.astype(np.float32))
+    # zero-padding K (what the Pallas kernels see) changes nothing
+    wp = np.zeros((640, 8), np.int8)
+    wp[:k] = w
+    cp = np.zeros((2, 640), np.float32)
+    cp[:, :k] = corner
+    accp = np.asarray(int16_dot(jnp.zeros((2, 640)), jnp.asarray(wp),
+                                weight_colsum(wp), 1.0, 16,
+                                codes=jnp.asarray(cp)))
+    np.testing.assert_array_equal(accp, acc)
 
 
 def test_overflow_budget_aligned_extreme_corner():
