@@ -8,6 +8,15 @@ print the 1-device row; run under a pod slice (and with
 jax.distributed across hosts) for the real numbers.
 
 Usage: python bench_scaling.py [per_device_batch]
+       python bench_scaling.py --dryrun-2host
+
+--dryrun-2host (the 2-host readiness kit, VERDICT r2 #9): spawns TWO
+real jax.distributed processes (4 virtual CPU devices each), builds the
+8-device global mesh, and runs the FULL flagship config end to end —
+fused-kernel NDNS train steps at B=8, L=3751, d_model=192, ssm_size=256,
+3 layers with per-host input shards, then the DP serving forward. A real
+pod slice runs the same code with no edits (drop the env overrides).
+Also run by tests/test_bench_scaling_dryrun.py.
 """
 
 from __future__ import annotations
@@ -153,5 +162,122 @@ def main(per_device_batch: int = 4, seq_len: int = 3751, d_io: int = 257):
     }))
 
 
+_DRYRUN_WORKER = r"""
+import os, sys, time
+proc_id = int(sys.argv[1]); port = sys.argv[2]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=2, process_id=proc_id)
+assert jax.process_count() == 2 and len(jax.devices()) == 8
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+sys.path.insert(0, os.environ["REPO_ROOT"])
+from __graft_entry__ import _flagship_model
+from sparsernns_tpu.parallel.mesh import MeshConfig, make_mesh
+from sparsernns_tpu.parallel.sharding import shard_train_state
+from sparsernns_tpu.train.optim import create_optimizer
+from sparsernns_tpu.train.state import TrainState
+from sparsernns_tpu.train.steps import make_ndns_train_step
+
+B, L, F = 8, 3751, 257   # flagship geometry (recipes/ndns.json)
+mesh = make_mesh(MeshConfig(data=8, model=1, seq=1))
+model = _flagship_model(training=True, scan_mode="fused")
+rng = np.random.RandomState(0)
+x_init = jnp.zeros((2, 64, F), jnp.float32)
+variables = model.init(jax.random.PRNGKey(0), x_init)
+tx = create_optimizer("noBCdecay", lr=1e-3, ssm_lr=1e-3,
+                      total_steps=10, warmup_steps=1)
+state = TrainState.create(apply_fn=model.apply, params=variables["params"],
+                          tx=tx, batch_stats=variables.get("batch_stats"))
+state = shard_train_state(state, mesh)
+
+sharding = NamedSharding(mesh, P("data"))
+def globalize(arr):
+    local = arr[proc_id * (B // 2):(proc_id + 1) * (B // 2)]
+    return jax.make_array_from_process_local_data(sharding, local, arr.shape)
+
+noisy_mag = globalize(np.abs(rng.randn(B, F, L)).astype(np.float32))
+noisy_phase = jnp.zeros_like(noisy_mag)
+clean_mag = noisy_mag * 0.9
+clean = globalize(rng.randn(B, (L - 1) * 128).astype(np.float32))
+
+step = make_ndns_train_step(model, batchnorm=True)
+losses = []
+for i in range(2):
+    state, metrics = step(state, jax.random.PRNGKey(i), noisy_mag,
+                          noisy_phase, clean_mag, clean)
+    losses.append(float(metrics["loss"]))
+assert all(np.isfinite(l) for l in losses), losses
+print(f"DRYRUN2HOST_TRAIN_OK proc={proc_id} losses="
+      f"{losses[0]:.5f},{losses[1]:.5f}", flush=True)
+
+# DP serving forward at flagship dims on the same global mesh
+eval_model = _flagship_model(training=False, scan_mode="fused")
+x_eval = globalize(rng.randn(B, L, F).astype(np.float32))
+y = jax.jit(lambda v, xi: eval_model.apply(v, xi))(
+    {"params": state.params, "batch_stats": state.batch_stats}, x_eval)
+assert y.shape == (B, L, F)
+print(f"DRYRUN2HOST_SERVE_OK proc={proc_id}", flush=True)
+"""
+
+
+def dryrun_2host(timeout_s: int = 900) -> int:
+    """Spawn the 2-process flagship dryrun; returns 0 on success."""
+    import socket
+    import subprocess
+    import tempfile
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+    env = dict(os.environ)
+    env["REPO_ROOT"] = os.path.dirname(os.path.abspath(__file__))
+    env.pop("JAX_PLATFORMS", None)
+    with tempfile.TemporaryDirectory() as td:
+        script = os.path.join(td, "worker.py")
+        with open(script, "w") as f:
+            f.write(_DRYRUN_WORKER)
+        import subprocess as sp
+        procs = [sp.Popen([sys.executable, script, str(i), port],
+                          stdout=sp.PIPE, stderr=sp.STDOUT, env=env,
+                          text=True) for i in range(2)]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=timeout_s)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                print("[scaling] dryrun-2host TIMEOUT", file=sys.stderr)
+                return 1
+            outs.append(out)
+    ok = all(p.returncode == 0 for p in procs) and all(
+        "DRYRUN2HOST_TRAIN_OK" in o and "DRYRUN2HOST_SERVE_OK" in o
+        for o in outs)
+    losses = [line.split("losses=")[1] for o in outs
+              for line in o.splitlines() if "DRYRUN2HOST_TRAIN_OK" in line]
+    ok = ok and len(set(losses)) == 1  # identical global loss on both hosts
+    for i, o in enumerate(outs):
+        if not ok:
+            print(f"[scaling] proc {i} output:\n{o[-3000:]}",
+                  file=sys.stderr)
+    print(json.dumps({
+        "metric": "flagship_2host_dryrun",
+        "value": 1 if ok else 0,
+        "unit": "ok",
+        "geometry": {"batch": 8, "seq_len": 3751, "d_model": 192,
+                     "ssm_size": 256, "n_layers": 3},
+        "losses": losses[:1],
+    }))
+    return 0 if ok else 1
+
+
 if __name__ == "__main__":
+    if "--dryrun-2host" in sys.argv:
+        sys.exit(dryrun_2host())
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 4)
