@@ -26,16 +26,24 @@ from sparsernns_tpu.train.losses import STFT_MAG_MEAN
 
 
 class StreamingDenoiser:
-    """Stateful chunked inference around an eval-mode RegressionModel."""
+    """Stateful chunked inference around an eval-mode RegressionModel —
+    or, via :meth:`from_engine`, around the quantized W8A16Engine (incl.
+    its mxu16 int-dot mode), so continuous batching serves the same
+    kernels the offline engine does."""
 
     def __init__(self, model, variables: Dict, batch_size: int = 1,
-                 hop: int = HOP_LENGTH, nfft: int = NFFT):
+                 hop: int = HOP_LENGTH, nfft: int = NFFT,
+                 frame_multiple: int = 1):
         self.model = model
         self.variables = dict(variables)
         self.batch = batch_size
         self.hop = hop
         self.nfft = nfft
         self.overlap = nfft // hop
+        #: frames are consumed in multiples of this (buffering the rest):
+        #: engine backing sets it to the engine's time block so every
+        #: forward honours the fused carry kernels' chunk contract
+        self.frame_multiple = frame_multiple
 
         @jax.jit
         def forward(variables, cache, frames_mag):
@@ -49,6 +57,35 @@ class StreamingDenoiser:
 
         self._forward = forward
         self.reset()
+
+    @classmethod
+    def from_engine(cls, engine, batch_size: int = 1,
+                    hop: int = HOP_LENGTH, nfft: int = NFFT
+                    ) -> "StreamingDenoiser":
+        """Streaming denoiser over the quantized serving engine
+        (quantize/engine.W8A16Engine.process_chunk): per-layer (B, P)
+        state-pair carries, same fused/whole-layer kernels and mxu16
+        int dots as offline serving. Frames buffer to the engine's
+        ``block_t`` so each forward is one whole time block."""
+        self = cls.__new__(cls)
+        self.model = None
+        self.engine = engine
+        self.variables = {}
+        self.batch = batch_size
+        self.hop = hop
+        self.nfft = nfft
+        self.overlap = nfft // hop
+        self.frame_multiple = int(engine.block_t)
+
+        def forward(variables, cache, frames_mag):
+            x = jnp.transpose(frames_mag - STFT_MAG_MEAN, (0, 2, 1))
+            carries = cache if cache else None
+            out, new_carries = engine.process_chunk(x, carries)
+            return jnp.transpose(out, (0, 2, 1)), new_carries
+
+        self._forward = forward
+        self.reset()
+        return self
 
     def reset(self, slot: Optional[int] = None):
         if slot is None:
@@ -77,7 +114,12 @@ class StreamingDenoiser:
         if n_avail < self.nfft:
             return np.zeros((self.batch, 0), np.float32)
         n_frames = (n_avail - self.nfft) // self.hop + 1
+        n_frames -= n_frames % self.frame_multiple
+        if n_frames <= 0:
+            return np.zeros((self.batch, 0), np.float32)
+        return self._run_frames(n_frames)
 
+    def _run_frames(self, n_frames: int) -> np.ndarray:
         starts = np.arange(n_frames) * self.hop
         frames = np.stack(
             [self._pending[:, s:s + self.nfft] for s in starts], axis=1)
@@ -126,15 +168,24 @@ class StreamingDenoiser:
         return out
 
     def flush(self) -> np.ndarray:
-        """Emit everything accumulated (end of stream)."""
+        """Emit everything accumulated (end of stream). Frames still
+        buffered by the frame_multiple flooring are processed first (a
+        final sub-multiple forward — always a single time block)."""
+        outs = []
+        if self.frame_multiple > 1 and self._pending.shape[1] >= self.nfft:
+            n_frames = (self._pending.shape[1] - self.nfft) // self.hop + 1
+            if n_frames > 0:
+                outs.append(self._run_frames(n_frames))
         if self._ola.shape[1] == 0:
-            return np.zeros((self.batch, 0), np.float32)
+            return (np.concatenate(outs, axis=-1) if outs
+                    else np.zeros((self.batch, 0), np.float32))
         w = np.maximum(self._ola_w, 1.0)
         out = self._ola / w[None, :]
         self._ola = np.zeros((self.batch, 0), np.float32)
         self._ola_w = np.zeros((0,), np.float32)
         self._ola_start = self._emit_pos = self._emit_pos + out.shape[1]
-        return out
+        outs.append(out)
+        return np.concatenate(outs, axis=-1)
 
     def process_offline(self, audio: np.ndarray,
                         chunk_samples: int = 16000) -> np.ndarray:

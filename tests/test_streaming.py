@@ -144,3 +144,114 @@ def test_continuous_batcher_queue_and_slot_reuse(rng):
     for _ in range(6):
         cb.step(chunk)
     assert cb.collect("s2").shape[0] > 0
+
+
+def _mxu16_engine(block_t=8):
+    """Small calibrated w8a16 engine (mxu16 int-dot mode) — d_input=9,
+    so the denoiser runs nfft=16/hop=4 (F=9)."""
+    from sparsernns_tpu.fxp.derive import FxpModelConfig
+    from sparsernns_tpu.quantize.config import quantization_recipes
+    from sparsernns_tpu.quantize.engine import W8A16Engine
+    from tests.test_static_quant import pipeline as _  # noqa: F401
+    import tests.test_static_quant as tsq
+    import jax as _jax
+    import numpy as _np
+
+    rng = _np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 24, tsq.D_IO) * 0.5, jnp.float32)
+    fp_model = tsq._model(quantization_recipes["none"]())
+    variables = fp_model.init(_jax.random.PRNGKey(0), x)
+    from sparsernns_tpu.quantize.calibrate import calibrate
+    cal_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=True)
+    frozen_params, frozen_stats = calibrate(
+        tsq._model(cal_cfg), _jax.random.PRNGKey(1), x,
+        variables["params"], variables.get("batch_stats"), [x])
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    mcfg = FxpModelConfig.infer(frozen_params, glu_variant="half1",
+                                relufication=True, prenorm=True,
+                                clip_eigs=True)
+    eng = W8A16Engine(frozen_params, frozen_stats, inf_cfg, mcfg,
+                      act_dtype=jnp.float32, block_t=block_t, mxu16=True)
+    assert eng.mxu16["requested"]
+    return eng
+
+
+def test_engine_streaming_denoiser_chunked_equals_whole(rng):
+    """Engine-backed (mxu16) StreamingDenoiser: chunked == whole, with
+    the frame_multiple buffering honouring the carry-kernel contract."""
+    from sparsernns_tpu.serve.streaming import StreamingDenoiser
+
+    eng = _mxu16_engine(block_t=8)
+    audio = rng.randn(1, 900).astype(np.float32) * 0.1
+
+    whole = StreamingDenoiser.from_engine(eng, batch_size=1,
+                                          hop=4, nfft=16)
+    assert whole.frame_multiple == 8
+    out_whole = np.concatenate(
+        [whole.process(audio), whole.flush()], axis=-1)
+
+    chunked = StreamingDenoiser.from_engine(eng, batch_size=1,
+                                            hop=4, nfft=16)
+    out_chunked = chunked.process_offline(audio, chunk_samples=111)
+    assert out_whole.shape == out_chunked.shape
+    scale = max(np.abs(out_whole).max(), 1e-3)
+    np.testing.assert_allclose(out_chunked / scale, out_whole / scale,
+                               atol=1e-4)
+
+
+def test_continuous_batcher_mxu16_matches_solo(rng):
+    """VERDICT r2 #7: ContinuousBatcher solo-equivalence pinned at the
+    mxu16 engine — a stream admitted mid-batch matches a solo
+    engine-backed run whose carry is reset at the admission boundary."""
+    from sparsernns_tpu.serve.streaming import (ContinuousBatcher,
+                                                StreamingDenoiser)
+
+    eng = _mxu16_engine(block_t=8)
+    chunk = 128
+    a = rng.randn(3 * chunk).astype(np.float32) * 0.1
+    b = rng.randn(2 * chunk).astype(np.float32) * 0.1
+
+    cb = ContinuousBatcher(StreamingDenoiser.from_engine(
+        eng, batch_size=2, hop=4, nfft=16))
+    assert cb.add_stream("a") == 0
+    cb.feed("a", a)
+    cb.end_stream("a")
+    cb.step(chunk)
+    emitted_before_b = cb.collect("a").shape[0]
+    assert cb.add_stream("b") == 1
+    cb.feed("b", b)
+    cb.end_stream("b")
+    for _ in range(6):
+        cb.step(chunk)
+    out_a, out_b = cb.collect("a"), cb.collect("b")
+    assert out_a.shape[0] > 0 and out_b.shape[0] > 0
+
+    solo_a = StreamingDenoiser.from_engine(eng, batch_size=1,
+                                           hop=4, nfft=16)
+    ref_a = solo_a.process_offline(a[None], chunk_samples=chunk)[0]
+    n_a = min(out_a.shape[0], ref_a.shape[0])
+    scale = max(np.abs(ref_a).max(), 1e-3)
+    np.testing.assert_allclose(out_a[:n_a] / scale, ref_a[:n_a] / scale,
+                               atol=1e-4)
+
+    # solo B on the same global clock: one silence step (its emission —
+    # exact zeros — is DISCARDED, so ref_b starts at the same global
+    # sample as the batcher's post-admission emissions), then a carry
+    # reset exactly at the admission boundary, then b's chunks
+    solo_b = StreamingDenoiser.from_engine(eng, batch_size=1,
+                                           hop=4, nfft=16)
+    solo_b.process(np.zeros((1, chunk), np.float32))
+    solo_b.reset(slot=0)
+    outs = [solo_b.process(b[None, i:i + chunk])
+            for i in range(0, b.shape[0], chunk)]
+    for _ in range(4):
+        outs.append(solo_b.process(np.zeros((1, chunk), np.float32)))
+    outs.append(solo_b.flush())
+    ref_b = np.concatenate([o for o in outs if o.size], axis=-1)[0]
+    n_b = min(out_b.shape[0], ref_b.shape[0])
+    assert n_b > 0
+    assert emitted_before_b > 0  # admission really was mid-stream
+    # same engine, same carries, same global frame clock -> bit-exact
+    np.testing.assert_array_equal(out_b[:n_b], ref_b[:n_b])
