@@ -242,10 +242,10 @@ def dryrun_2host(timeout_s: int = 900) -> int:
         script = os.path.join(td, "worker.py")
         with open(script, "w") as f:
             f.write(_DRYRUN_WORKER)
-        import subprocess as sp
-        procs = [sp.Popen([sys.executable, script, str(i), port],
-                          stdout=sp.PIPE, stderr=sp.STDOUT, env=env,
-                          text=True) for i in range(2)]
+        procs = [subprocess.Popen(
+            [sys.executable, script, str(i), port],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True) for i in range(2)]
         outs = []
         for p in procs:
             try:

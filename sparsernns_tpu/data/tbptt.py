@@ -64,8 +64,6 @@ def tbptt_chunks(x: np.ndarray, y: Optional[np.ndarray], chunk_len: int,
     for begin in list(range(overlap_len - 1, total, chunk_len))[:-1]:
         start = begin - overlap_len + 1
         end = begin + chunk_len
-        if end > total:
-            break
         x_chunk = x[:, start:end]
         y_chunk = y[:, begin:end] if y_stepwise else y
         yield x_chunk, y_chunk, reset
@@ -90,9 +88,10 @@ class TBPTTLoader:
                                     self.pad_value)
 
     def __len__(self):
-        per_batch = max(
-            0, -(-(_first_len(self.loader) + self.overlap_len - 1)
-                 // self.chunk_len) - 1)
+        # chunks per batch = len(range(overlap-1, seq+overlap-1, chunk)) - 1
+        # = ceil(seq / chunk) - 1 (the range's start offset cancels the
+        # overlap padding)
+        per_batch = max(0, -(-_first_len(self.loader) // self.chunk_len) - 1)
         return len(self.loader) * per_batch
 
 
@@ -109,11 +108,13 @@ def zero_carry(carry) -> Any:
     return jax.tree_util.tree_map(jnp.zeros_like, carry)
 
 
-def init_carry(model, variables, x_chunk) -> Any:
+def init_carry(model, variables, x_chunk, rng=None) -> Any:
     """Create the "cache" carry collection by running one forward with
     the cache mutable (models/ssm.py _carry materializes the variables
-    on first use)."""
-    _, mutated = model.apply(variables, x_chunk, mutable=["cache"])
+    on first use). ``rng`` feeds dropout for training-mode models."""
+    rngs = {"dropout": rng if rng is not None else jax.random.PRNGKey(0)}
+    _, mutated = model.apply(variables, x_chunk, mutable=["cache"],
+                             rngs=rngs)
     return zero_carry(mutated["cache"])
 
 

@@ -39,10 +39,13 @@ K · 2^22 <= 2^31 - 1, i.e. K <= 511. Padded reduction dims are
 flagship shapes at dim_scale=1).
 
 Beyond that (e.g. dim_scale=2 -> 2P=512) the dots still run on the int8
-MXU via PLANE-WISE accumulation: each int8 x int8 plane dot is bounded
-by K · 2^14 (int32-safe to K = 131071) and the lo-plane + colsum pair by
-K · 2^15 (safe to K = 65536), so the planes are accumulated separately
-in int32 and combined in f32:
+MXU via PLANE-WISE accumulation: the hi-plane dot is bounded per term by
+2^14 (int32-safe to K = 131071), and the combined lo-plane + colsum pair
+equals sum((lo_code) · w) with lo_code = lo + 128 in [0, 255], so its
+per-term bound is 255 · 128 = 32640 (int32-safe to K = 65793; the
+anticorrelation between (lo-128)·w and 128·colsum is what keeps it
+under the naive K · 2^15). The planes are accumulated separately in
+int32 and combined in f32:
 
     acc = 256.0 * f32(hi . W) + f32((lo - 128) . W + 128 * colsum)
 
@@ -62,8 +65,10 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-#: largest (padded) reduction dim the int path serves: plane-wise
-#: accumulation bound K * 2^15 <= 2^31 - 1 (lo-plane dot + colsum row)
+#: largest (padded) reduction dim the int path serves: the plane-wise
+#: lo-plane + colsum accumulator is bounded by K * 255 * 128, so the
+#: exact budget is K <= (2^31 - 1) / 32640 = 65793; 65536 is the
+#: largest power-of-two inside it
 MAX_REDUCTION_DIM = 65536
 
 
@@ -76,8 +81,8 @@ def fits_int32(k_padded: int, a_bits: int = 16) -> bool:
 
 
 def fits_planewise(k_padded: int) -> bool:
-    """Plane-wise accumulation budget: every int8-plane dot is bounded
-    by K * 2^14 and the lo-plane + 128*colsum pair by K * 2^15."""
+    """Plane-wise accumulation budget (module docstring): hi-plane dot
+    bounded by K * 2^14, lo-plane + 128*colsum pair by K * 255 * 128."""
     return k_padded <= MAX_REDUCTION_DIM
 
 
@@ -131,6 +136,11 @@ def int16_dot(x: jax.Array, w_i8: jax.Array, colsum_i32: jax.Array,
     else:
         # plane-wise accumulation (K > 511): each int32 term is exact
         # (bounds in the module docstring); ONE f32 add combines them
+        if k > MAX_REDUCTION_DIM:
+            raise ValueError(
+                f"int16_dot: reduction dim {k} exceeds the plane-wise "
+                f"int32 budget ({MAX_REDUCTION_DIM}); run this dot in "
+                "f32 (engine call sites gate on fits_planewise)")
         hi, lo = i16_planes(q)
         acc = (_dot_i8(hi, w_i8).astype(jnp.float32) * 256.0
                + (_dot_i8(lo, w_i8)

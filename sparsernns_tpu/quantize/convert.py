@@ -70,13 +70,22 @@ def convert(cfg: RunConfig) -> Dict[str, Any]:
         metadata = None
         if step is not None:
             state, metadata = mngr.restore(state, step)
-        # Prefer the best epoch (by val quality, recorded in metadata) when
-        # that checkpoint is still retained — reference convert.py:278-283.
+        # Prefer the best epoch (by val quality) — reference
+        # convert.py:278-283. The train loop keeps it in a dedicated
+        # single-slot manager (<dir>/best) so latest-retention can never
+        # GC it; fall back to the main stack when still retained there.
         best = (metadata or {}).get("best_epoch")
-        if best is not None and best != step and best in set(
-                mngr.all_steps()):
-            state, _ = mngr.restore(state, best)
-            step = best
+        if best is not None and best != step:
+            best_dir = os.path.join(cfg.checkpoint_dir, "best")
+            if best in set(mngr.all_steps()):
+                state, _ = mngr.restore(state, best)
+                step = best
+            elif os.path.isdir(best_dir):
+                best_mngr = CheckpointManager(best_dir)
+                if best_mngr.latest_step() is not None:
+                    state, _ = best_mngr.restore(state)
+                    step = best_mngr.latest_step()
+                best_mngr.close()
         if step is not None:
             logger.info("restored checkpoint step %s", step)
         mngr.close()

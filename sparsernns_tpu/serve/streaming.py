@@ -96,6 +96,7 @@ class StreamingDenoiser:
             self._emit_pos = 0      # global sample index of next emit
             self._ola_start = 0     # global sample index of _ola[:, 0]
             self._frames_done = 0   # global frames processed so far
+            self._in_pos = 0        # global samples ingested so far
         else:
             if self.cache is not None:
                 self.cache = jax.tree_util.tree_map(
@@ -109,6 +110,7 @@ class StreamingDenoiser:
         audio_chunk = np.atleast_2d(np.asarray(audio_chunk, np.float32))
         assert audio_chunk.shape[0] == self.batch
         self._pending = np.concatenate([self._pending, audio_chunk], axis=1)
+        self._in_pos += audio_chunk.shape[1]
 
         n_avail = self._pending.shape[1]
         if n_avail < self.nfft:
@@ -218,6 +220,11 @@ class ContinuousBatcher:
         self._outputs: Dict[str, list] = {}
         self._waiting: list = []
         self._ended: set = set()
+        #: global sample index one past each stream's last REAL sample —
+        #: a slot is only recycled once emission has passed it, so the
+        #: per-slot reset can never destroy unprocessed tail audio (the
+        #: engine path buffers up to block_t-1 frames in _pending)
+        self._content_end: Dict[str, int] = {}
 
     @property
     def n_free(self) -> int:
@@ -250,6 +257,7 @@ class ContinuousBatcher:
         slot consumes that many samples from its stream's buffer
         (zero-padded if starved), idle slots feed silence; finished
         streams release their slots to the waiting queue."""
+        start = self.denoiser._in_pos
         batch = np.zeros((self.denoiser.batch, chunk_samples), np.float32)
         for i, sid in enumerate(self.slots):
             if sid is None:
@@ -258,14 +266,28 @@ class ContinuousBatcher:
             take = min(chunk_samples, buf.shape[0])
             batch[i, :take] = buf[:take]
             self._inputs[sid] = buf[take:]
+            if take:
+                self._content_end[sid] = start + take
+        emit0 = self.denoiser._emit_pos
         out = self.denoiser.process(batch)
         for i, sid in enumerate(self.slots):
             if sid is not None and out.shape[1]:
-                self._outputs[sid].append(out[i])
-        # release drained+ended streams, admit from the queue
+                # route only samples inside the stream's real content —
+                # emissions past content_end are denoised trailing
+                # silence, not the stream's audio
+                end = self._content_end.get(sid, emit0 + out.shape[1])
+                keep = min(out.shape[1], max(0, end - emit0))
+                if keep:
+                    self._outputs[sid].append(out[i, :keep])
+        # release drained+ended+fully-EMITTED streams, admit from the
+        # queue (emission trails ingestion by the analysis window plus
+        # any frame_multiple buffering; recycling earlier would zero the
+        # slot's unprocessed tail)
         for i, sid in enumerate(self.slots):
             if (sid is not None and sid in self._ended
-                    and self._inputs[sid].shape[0] == 0):
+                    and self._inputs[sid].shape[0] == 0
+                    and self.denoiser._emit_pos
+                    >= self._content_end.get(sid, 0)):
                 self.slots[i] = None
                 if self._waiting:
                     nxt = self._waiting.pop(0)

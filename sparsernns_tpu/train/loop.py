@@ -13,6 +13,7 @@ overlaps via the loader's prefetch thread.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -265,15 +266,20 @@ def train(cfg: RunConfig) -> Dict[str, Any]:
                          "config": cfg.to_dict(), "name": cfg.run_name}
                         if cfg.logger == "wandb" else {}))
 
-    mngr = None
+    mngr = best_mngr = None
     metadata = {"best_val_loss": float("inf"), "best_si_snr": -float("inf"),
                 "next_epoch": 0}
     if cfg.checkpoint_dir:
         # Retention keeps the LATEST checkpoints (crash-resume safety);
-        # the best epoch is recorded in metadata and convert() prefers it
-        # when still retained. A best_fn retention policy would GC recent
-        # checkpoints and silently roll resume back to the best epoch.
+        # a best_fn retention policy here would GC recent checkpoints and
+        # silently roll resume back to the best epoch. The BEST epoch
+        # lives in its own single-slot manager (<dir>/best) so convert()
+        # always finds it even after retention drops it from the main
+        # stack (reference convert protocol: convert.py:278-283 restores
+        # the best-val checkpoint).
         mngr = CheckpointManager(cfg.checkpoint_dir)
+        best_mngr = CheckpointManager(
+            os.path.join(cfg.checkpoint_dir, "best"), max_to_keep=1)
         if cfg.restore_checkpoint:
             if cfg.reset_optimizer:
                 state = mngr.restore_params_only(state)
@@ -422,6 +428,10 @@ def train(cfg: RunConfig) -> Dict[str, Any]:
             mngr.save(epoch, state, metadata=metadata,
                       metrics={"val_quality": val_metrics[quality_key]})
             mngr.wait()
+        if best_mngr is not None and improved:
+            best_mngr.save(epoch, state, metadata=metadata,
+                           metrics={"val_quality": val_metrics[quality_key]})
+            best_mngr.wait()
 
         if patience >= cfg.early_stop_patience:
             logger.info("early stopping at epoch %d", epoch)
@@ -430,4 +440,6 @@ def train(cfg: RunConfig) -> Dict[str, Any]:
     sink.finish()
     if mngr is not None:
         mngr.close()
+    if best_mngr is not None:
+        best_mngr.close()
     return {"state": state, "metadata": metadata}

@@ -176,3 +176,35 @@ def test_convert_engine_stage(converted_run):
                - results["baseline"]["si_snr"]) < 1.0
     assert abs(results["engine"]["si_snr"]
                - results["static_quant"]["si_snr"]) < 0.5
+
+
+def test_best_checkpoint_survives_retention(tmp_path):
+    """Latest-N retention must never lose the BEST epoch: the train loop
+    mirrors improvements into a single-slot <dir>/best manager and
+    convert() restores from it when the main stack has GC'd the epoch
+    (reference protocol: convert.py:278-283 converts the best-val
+    checkpoint). Regression: the round-3 quality sweep converted seed 2
+    at the last epoch, 1.1 dB below its best."""
+    from sparsernns_tpu.train.checkpoint import CheckpointManager
+    from sparsernns_tpu.train.loop import train
+
+    cfg = smoke_cfg(tmp_path, epochs=6)
+    out = train(cfg)
+    best_epoch = out["metadata"]["best_epoch"]
+    best_dir = os.path.join(cfg.checkpoint_dir, "best")
+    assert os.path.isdir(best_dir)
+    bm = CheckpointManager(best_dir)
+    assert bm.latest_step() == best_epoch
+    bm.close()
+    # main stack keeps only the last 3 — when the best epoch is older
+    # than that, only the best/ slot still has it
+    mm = CheckpointManager(cfg.checkpoint_dir)
+    retained = set(mm.all_steps())
+    mm.close()
+    assert len(retained) <= 3
+
+    from sparsernns_tpu.quantize.convert import convert
+    results = convert(dataclasses.replace(
+        cfg, validate_baseline=True, calibrate_quant=False,
+        validate_static_quant=False, validate_engine=False))
+    assert "baseline" in results

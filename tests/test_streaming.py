@@ -101,15 +101,26 @@ def test_continuous_batcher_matches_solo_streams(rng):
     out_b = cb.collect("b")
     assert out_a.shape[0] > 0 and out_b.shape[0] > 0
 
-    # solo references on the SAME global clock (admission time = zeros)
-    solo_a = StreamingDenoiser(model, variables, batch_size=1)
-    ref_a = solo_a.process_offline(a[None], chunk_samples=chunk)[0]
-    solo_b = StreamingDenoiser(model, variables, batch_size=1)
-    b_padded = np.concatenate([np.zeros(chunk, np.float32), b])
-    ref_b = solo_b.process_offline(b_padded[None], chunk_samples=chunk)[0]
+    # solo references on the SAME global clock: zero samples before
+    # admission AND trailing silence after the content (the batcher
+    # keeps stepping idle/ended slots with silence — truncating flush
+    # would normalize the tail differently)
+    def solo_ref(signal):
+        solo = StreamingDenoiser(model, variables, batch_size=1)
+        outs = [solo.process(signal[None, i:i + chunk])
+                for i in range(0, signal.shape[0], chunk)]
+        for _ in range(4):
+            outs.append(solo.process(np.zeros((1, chunk), np.float32)))
+        return np.concatenate([o for o in outs if o.size], axis=-1)[0]
 
-    n_a = min(out_a.shape[0], ref_a.shape[0])
-    np.testing.assert_allclose(out_a[:n_a], ref_a[:n_a], atol=1e-4)
+    ref_a = solo_ref(a)
+    b_padded = np.concatenate([np.zeros(chunk, np.float32), b])
+    ref_b = solo_ref(b_padded)
+
+    # out_a covers exactly a's content (the batcher clips routing at the
+    # stream's content end)
+    assert out_a.shape[0] == a.shape[0]
+    np.testing.assert_allclose(out_a, ref_a[:out_a.shape[0]], atol=1e-4)
     # slot B's outputs start at the first step AFTER admission; the solo
     # reference covers global t=0, so offset by the samples already
     # emitted before admission
@@ -138,10 +149,18 @@ def test_continuous_batcher_queue_and_slot_reuse(rng):
     cb.end_stream("s0")
     cb.feed("s1", rng.randn(4 * chunk).astype(np.float32))
     cb.feed("s2", rng.randn(2 * chunk).astype(np.float32))
-    cb.step(chunk)  # s0 drains -> slot 0 goes to s2
+    # s0's buffer drains on the first step, but the slot is only
+    # recycled once s0's samples have been fully EMITTED (drain-aware
+    # release — recycling at buffer-drain would zero unprocessed tail)
+    steps = 0
+    while cb.slots[0] == "s0" and steps < 12:
+        cb.step(chunk)
+        steps += 1
     assert cb.slots[0] == "s2"
+    # s0's full 512-sample content was emitted before its slot recycled
+    assert cb.collect("s0").shape[0] >= chunk
     cb.end_stream("s1"); cb.end_stream("s2")
-    for _ in range(6):
+    for _ in range(8):
         cb.step(chunk)
     assert cb.collect("s2").shape[0] > 0
 
@@ -228,13 +247,18 @@ def test_continuous_batcher_mxu16_matches_solo(rng):
     out_a, out_b = cb.collect("a"), cb.collect("b")
     assert out_a.shape[0] > 0 and out_b.shape[0] > 0
 
+    # solo A with trailing silence (the batcher's end-of-stream
+    # semantics — truncating flush would normalize the OLA tail
+    # differently)
     solo_a = StreamingDenoiser.from_engine(eng, batch_size=1,
                                            hop=4, nfft=16)
-    ref_a = solo_a.process_offline(a[None], chunk_samples=chunk)[0]
-    n_a = min(out_a.shape[0], ref_a.shape[0])
-    scale = max(np.abs(ref_a).max(), 1e-3)
-    np.testing.assert_allclose(out_a[:n_a] / scale, ref_a[:n_a] / scale,
-                               atol=1e-4)
+    a_outs = [solo_a.process(a[None, i:i + chunk])
+              for i in range(0, a.shape[0], chunk)]
+    for _ in range(4):
+        a_outs.append(solo_a.process(np.zeros((1, chunk), np.float32)))
+    ref_a = np.concatenate([o for o in a_outs if o.size], axis=-1)[0]
+    assert out_a.shape[0] == a.shape[0]  # clipped exactly at content end
+    np.testing.assert_array_equal(out_a, ref_a[:out_a.shape[0]])
 
     # solo B on the same global clock: one silence step (its emission —
     # exact zeros — is DISCARDED, so ref_b starts at the same global

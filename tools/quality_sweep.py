@@ -127,18 +127,25 @@ def main():
         return 1
     summary = {"n_seeds": len(rows), "rows": rows, "stages": {}}
     print(f"\n[quality] === {len(rows)}-seed flagship table ===")
-    fp32 = np.asarray([r["fp32"] for r in rows], np.float64)
     for st in STAGES:
-        vals = np.asarray([r[st] for r in rows], np.float64)
-        delta = vals - fp32
+        # a partial/stale row (a stage skipped or a cached older format)
+        # must not lose the whole summary — aggregate the complete pairs
+        pairs = [(r[st], r["fp32"]) for r in rows
+                 if r.get(st) is not None and r.get("fp32") is not None]
+        if not pairs:
+            print(f"[quality] {st:14s} (no complete rows)", flush=True)
+            continue
+        vals = np.asarray([p[0] for p in pairs], np.float64)
+        delta = vals - np.asarray([p[1] for p in pairs], np.float64)
         summary["stages"][st] = {
+            "n": len(pairs),
             "mean": float(vals.mean()), "std": float(vals.std(ddof=0)),
             "delta_mean": float(delta.mean()),
             "delta_std": float(delta.std(ddof=0)),
         }
         print(f"[quality] {st:14s} {vals.mean():7.3f} ± {vals.std():5.3f} dB"
-              f"   Δvs fp32 {delta.mean():+6.3f} ± {delta.std():5.3f}",
-              flush=True)
+              f"   Δvs fp32 {delta.mean():+6.3f} ± {delta.std():5.3f}"
+              f"   (n={len(pairs)})", flush=True)
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     return 0
