@@ -490,7 +490,7 @@ def _build_engine(batch, seq_len, d_io, mxu16=False):
 
 def bench_w8a16_engine(peaks, batch=8, seq_len=3751, d_io=257,
                        iters=ITERS_FWD, n_fill=0, reserve_gb=None,
-                       mxu16=False, name="w8a16-engine"):
+                       mxu16=False, io_bf16=False, name="w8a16-engine"):
     """The north-star config: w8a16 quantized serving engine
     (int8-stored weights, bf16 activations, fused Pallas mixer).
 
@@ -499,10 +499,16 @@ def bench_w8a16_engine(peaks, batch=8, seq_len=3751, d_io=257,
     of the 16-bit activation codes (ops/intdot.py). The MXU floor stays
     the bf16-rate ``model_padded_flops / peak``: two int8 planes at 2x
     the bf16 rate cost exactly one bf16-rate dot, so the gate is still a
-    true lower bound (the f32-dot float path sits ~4x above it)."""
+    true lower bound (the f32-dot float path sits ~4x above it).
+
+    ``io_bf16``: feed the magnitudes in bf16 and take the mask back in
+    bf16 (engine._io_dtype rule) — halves the whole-network kernel's
+    boundary reads/writes, the two largest HBM terms of the forward."""
     from sparsernns_tpu.utils.profiling import (model_forward_flops,
                                                 model_padded_flops)
     engine, variables, x = _build_engine(batch, seq_len, d_io, mxu16=mxu16)
+    if io_bf16:
+        x = x.astype(jnp.bfloat16)
     n_layers, h, p, _ = _model_dims(variables["params"])
     flops = model_forward_flops(batch, seq_len, d_io, h, p, n_layers)
     pflops = model_padded_flops(batch, seq_len, d_io, h, p, n_layers)
@@ -605,18 +611,21 @@ def run_all_modes(peaks, saturation_retry=True):
         except Exception as e:  # keep the bench robust per-mode
             _maybe_profiler_dead(e)
             _log(f"{mode} failed: {e}")
-    for name, mxu16 in (("w8a16-engine", False), ("w8a16-engine-mxu16",
-                                                  True)):
+    for name, mxu16, io16 in (("w8a16-engine", False, False),
+                              ("w8a16-engine-mxu16", True, False),
+                              ("w8a16-engine-bf16io", True, True)):
         try:
             with _alarm(BENCH_MODE_TIMEOUT_S):
-                rec = bench_w8a16_engine(peaks, mxu16=mxu16, name=name)
+                rec = bench_w8a16_engine(peaks, mxu16=mxu16, io_bf16=io16,
+                                         name=name)
                 if (not rec["valid"] and saturation_retry
                         and _REGIME["saturation"]):
                     _log(f"{name}: retrying with the saturated-queue "
                          "protocol (ballast + large batch)")
                     rec2 = bench_w8a16_engine(peaks, batch=128, iters=12,
                                               n_fill=3, reserve_gb=5.0,
-                                              mxu16=mxu16, name=name)
+                                              mxu16=mxu16, io_bf16=io16,
+                                              name=name)
                     rec = rec2 if rec2["valid"] else rec
                 recs[name] = rec
         except _ProfilerDead:

@@ -134,7 +134,7 @@ def _net_call(x, enc_k, enc_b, dec_k, dec_b, layer_flat, layer_names,
               t, carry_out, enc_scale, dec_scale, enc_in, dec_in,
               prenorm, relufication, glu, relu_state, act_dtype,
               interpret, cs_enc=None, cs_dec=None, enc_out=None,
-              dec_out=None):
+              dec_out=None, out_dtype=jnp.float32):
     """One pallas_call running the full depth over ``t``-row time blocks
     of ``x`` (grid (B, L // t); L % t rows are left untouched — the tail
     call handles them). ``carries_in``: per-layer ((B,1,P), (B,1,P))
@@ -214,7 +214,7 @@ def _net_call(x, enc_k, enc_b, dec_k, dec_b, layer_flat, layer_names,
 
         # decoder: pad-lane rows of dec_k are zero, so no lane slicing
         y = _boundary_dense(hb, dec_k_ref, dec_scale, dec_in, cs_dec_ref)
-        out_ref[0] = _qdq(y + dec_b_ref[...], dec_out)
+        out_ref[0] = _qdq(y + dec_b_ref[...], dec_out).astype(out_dtype)
 
     io_in = pl.BlockSpec((1, t, d_in), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM)
@@ -239,7 +239,7 @@ def _net_call(x, enc_k, enc_b, dec_k, dec_b, layer_flat, layer_names,
             in_specs.append(full(cs))
             args.append(cs)
 
-    out_shape = [jax.ShapeDtypeStruct((b, l, d_out), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((b, l, d_out), out_dtype)]
     out_specs = [io_out]
     if carry_out:
         for p_pad in p_pads:
@@ -269,7 +269,8 @@ def _net_call(x, enc_k, enc_b, dec_k, dec_b, layer_flat, layer_names,
 
 
 def fused_network_apply(
-    x: jax.Array,                 # (B, L, D_in) f32
+    x: jax.Array,                 # (B, L, D_in) f32 or bf16 (bf16 halves
+                                  # the kernel's input HBM read)
     enc_kernel: jax.Array,        # (D_in, H) int8 (enc_scale) or f32
     enc_bias: jax.Array,          # (H,)
     layers: Tuple[dict, ...],     # per-layer operand dicts (see below)
@@ -289,6 +290,7 @@ def fused_network_apply(
     glu: str = "half1",
     relu_state: bool = False,
     act_dtype: Any = jnp.bfloat16,
+    out_dtype: Any = jnp.float32,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Full serving forward as one main (+ one tail) Pallas call. Each
@@ -297,7 +299,9 @@ def fused_network_apply(
     out1_kernel/out1_bias — the same operands fused_layer_apply takes.
     Any B, L and ``block_t`` work (the effective time block is
     8-aligned; L % t rows go through the tail call). Returns the
-    (B, L, D_out) f32 output. Call inside jit."""
+    (B, L, D_out) output in ``out_dtype`` (bf16 halves the output HBM
+    write; the cast is the single store-time rounding, identical to
+    casting the f32 result). Call inside jit."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, l, d_in = x.shape
@@ -368,7 +372,8 @@ def fused_network_apply(
               enc_out=enc_out_requant, dec_out=dec_out_requant,
               prenorm=prenorm,
               relufication=relufication, glu=glu, relu_state=relu_state,
-              act_dtype=act_dtype, interpret=interpret,
+              act_dtype=act_dtype, out_dtype=out_dtype,
+              interpret=interpret,
               cs_enc=cs_enc, cs_dec=cs_dec)
 
     main_rows = (l // t) * t

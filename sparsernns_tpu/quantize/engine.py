@@ -95,6 +95,13 @@ class QWeight:
         return self.data.astype(dtype) * jnp.asarray(self.scale, dtype)
 
 
+def _io_dtype(x) -> Any:
+    """Serving io dtype rule: the mask is returned in the dtype the
+    magnitudes arrived in — bf16 callers get bf16 out (halving the
+    boundary HBM traffic), everything else f32."""
+    return jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+
+
 def _deq(w, dtype=jnp.float32):
     """Dequantize a QWeight; pass plain arrays through."""
     if isinstance(w, QWeight):
@@ -919,16 +926,24 @@ class W8A16Engine:
             dec_out_requant=self.decoder_out_requant,
             block_t=block_t, prenorm=cfg.prenorm,
             relufication=cfg.relufication, glu=cfg.glu_variant,
-            relu_state=cfg.relufication, act_dtype=self.act_dtype)
+            relu_state=cfg.relufication, act_dtype=self.act_dtype,
+            out_dtype=_io_dtype(x))
 
     def _apply(self, weights, x, block_t: int):
-        """x: (B, L, d_input) f32 -> mask (B, L, d_output)."""
+        """x: (B, L, d_input) f32 or bf16 -> mask (B, L, d_output).
+
+        The mask comes back in the dtype the magnitudes came in: bf16 in
+        -> bf16 out, halving the whole-network kernel's input read AND
+        output write (the two largest HBM terms of the serving forward).
+        All routes round once at the final store, so route bit-exactness
+        is preserved at either io dtype."""
         # (network route also requires _stack_ok: tests and fallbacks
         # that force the per-op path clear _stack_ok alone)
         if self._network_ok and self._stack_ok:
             return self._apply_network(weights, x, block_t)
         if self._stack_ok:
-            return self._apply_stack(weights, x, block_t)
+            return self._apply_stack(weights, x, block_t).astype(
+                _io_dtype(x))
         cfg = self.cfg
         h = engine_encode(cfg, weights["encoder_kernel"],
                           weights["encoder_bias"], x,
@@ -968,7 +983,7 @@ class W8A16Engine:
                                      act_dtype=self.act_dtype)
         return quantized_dense(h, weights["decoder_kernel"],
                                weights["decoder_bias"],
-                               self.decoder_in_scale)
+                               self.decoder_in_scale).astype(_io_dtype(x))
 
     def __call__(self, x) -> jax.Array:
         return self._forward(self.weights, x)

@@ -735,3 +735,40 @@ def test_engine_mxu16_w8a16_p256(pipeline_p256):
         e_stk = eng()
         e_stk._network_ok = False
         assert np.abs(y_mxu - np.asarray(e_stk(x))).max() == 0.0
+
+
+def test_engine_bf16_io(pipeline):  # noqa: F811
+    """bf16 serving io: the mask comes back in the dtype the magnitudes
+    arrived in, halving the whole-network kernel's boundary HBM traffic
+    (its input read + output write dominate the serving forward). Routes
+    round once at the final store, so network/stack stay bit-exact, and
+    the bf16 rounding must stay inside the engine's accuracy budget."""
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True)
+
+    def eng():
+        return W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                           act_dtype=jnp.bfloat16, block_t=32, mxu16=True)
+
+    e_net = eng()
+    x16 = x.astype(jnp.bfloat16)
+    y16 = e_net(x16)
+    assert y16.dtype == jnp.bfloat16
+    y32 = np.asarray(e_net(x)).astype(np.float32)
+    dev = np.abs(np.asarray(y16, np.float32) - y32).max()
+    denom = max(np.abs(y32).max(), 1.0)
+    # bf16 input rounding (2^-9 relative) through the quant grids
+    assert dev / denom < 0.02, dev / denom
+
+    # network vs stack route: still bit-exact at bf16 io
+    if e_net._network_ok:
+        e_stk = eng()
+        e_stk._network_ok = False
+        y16s = e_stk(x16)
+        assert y16s.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(y16, np.float32),
+                                      np.asarray(y16s, np.float32))

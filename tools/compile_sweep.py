@@ -146,6 +146,10 @@ def sweep_entries(quick: bool = False):
 
         return fn, (eng.weights, x_fwd)
 
+    def engine_bf16io():
+        fn, (weights, xi) = engine("network", True)
+        return fn, (weights, xi.astype(jnp.bfloat16))
+
     def engine_chunk():
         q_cfg = quantization_recipes["w8a16"](static_quant=True,
                                               calibrating=False)
@@ -178,6 +182,8 @@ def sweep_entries(quick: bool = False):
             ("engine-mxu16-ds2 (2P=512) L=3751",
              lambda: engine(None, True, dim_scale=2)),
             ("engine-stack-mxu16 L=3751", lambda: engine("stack", True)),
+        # bf16 serving io: bf16 input read + bf16 mask write
+        ("engine-mxu16-bf16io L=3751", engine_bf16io),
             ("engine-per-op L=3751", lambda: engine("per-op", False)),
             ("engine-chunk-mxu16 B=8", engine_chunk),
             ("associative-forward L=3751",
