@@ -772,3 +772,44 @@ def test_engine_bf16_io(pipeline):  # noqa: F811
         assert y16s.dtype == jnp.bfloat16
         np.testing.assert_array_equal(np.asarray(y16, np.float32),
                                       np.asarray(y16s, np.float32))
+
+
+def test_pipeline_parallel_engine(pipeline):  # noqa: F811
+    """Engine forward with the LAYERS partitioned over 2 pipeline stages
+    (time chunks flow stage-to-stage, carries stay stage-local) ==
+    single-device engine. Same accuracy budget as the sp/tp paths (the
+    pp stages run the float per-op layer body)."""
+    from sparsernns_tpu.parallel.mesh import MeshConfig, make_mesh
+    from sparsernns_tpu.parallel.pp_engine import make_pp_forward
+
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True)
+    engine = W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                         act_dtype=jnp.float32, block_t=32)
+    y_single = np.asarray(engine(x))
+
+    mesh = make_mesh(MeshConfig(data=1, model=2, seq=1),
+                     devices=jax.devices()[:2])
+    pp_forward = make_pp_forward(engine, mesh)  # 2 layers -> 1 per stage
+    y_pp = np.asarray(pp_forward(x))  # L=24, 4 chunks of 6
+
+    assert y_pp.shape == y_single.shape
+    denom = max(np.abs(y_single).max(), 1.0)
+    assert np.abs(y_pp - y_single).max() / denom < 0.1
+
+    # chunk count must not change the result (carries are exact across
+    # chunk boundaries)
+    y_pp2 = np.asarray(make_pp_forward(engine, mesh, chunks=8)(x))
+    assert np.abs(y_pp2 - y_single).max() / denom < 0.1
+
+    # mxu16 engines are refused, like sp/tp
+    import pytest as _pytest
+    e16 = W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                      act_dtype=jnp.float32, block_t=32, mxu16=True)
+    if e16.mxu16["requants"] or e16.mxu16["mixer"]:
+        with _pytest.raises(NotImplementedError, match="mxu16"):
+            make_pp_forward(e16, mesh)
