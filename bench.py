@@ -532,10 +532,12 @@ def bench_w8a16_engine(peaks, batch=8, seq_len=3751, d_io=257,
 
 
 def bench_train_step(peaks, batch=8, seq_len=3751, d_io=257,
-                     iters=ITERS_TRAIN, scan_mode="fused"):
+                     iters=ITERS_TRAIN, scan_mode="fused",
+                     stream_dtype="float32", name="train-step"):
     """Training-step throughput (forward + backward through the custom-VJP
     fused kernel + optimizer update). The train state chains iterations
-    naturally."""
+    naturally. ``stream_dtype="bfloat16"``: the opt-in bf16 residual
+    stream (PERF.md) — the measured -15% step bytes / +18% roofline."""
     import numpy as np
 
     from __graft_entry__ import _flagship_model
@@ -545,7 +547,8 @@ def bench_train_step(peaks, batch=8, seq_len=3751, d_io=257,
     from sparsernns_tpu.utils.profiling import (model_forward_flops,
                                                 model_padded_flops)
 
-    model = _flagship_model(training=True, scan_mode=scan_mode)
+    model = _flagship_model(training=True, scan_mode=scan_mode,
+                            stream_dtype=stream_dtype)
     x = jnp.zeros((batch, seq_len, d_io), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x)
     n_layers, h, p, _ = _model_dims(variables["params"])
@@ -584,7 +587,7 @@ def bench_train_step(peaks, batch=8, seq_len=3751, d_io=257,
         holder["state"] = new_state
         return new_state.params
 
-    return _measure("train-step", dispatch, iters, batch * seq_len,
+    return _measure(name, dispatch, iters, batch * seq_len,
                     flops, xla_bytes, peaks, padded_flops=pflops)
 
 
@@ -633,14 +636,17 @@ def run_all_modes(peaks, saturation_retry=True):
         except Exception as e:
             _maybe_profiler_dead(e)
             _log(f"{name} failed: {e}")
-    try:
-        with _alarm(BENCH_MODE_TIMEOUT_S):
-            recs["train-step"] = bench_train_step(peaks)
-    except _ProfilerDead:
-        raise
-    except Exception as e:
-        _maybe_profiler_dead(e)
-        _log(f"train-step failed: {e}")
+    for name, sd in (("train-step", "float32"),
+                     ("train-step-bf16s", "bfloat16")):
+        try:
+            with _alarm(BENCH_MODE_TIMEOUT_S):
+                recs[name] = bench_train_step(peaks, stream_dtype=sd,
+                                              name=name)
+        except _ProfilerDead:
+            raise
+        except Exception as e:
+            _maybe_profiler_dead(e)
+            _log(f"{name} failed: {e}")
     return recs
 
 
@@ -822,7 +828,8 @@ def summarize(recs, peaks, backend="tpu"):
     device-profiler timings, then validated wall-clocks, and falling back
     to the HBM-bound cost model when no mode produced a physically
     possible timing."""
-    serving = {k: v for k, v in recs.items() if k != "train-step"}
+    serving = {k: v for k, v in recs.items()
+               if not k.startswith("train-step")}
     if not serving:
         return {"metric": "ndns_s5_frames_per_sec_per_chip",
                 "value": 0.0, "unit": "frames/s",
@@ -904,6 +911,10 @@ def summarize(recs, peaks, backend="tpu"):
         out["train_step_sol_frames_per_sec"] = round(
             tstep["sol_frames_per_sec"], 1)
         out["train_step_measurement"] = "roofline-cost-model"
+    t16 = recs.get("train-step-bf16s", {})
+    if t16.get("sol_frames_per_sec"):
+        out["train_step_bf16_stream_sol_frames_per_sec"] = round(
+            t16["sol_frames_per_sec"], 1)
     # per-config roofline table: lets the judge/readers see the serving
     # deltas even when no wall-clock is admissible
     out["sol_frames_per_sec_by_config"] = {

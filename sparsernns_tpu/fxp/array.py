@@ -17,12 +17,16 @@ Design differences:
   offers the same diagnostic as a traced value).
 - Product dtype escalation to int64 is decided statically from the operand
   bit-widths instead of from runtime data (reference fxparray.py:611-616
-  inspects values; static is both safer and traceable). x64 must be enabled
-  (JAX_ENABLE_X64) for widths requiring it; otherwise we clamp to int32 and
-  rely on the operand bit-configs to prevent overflow.
+  inspects values; static is both safer and traceable). The widening is
+  REAL regardless of the global x64 setting: the widening ops run under a
+  local `jax.enable_x64(True)` context (without it, astype(int64)
+  silently stays int32 and 16x16-bit matmul accumulators WRAP — cost the
+  w16a16 fxp engine 1.3 dB SI-SNR before the round-3 sweep caught it).
 """
 
 from __future__ import annotations
+
+import contextlib
 
 import dataclasses
 import enum
@@ -188,7 +192,17 @@ def fxp_change_exp(arr: FxpArray, new_exp: int,
     if new_exp == arr.exp:
         return arr
     if new_exp > arr.exp:
-        data = arr.data << (new_exp - arr.exp)
+        shift = new_exp - arr.exp
+        # left-shifts can WRAP int32 before the clip can saturate them
+        # (arr.bits + shift > 31); widen, clip in int64, downcast
+        wide = arr.bits + shift > 31
+        with _wide_ctx(wide):
+            data = _to_wide(arr.data) if wide else arr.data
+            data = data << shift
+            if wide:
+                out = FxpArray(data, arr.bits, new_exp, arr.signed).clip()
+                return FxpArray(out.data.astype(jnp.int32), arr.bits,
+                                new_exp, arr.signed)
     else:
         data = fxp_rshift_round(arr.data, arr.exp - new_exp, round_mode)
     return FxpArray(data, arr.bits, new_exp, arr.signed).clip()
@@ -217,12 +231,37 @@ def fxp_add(op1: FxpArray, op2: FxpArray,
         result_bits = result_bits_fn(op1.bits, op2.bits) + result_bits_add
     if result_exp is None:
         result_exp = max(op1.exp, op2.exp)
-        a = op1.data << (result_exp - op1.exp) if op1.exp < result_exp else op1.data
-        b = op2.data << (result_exp - op2.exp) if op2.exp < result_exp else op2.data
-        data = a + b
+        s1, s2 = result_exp - op1.exp, result_exp - op2.exp
+        # aligned operands can reach bits+shift and their SUM one more
+        # bit — int32 would wrap before the clip saturates
+        wide = max(op1.bits + s1, op2.bits + s2) + 1 > 31
+        with _wide_ctx(wide):
+            a, b = op1.data, op2.data
+            if wide:
+                a, b = _to_wide(a), _to_wide(b)
+            a = a << s1 if s1 else a
+            b = b << s2 if s2 else b
+            data = a + b
+            if wide:
+                out = FxpArray(data, result_bits, result_exp,
+                               result_signed).clip()
+                return FxpArray(out.data.astype(jnp.int32), result_bits,
+                                result_exp, result_signed)
     else:
-        data = (fxp_change_exp(op1, result_exp, round_mode).data
-                + fxp_change_exp(op2, result_exp, round_mode).data)
+        # each change_exp result is clipped to its own bits; two 32-bit
+        # codes can still overflow the int32 SUM
+        wide = max(op1.bits, op2.bits) + 1 > 31
+        with _wide_ctx(wide):
+            a = fxp_change_exp(op1, result_exp, round_mode).data
+            b = fxp_change_exp(op2, result_exp, round_mode).data
+            if wide:
+                a, b = _to_wide(a), _to_wide(b)
+            data = a + b
+            if wide:
+                out = FxpArray(data, result_bits, result_exp,
+                               result_signed).clip()
+                return FxpArray(out.data.astype(jnp.int32), result_bits,
+                                result_exp, result_signed)
     return FxpArray(data, result_bits, result_exp, result_signed).clip()
 
 
@@ -231,10 +270,38 @@ def fxp_sub(op1: FxpArray, op2: FxpArray, **kw) -> FxpArray:
     return fxp_add(op1, neg, **kw)
 
 
+def _needs_wide(op1: FxpArray, op2: FxpArray) -> bool:
+    """True when the product could overflow an int32 accumulator."""
+    return op1.bits + op2.bits > 30
+
+
+@contextlib.contextmanager
+def _wide_ctx(needed: bool):
+    """REAL int64 escalation even when jax_enable_x64 is globally off:
+    without this context `astype(int64)` silently stays int32 and
+    16x16-bit matmul accumulators WRAP — the w16a16 fxp engine lost
+    1.3 dB SI-SNR to exactly that (round-3 multi-recipe quality sweep).
+    The escaping results are astype(int32)'d inside, so no wide dtype
+    leaks to callers."""
+    if needed and not jax.config.read("jax_enable_x64"):
+        with jax.enable_x64(True):
+            yield
+    else:
+        yield
+
+
+def _to_wide(x):
+    """int64 view preserving numpy-ness (host-side packing must not
+    create device arrays — see round_array). jnp casts only widen for
+    real under _wide_ctx."""
+    return x.astype(np.int64 if isinstance(x, np.ndarray) else jnp.int64)
+
+
 def _maybe_widen(op1: FxpArray, op2: FxpArray):
-    """Escalate the product dtype when operand widths could overflow i32."""
-    if op1.bits + op2.bits > 30:
-        return op1.data.astype(_wide_dtype()), op2.data.astype(_wide_dtype())
+    """Escalate the product dtype when operand widths could overflow i32.
+    Call under ``_wide_ctx(_needs_wide(op1, op2))``."""
+    if _needs_wide(op1, op2):
+        return _to_wide(op1.data), _to_wide(op2.data)
     return op1.data, op2.data
 
 
@@ -255,9 +322,10 @@ def fxp_mul(op1: FxpArray, op2: FxpArray,
     if rshift < 0:
         raise ValueError(f"invalid result_exp {result_exp} > "
                          f"{op1.exp} + {op2.exp}")
-    a, b = _maybe_widen(op1, op2)
-    raw = a * b
-    data = fxp_rshift_round(raw, rshift, round_mode).astype(jnp.int32)
+    with _wide_ctx(_needs_wide(op1, op2)):
+        a, b = _maybe_widen(op1, op2)
+        raw = a * b
+        data = fxp_rshift_round(raw, rshift, round_mode).astype(jnp.int32)
     return FxpArray(data, result_bits, result_exp, result_signed).clip()
 
 
@@ -275,17 +343,19 @@ def fxp_matmul(op1: FxpArray, op2: FxpArray,
         result_bits = result_bits_fn(op1.bits, op2.bits)
     if result_exp is None:
         result_exp = result_exp_fn(op1.exp, op2.exp)
-    a, b = _maybe_widen(op1, op2)
-    acc_dtype = jnp.result_type(a.dtype, b.dtype)
-    raw = jax.lax.dot_general(
-        a, b, (((a.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=acc_dtype)
-    rshift = op1.exp + op2.exp - result_exp
-    if rshift < 0:
-        raw = raw << -rshift
-        data = raw.astype(jnp.int32)
-    else:
-        data = fxp_rshift_round(raw, rshift, round_mode).astype(jnp.int32)
+    with _wide_ctx(_needs_wide(op1, op2)):
+        a, b = _maybe_widen(op1, op2)
+        acc_dtype = jnp.result_type(a.dtype, b.dtype)
+        raw = jax.lax.dot_general(
+            a, b, (((a.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype)
+        rshift = op1.exp + op2.exp - result_exp
+        if rshift < 0:
+            raw = raw << -rshift
+            data = raw.astype(jnp.int32)
+        else:
+            data = fxp_rshift_round(raw, rshift,
+                                    round_mode).astype(jnp.int32)
     return FxpArray(data, result_bits, result_exp, result_signed).clip()
 
 

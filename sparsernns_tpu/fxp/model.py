@@ -151,6 +151,13 @@ class FxpDense(FxpModule):
     """Integer dense: y = requant(x_q @ W_q + bias).
     Reference: FxpDense fxpmodel.py:292-393."""
 
+    #: headroom above the OUTPUT grid kept in the 32-bit accumulator:
+    #: saturation kicks in at |value| = 2^(31 - out.exp - GUARD). The
+    #: naive acc exp (in.exp + w.exp) reaches 31 at w16a16 — zero
+    #: headroom, every pre-requant value >= 1.0 clipped (cost the
+    #: w16a16 fxp engine 1.3 dB before the round-3 sweep caught it).
+    ACC_GUARD_BITS = 12
+
     def __init__(self, kernel: np.ndarray, bias: Optional[np.ndarray],
                  in_spec: FxpSpec, w_bits: int, out_spec: FxpSpec):
         super().__init__()
@@ -158,8 +165,9 @@ class FxpDense(FxpModule):
         self.out_spec = out_spec
         w_spec = spec_for(kernel, w_bits)
         self.w = w_spec.quantize(np.asarray(kernel))
-        acc_exp = in_spec.exp + w_spec.exp
-        self.bias = (fxp_from_fp(np.asarray(bias), 32, acc_exp,
+        self.acc_exp = min(in_spec.exp + w_spec.exp,
+                           out_spec.exp + self.ACC_GUARD_BITS)
+        self.bias = (fxp_from_fp(np.asarray(bias), 32, self.acc_exp,
                                  round_mode=RoundingMode.ROUND)
                      if bias is not None else None)
 
@@ -167,7 +175,7 @@ class FxpDense(FxpModule):
         x = self.in_spec.cast(x)
         self.sow("input", x)
         acc = fxp_matmul(x, self.w, result_bits=32,
-                         result_exp=x.exp + self.w.exp)
+                         result_exp=self.acc_exp)
         if self.bias is not None:
             acc = fxp_add(acc, self.bias, result_bits=32)
         y = self.out_spec.cast(acc)

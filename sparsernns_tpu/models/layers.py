@@ -194,8 +194,10 @@ class SequenceLayer(nn.Module):
             # Extract the masks FROM self.drop (applied to ones): the
             # same rng stream, fold order, and mask distribution as the
             # unfused path — fused and unfused training see identical
-            # dropout draws for a given step rng.
-            ones = jnp.ones((x.shape[0], 1, self.d_model), x.dtype)
+            # dropout draws for a given step rng. Masks stay f32 even on
+            # a bf16 stream: 1/keep_prob must not round (mask HBM is
+            # (B, 1, H) — negligible).
+            ones = jnp.ones((x.shape[0], 1, self.d_model), jnp.float32)
             m1 = self.drop(ones)
             if glu != "none":
                 m2 = self.drop(ones)
@@ -229,9 +231,12 @@ class SequenceLayer(nn.Module):
                 # exact statistics from the padded stream: the pads are
                 # EXACTLY zero (kernel-maintained invariant), so sums are
                 # the true sums — only the divisor needs the true count.
+                # f32 accumulation regardless of the stream dtype (XLA
+                # fuses the convert into the reduce — no materialization)
                 denom = float(x.shape[0] * padded_true_l)
-                s1 = jnp.sum(x, axis=(0, 1))[:h_dim]
-                s2 = jnp.sum(jnp.square(x), axis=(0, 1))[:h_dim]
+                xf = x.astype(jnp.float32)
+                s1 = jnp.sum(xf, axis=(0, 1))[:h_dim]
+                s2 = jnp.sum(jnp.square(xf), axis=(0, 1))[:h_dim]
                 mean = s1 / denom
                 var = s2 / denom - mean * mean
                 # running-stats update (what self.norm(x) would do, with

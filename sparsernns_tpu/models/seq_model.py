@@ -59,6 +59,13 @@ class _Base(nn.Module):
     approx_topk: bool = False
     quant_input: Optional[float] = None
     axis_name: Optional[str] = None
+    #: inter-layer residual-stream storage dtype on the padded-stream
+    #: training fast path: "bfloat16" halves the stream HBM traffic of
+    #: the whole-layer kernels (fwd reads/writes AND the adjoint's
+    #: stream cotangents); params/grads/BN statistics stay f32. Opt-in
+    #: (--train_stream_dtype bfloat16); quality impact measured in
+    #: PERF.md.
+    stream_dtype: str = "float32"
 
     def _encoder_stack(self):
         return StackedEncoderModel(
@@ -75,6 +82,7 @@ class _Base(nn.Module):
             relufication=self.relufication,
             fuse_batchnorm_linear=self.fuse_batchnorm_linear,
             q_config=self.q_config,
+            stream_dtype=self.stream_dtype,
             use_batchnorm_scale=self.use_batchnorm_scale,
             use_batchnorm_bias=self.use_batchnorm_bias,
             topk=self.topk,
@@ -148,10 +156,13 @@ class StackedEncoderModel(_Base):
             block_t = tail_ops[5]
             b, l, h = x.shape
             t, l_pad, h_pad = tail_geometry(l, h, block_t)
-            xp = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, h_pad - h)))
+            sd = (jnp.bfloat16 if self.stream_dtype == "bfloat16"
+                  else jnp.float32)
+            xp = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, h_pad - h))
+                         ).astype(sd)
             for layer in self.layers:
                 xp = layer(xp, padded_true_l=l)
-            return xp[:, :l, :h]
+            return xp[:, :l, :h].astype(jnp.float32)
         for layer in self.layers:
             x = layer(x)
         return x

@@ -286,10 +286,11 @@ def _make_bwd_kernel(glu: str, act: str, with_m1: bool, with_m2: bool,
         if affine:
             blk["dnw"] = _rsum(g_zn * x_raw)
             blk["dnb"] = _rsum(g_zn)
-            outs["gx"][0] = g_zn * nw + g_skip
+            outs["gx"][0] = (g_zn * nw + g_skip).astype(
+                outs["gx"].dtype)
         else:
-            outs["gx"][0] = g_zn
-            outs["gskip"][0] = g_skip
+            outs["gx"][0] = g_zn.astype(outs["gx"].dtype)
+            outs["gskip"][0] = g_skip.astype(outs["gskip"].dtype)
 
         # ---- accumulate into the resident PER-BATCH-ROW output blocks
         # (summed over the batch OUTSIDE the custom call, so a DP-sharded
@@ -522,9 +523,11 @@ def fused_tail_bwd(z, skip, lam: Pair, w_b, w_c, d,
         out_specs, out_shapes = [], []
         for n in out_names:
             if n in ("gx", "gskip"):
+                # stream cotangents keep the stream's dtype (bf16 halves
+                # the adjoint's g_x write; no accumulation on this path)
                 out_specs.append(io_rev)
                 out_shapes.append(
-                    jax.ShapeDtypeStruct((b, l_pad, h_pad), jnp.float32))
+                    jax.ShapeDtypeStruct((b, l_pad, h_pad), zp.dtype))
             elif n in ("dm1", "dm2"):
                 out_specs.append(mask_blk)
                 out_shapes.append(

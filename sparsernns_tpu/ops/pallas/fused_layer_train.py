@@ -148,7 +148,9 @@ def _make_tail_kernel(glu: str, act: str, with_m1: bool, with_m2: bool,
             rows = (jax.lax.broadcasted_iota(jnp.int32, o.shape, 0)
                     + j * block_t)
             o = jnp.where(rows < true_l, o, 0.0)
-        out_ref[0] = o
+        # single store-time rounding onto the stream dtype (bf16 streams
+        # halve the inter-layer HBM traffic; compute stays f32 in VMEM)
+        out_ref[0] = o.astype(out_ref.dtype)
 
     return kernel, names
 
@@ -282,7 +284,9 @@ def fused_layer_tail(
             grid=(b, l_pad // t),
             in_specs=[spec(n) for n in names],
             out_specs=io_block,
-            out_shape=jax.ShapeDtypeStruct((b, l_pad, h_pad), jnp.float32),
+            # the output stream keeps the input stream's dtype (bf16
+            # streams halve the layer's read+write HBM traffic)
+            out_shape=jax.ShapeDtypeStruct((b, l_pad, h_pad), z.dtype),
             scratch_shapes=[pltpu.VMEM((1, p_pad), jnp.float32),
                             pltpu.VMEM((1, p_pad), jnp.float32)],
             interpret=interpret,
@@ -386,6 +390,13 @@ def _bwd(block_t, act, glu, relu_state, layer_relu, pre_padded, true_l,
     p = w_b.shape[-1] // 2
     axes = tuple(range(z.ndim - 1))
     affine = nw is not None
+    # bf16 streams: math in f32, stream cotangents cast back at return
+    # (custom_vjp requires cotangent dtypes to match the primal inputs)
+    stream_dtype = z.dtype
+    z = z.astype(jnp.float32)
+    g = g.astype(jnp.float32)
+    if skip is not None:
+        skip = skip.astype(jnp.float32)
     x_raw = None
     if affine:
         x_raw, skip = z, z
@@ -480,12 +491,13 @@ def _bwd(block_t, act, glu, relu_state, layer_relu, pre_padded, true_l,
         g_x = g_z * nw + g_skip
         if pad_back is not None:
             g_x = jnp.pad(g_x, pad_back)
-        return (g_x, None, d_lam, d_w_b, d_w_c, d_d,
+        return (g_x.astype(stream_dtype), None, d_lam, d_w_b, d_w_c, d_d,
                 d_o2k, d_o2b, d_o1k, d_o1b, d_m1, d_m2, d_nw, d_nb)
     if pad_back is not None:
         g_z = jnp.pad(g_z, pad_back)
         g_skip = jnp.pad(g_skip, pad_back)
-    return (g_z, g_skip, d_lam, d_w_b, d_w_c, d_d,
+    return (g_z.astype(stream_dtype), g_skip.astype(stream_dtype),
+            d_lam, d_w_b, d_w_c, d_d,
             d_o2k, d_o2b, d_o1k, d_o1b, d_m1, d_m2, None, None)
 
 

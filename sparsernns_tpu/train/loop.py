@@ -71,6 +71,7 @@ def build_model(cfg: RunConfig, d_input: int, d_output: int,
         use_batchnorm_scale=cfg.batchnorm_use_scale,
         use_batchnorm_bias=cfg.batchnorm_use_bias, topk=cfg.topk,
         approx_topk=cfg.approx_topk, quant_input=cfg.quant_input,
+        stream_dtype=cfg.train_stream_dtype if training else "float32",
         d_output=d_output)
     if cfg.dataset == "ndns":
         return RegressionModel(**common)

@@ -61,6 +61,10 @@ class RunConfig:
     scan_mode: str = "associative"      # associative | sequential | pallas | fused
     block_t: int = 256                  # Pallas kernels' time-block size
                                         # (tune: python -m sparsernns_tpu.utils.autotune)
+    # residual-stream storage dtype on the padded-stream training fast
+    # path ("bfloat16" halves the whole-layer kernels' stream HBM;
+    # params/grads/BN stats stay f32) — opt-in, see PERF.md
+    train_stream_dtype: str = "float32"
 
     # --- regularization / optimization ---
     p_dropout: float = 0.1

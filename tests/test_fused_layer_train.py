@@ -385,3 +385,56 @@ def test_padded_stream_stack_matches_unfused(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(ka)}")
+
+
+def test_bf16_stream_training_matches_f32(rng, monkeypatch):
+    """Opt-in bf16 residual stream (stream_dtype="bfloat16" on the
+    padded-stream fast path): losses/gradients track the f32 stream
+    within bf16 rounding, on BOTH the adjoint-kernel and XLA-remat
+    backward paths; BN statistics stay f32-accumulated."""
+    import dataclasses
+
+    from sparsernns_tpu.train.loop import build_model
+    from sparsernns_tpu.train.optim import create_optimizer
+    from sparsernns_tpu.train.state import TrainState
+    from sparsernns_tpu.train.steps import make_ndns_train_step
+    from sparsernns_tpu.utils.config import RunConfig
+
+    B, L, F = 2, 200, 33
+    nm = jnp.asarray(np.abs(rng.randn(B, F, L)), jnp.float32)
+    cl = jnp.asarray(rng.randn(B, (L - 1) * 128), jnp.float32)
+
+    def run(sd):
+        cfg = RunConfig(dataset="ndns", n_layers=2, d_model=16,
+                        ssm_size_base=16, blocks=2, scan_mode="fused",
+                        block_t=64, p_dropout=0.05, glu_variant="half1",
+                        prenorm=True, batchnorm=True, relufication=True,
+                        train_stream_dtype=sd)
+        model = build_model(cfg, F, F, training=True)
+        x = jnp.zeros((B, 16, F), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        tx = create_optimizer("noBCdecay", lr=1e-3, ssm_lr=1e-3,
+                              total_steps=10, warmup_steps=1)
+        state = TrainState.create(apply_fn=model.apply,
+                                  params=variables["params"], tx=tx,
+                                  batch_stats=variables.get("batch_stats"))
+        step = make_ndns_train_step(model, batchnorm=True)
+        losses = []
+        for i in range(3):
+            state, m = step(state, jax.random.PRNGKey(i), nm,
+                            jnp.zeros_like(nm), nm * 0.9, cl)
+            losses.append(float(m["loss"]))
+        return np.asarray(losses)
+
+    l32 = run("float32")
+    l16 = run("bfloat16")
+    assert np.all(np.isfinite(l16))
+    np.testing.assert_allclose(l16, l32, rtol=2e-3)
+    # the stream dtype must not change the training trend
+    assert l16[-1] < l16[0]
+
+    # XLA-remat backward path at bf16 (cotangent dtypes must match the
+    # bf16 primal streams there too)
+    monkeypatch.setenv("SPARSERNNS_XLA_TAIL_BWD", "1")
+    l16_xla = run("bfloat16")
+    np.testing.assert_allclose(l16_xla, l16, rtol=2e-3)

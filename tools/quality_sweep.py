@@ -39,7 +39,8 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 
-def flagship_cfg(seed: int, epochs: int, ckpt_dir: str, mxu16: bool):
+def flagship_cfg(seed: int, epochs: int, ckpt_dir: str, mxu16: bool,
+                 quant: str = "w8a16", pruning: str = "no_prune"):
     from sparsernns_tpu.utils.config import RunConfig
     return RunConfig(
         checkpoint_dir=ckpt_dir,
@@ -52,23 +53,28 @@ def flagship_cfg(seed: int, epochs: int, ckpt_dir: str, mxu16: bool):
         warmup_end=1, opt_config="noBCdecay", logger="none",
         validate_baseline=True, calibrate_quant=True,
         validate_static_quant=True, validate_engine=True,
-        engine_mxu16=mxu16,
+        engine_mxu16=mxu16, convert_quantization=quant, pruning=pruning,
     )
 
 
-def run_seed(seed: int, epochs: int, out_dir: str):
+def run_seed(seed: int, epochs: int, out_dir: str,
+             quant: str = "w8a16", pruning: str = "no_prune"):
     from sparsernns_tpu.fxp import runner as fxp_runner
     from sparsernns_tpu.quantize.convert import convert
     from sparsernns_tpu.train.loop import train
 
-    ckpt = os.path.join(out_dir, f"seed{seed}")
+    # pruned training is a different run; quant-only changes reuse the
+    # dense checkpoint (conversion recalibrates per recipe)
+    sub = f"seed{seed}" + ("" if pruning == "no_prune" else f"_{pruning}")
+    ckpt = os.path.join(out_dir, sub)
     os.makedirs(ckpt, exist_ok=True)
-    cfg = flagship_cfg(seed, epochs, ckpt, mxu16=False)
+    cfg = flagship_cfg(seed, epochs, ckpt, mxu16=False, quant=quant,
+                       pruning=pruning)
 
     print(f"[quality] seed {seed}: training {epochs} epochs...",
           flush=True)
     summary = train(cfg)
-    row = {"seed": seed,
+    row = {"seed": seed, "quant": quant, "pruning": pruning,
            "best_val_si_snr": (summary.get("metadata") or {}).get(
                "best_si_snr")}
 
@@ -90,10 +96,17 @@ def run_seed(seed: int, epochs: int, out_dir: str):
     fxp_metrics = fxp_runner.run_inference(cfg)
     row["fxp"] = fxp_metrics.get("Val Acc - fxp")
 
-    with open(os.path.join(ckpt, "quality_row.json"), "w") as f:
+    with open(os.path.join(out_dir, sub, _row_name(quant, pruning)),
+              "w") as f:
         json.dump(row, f, indent=2)
     print(f"[quality] seed {seed}: {row}", flush=True)
     return row
+
+
+def _row_name(quant: str, pruning: str) -> str:
+    suffix = "" if (quant == "w8a16" and pruning == "no_prune") else (
+        f"_{quant}" + ("" if pruning == "no_prune" else f"_{pruning}"))
+    return f"quality_row{suffix}.json"
 
 
 STAGES = ["fp32", "static_quant", "engine_float", "engine_mxu16", "fxp"]
@@ -104,6 +117,9 @@ def main():
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     ap.add_argument("--epochs", type=int, default=25)
     ap.add_argument("--out", default="runs/quality_r3")
+    ap.add_argument("--quant", default="w8a16",
+                    help="conversion recipe (reuses trained checkpoints)")
+    ap.add_argument("--pruning", default="no_prune")
     ap.add_argument("--summarize-only", action="store_true",
                     help="aggregate existing per-seed rows")
     args = ap.parse_args()
@@ -111,8 +127,10 @@ def main():
 
     rows = []
     for seed in args.seeds:
-        row_path = os.path.join(args.out, f"seed{seed}",
-                                "quality_row.json")
+        sub = f"seed{seed}" + ("" if args.pruning == "no_prune"
+                               else f"_{args.pruning}")
+        row_path = os.path.join(args.out, sub,
+                                _row_name(args.quant, args.pruning))
         if os.path.exists(row_path):
             with open(row_path) as f:
                 rows.append(json.load(f))
@@ -120,7 +138,8 @@ def main():
             continue
         if args.summarize_only:
             continue
-        rows.append(run_seed(seed, args.epochs, args.out))
+        rows.append(run_seed(seed, args.epochs, args.out,
+                             quant=args.quant, pruning=args.pruning))
 
     if not rows:
         print("[quality] no rows", flush=True)
@@ -146,7 +165,9 @@ def main():
         print(f"[quality] {st:14s} {vals.mean():7.3f} ± {vals.std():5.3f} dB"
               f"   Δvs fp32 {delta.mean():+6.3f} ± {delta.std():5.3f}"
               f"   (n={len(pairs)})", flush=True)
-    with open(os.path.join(args.out, "summary.json"), "w") as f:
+    summary_name = _row_name(args.quant, args.pruning).replace(
+        "quality_row", "summary")
+    with open(os.path.join(args.out, summary_name), "w") as f:
         json.dump(summary, f, indent=2)
     return 0
 
