@@ -225,7 +225,7 @@ def _trace_module_times(dispatch, iters, match="bench_target"):
 
 def _finalize(name, elapsed, synced, iters, frames_per_iter,
               analytic_flops, xla_bytes, peaks, saturated=False,
-              profiled=False, padded_flops=0.0):
+              profiled=False, padded_flops=0.0, drained=False):
     peak_flops, hbm_bw = peaks
     t_iter = elapsed / iters
     # Roofline floor: max of the HBM bound and the MXU bound at the
@@ -240,6 +240,7 @@ def _finalize(name, elapsed, synced, iters, frames_per_iter,
         "name": name,
         "saturated": bool(saturated),
         "profiled": bool(profiled),
+        "drained": bool(drained),
         "frames_per_sec": frames_per_iter / t_iter if t_iter > 0 else 0.0,
         "t_iter_ms": t_iter * 1e3,
         "sol_t_ms": sol_t * 1e3,
@@ -264,6 +265,15 @@ def _finalize(name, elapsed, synced, iters, frames_per_iter,
     return rec
 
 
+def _run_drained(dispatch, iters, sol_t=0.0):
+    """READBACK-DRAIN timing (round-3 tunnel: dispatch is async with a
+    no-op sync, but a device-to-host readback of even one element blocks
+    until the producing chain really completes — canary-verified at ~98%
+    of the matmul MXU floor). See profiling.readback_drain_time."""
+    from sparsernns_tpu.utils.profiling import readback_drain_time
+    return readback_drain_time(dispatch, iters, sol_t)
+
+
 def _run_chained(dispatch, iters, n_fill=0):
     """dispatch(prev_out_or_None) -> out. Warms up once (compile), then
     times `iters` data-dependency-chained dispatches + a final sync.
@@ -284,9 +294,11 @@ def _run_chained(dispatch, iters, n_fill=0):
 
 #: timing-trust regime, set once per process by _canary_check (main):
 #: "wallclock" — plain chained wall-clocks can reflect execution;
-#: "saturation" — ballast-pinned allocator backpressure paces dispatch.
-#: Both default True so non-TPU runs (tests, CPU) behave as before.
-_REGIME = {"wallclock": True, "saturation": True}
+#: "saturation" — ballast-pinned allocator backpressure paces dispatch;
+#: "readback" — time-to-1-element-readback scales with queued device
+#: work (the drain channel; only probed when wallclock fails, so it
+#: defaults False and non-TPU runs behave as before).
+_REGIME = {"wallclock": True, "saturation": True, "readback": False}
 
 
 def _canary_check(peaks) -> dict:
@@ -320,10 +332,31 @@ def _canary_check(peaks) -> dict:
     if wallclock:
         return {"wallclock": True, "saturation": True}
 
+    # Probe the readback-drain channel BEFORE the saturation canary: the
+    # saturation probe pins ~all HBM with a ballast, and on transports
+    # with leaky buffer accounting (the round-3 tunnel) that ballast
+    # never frees in-process — every subsequent compile/alloc in this
+    # process dies RESOURCE_EXHAUSTED. When the drain channel works it
+    # supersedes saturated-queue timings anyway.
+    readback = _readback_canary_subprocess(peak_flops)
+    if readback:
+        return {"wallclock": False, "saturation": False, "readback": True}
+
     saturation, t_sat, _ = timing_trust_canary(peak_flops, saturate=True)
     _log(f"canary: saturated steady {t_sat * 1e3:.2f} ms/iter -> "
          f"saturation {'OK' if saturation else 'BROKEN (no backpressure)'}")
-    return {"wallclock": False, "saturation": saturation}
+    return {"wallclock": False, "saturation": saturation,
+            "readback": False}
+
+
+def _readback_canary_subprocess(peak_flops: float,
+                                timeout_s: float = 600) -> bool:
+    """Probe the readback-drain channel (subprocess-isolated; the verdict
+    caches in profiling.READBACK_ENV so worker subprocesses inherit it).
+    See profiling.probe_readback_channel."""
+    from sparsernns_tpu.utils.profiling import probe_readback_channel
+    return probe_readback_channel(peak_flops, timeout_s,
+                                  log=lambda m: _log(m))
 
 
 def _hbm_limit() -> int:
@@ -375,6 +408,15 @@ def _measure(name, dispatch, iters, frames_per_iter, flops, xla_bytes,
     # record (valid=False) so summarize() can fall back to the roofline.
     untimeable = ((reserve_gb is None and not _REGIME["wallclock"])
                   or (reserve_gb is not None and not _REGIME["saturation"]))
+    if (untimeable and reserve_gb is None and _REGIME.get("readback")):
+        # drain channel verified by its own canary: time-to-readback
+        # scales with queued work even though dispatch timing doesn't
+        peak_flops, hbm_bw = peaks
+        sol_t = max(xla_bytes / hbm_bw, padded_flops / peak_flops)
+        elapsed, n_eff = _run_drained(dispatch, iters, sol_t)
+        return _finalize(name + " (readback-drain)", elapsed, True, n_eff,
+                         frames_per_iter, flops, xla_bytes, peaks,
+                         drained=True, padded_flops=padded_flops)
     if untimeable:
         rec = _finalize(name + " (untimeable backend)", float("inf"), False,
                         iters, frames_per_iter, flops, xla_bytes, peaks,
@@ -408,13 +450,22 @@ def _chained_dispatch(fwd, weights, x, bias_path):
     (which costs 3 stream-sized HBM round trips per iteration — more
     than the whole-network kernel's own forward traffic). The
     perturbation reads one element of ``prev`` and rewrites a (H,)
-    bias: negligible, and entirely on-device (no host readback)."""
+    bias: negligible, and entirely on-device (no host readback). The
+    perturb itself is one precompiled jit call so each iteration costs
+    exactly TWO dispatches (perturb + fwd) — keeps the host dispatch
+    rate far above the device completion rate for the readback-drain
+    timing mode's fastest configs."""
+    @jax.jit
+    def perturb(leaf, b):
+        eps = 1e-20 * jnp.reshape(leaf, (-1,))[0]
+        return b + eps.astype(b.dtype)
+
     def dispatch(prev):
         w = weights
         if prev is not None:
-            eps = 1e-20 * prev.ravel()[0]
+            leaf = jax.tree_util.tree_leaves(prev)[0]
             w = _tree_update(weights, bias_path,
-                             lambda b: b + eps.astype(b.dtype))
+                             lambda b: perturb(leaf, b))
         return fwd(w, x)
     return dispatch
 
@@ -661,6 +712,8 @@ def _recs_from_worker() -> dict:
     attempts)."""
     env = dict(os.environ)
     env["BENCH_WORKER"] = "1"
+    # (the readback-channel verdict rides profiling.READBACK_ENV, already
+    # cached into os.environ by the parent's probe)
     all_modes = ("associative", "pallas", "fused", "w8a16-engine",
                  "train-step")
     merged: dict = {}
@@ -804,11 +857,20 @@ def main():
         return 0
 
     recs = {}
-    if backend == "tpu":
+    drain_regime = _REGIME.get("readback") and not _REGIME["wallclock"]
+    if backend == "tpu" and not drain_regime:
         recs = {k: v for k, v in _recs_from_worker().items()
                 if v.get("valid")}
         if recs:
             _log(f"profiler worker delivered: {sorted(recs)}")
+    elif drain_regime:
+        # Readback-drain is the verified channel: measure in-process and
+        # SKIP the profiler worker — on this backend start_trace is
+        # UNIMPLEMENTED and its crash can wedge the shared tunnel device
+        # for every later process (observed 2026-08-19: the whole
+        # transport hung after the worker's profiler crash).
+        _log("drain regime: skipping the profiler worker "
+             "(start_trace crash wedges the tunnel device)")
     missing = [m for m in ("associative", "pallas", "fused", "w8a16-engine",
                            "w8a16-engine-mxu16", "train-step")
                if m not in recs]
@@ -844,14 +906,25 @@ def summarize(recs, peaks, backend="tpu"):
     # timings (read from the runtime's own device track, no host sync
     # involved) remain admissible.
     broken_sync = any(r["synced"] and not r["valid"]
-                      and not r.get("profiled")
+                      and not r.get("profiled") and not r.get("drained")
                       for r in serving.values())
     if broken_sync:
         _log("backend sync proven broken (impossible timing observed) — "
-             "only profiler/saturated-queue timings are admissible")
+             "only profiler/saturated-queue/readback-drain timings are "
+             "admissible")
+    # A drained record below the floor would mean the readback channel
+    # lies too (it returned before execution finished) — drop ALL drained
+    # records then, same logic as broken_sync for plain wall-clocks.
+    broken_drain = any(r.get("drained") and not r["valid"]
+                       for r in serving.values())
+    if broken_drain:
+        _log("readback-drain channel proven broken (impossible drained "
+             "timing) — drained records inadmissible")
     valid = {k: v for k, v in serving.items()
-             if v["valid"] and (not broken_sync or v.get("saturated")
-                                or v.get("profiled"))}
+             if v["valid"]
+             and not (v.get("drained") and broken_drain)
+             and (not broken_sync or v.get("saturated")
+                  or v.get("profiled") or v.get("drained"))}
     assoc = serving.get("associative")
 
     if valid:
@@ -859,6 +932,7 @@ def summarize(recs, peaks, backend="tpu"):
         best = valid[best_name]
         value = best["frames_per_sec"]
         measurement = ("device-profiler" if best.get("profiled")
+                       else "readback-drain" if best.get("drained")
                        else "wall-clock")
         # Baseline = the associative (reference-style) backend: its
         # measured rate when valid, else its own HBM-bound ceiling (an
@@ -889,8 +963,10 @@ def summarize(recs, peaks, backend="tpu"):
              "(see PERF.md measurement protocol)")
 
     tstep = recs.get("train-step", {})
-    tstep_valid = bool(tstep.get("valid") and (not broken_sync
-                                               or tstep.get("profiled")))
+    tstep_valid = bool(tstep.get("valid")
+                       and not (tstep.get("drained") and broken_drain)
+                       and (not broken_sync or tstep.get("profiled")
+                            or tstep.get("drained")))
     out = {
         "metric": "ndns_s5_frames_per_sec_per_chip",
         "value": round(value, 1),

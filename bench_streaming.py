@@ -97,6 +97,35 @@ def measure_chunk(chunk_frames: int, batch: int = BATCH, d_io: int = 257,
         durs = bench._trace_module_times(dispatch, iters)
         if len(durs) >= 3:
             source = "device-profiler"
+    if (len(durs) < 3 and not bench._REGIME["wallclock"]
+            and bench._REGIME.get("readback")):
+        # readback-drain channel (canary-verified): the MEAN per-chunk
+        # time over a long carried chain is measurable even though
+        # per-chunk percentiles are not (each sample would pay the
+        # ~34 ms transport readback). p50 is reported as the mean and
+        # labelled; p99 stays None.
+        elapsed, n_eff = bench._run_drained(dispatch, iters, sol_t)
+        t_mean = elapsed / n_eff if n_eff else 0.0
+        chunk_s = chunk_frames * FRAME_MS / 1e3
+        rec = {
+            "chunk_frames": chunk_frames, "mxu16": mxu16,
+            "chunk_ms": chunk_frames * FRAME_MS, "batch": batch,
+            "p50_ms": t_mean * 1e3, "p99_ms": None,
+            "percentiles": "unavailable(readback-drain mean)",
+            "n_timings": n_eff,
+            "sol_ms": sol_t * 1e3,
+            "hbm_util": xla_bytes / t_mean / peaks[1] if t_mean > 0 else 0.0,
+            "rtf_per_stream": chunk_s / t_mean if t_mean > 0 else 0.0,
+            "rtf_batch": batch * chunk_s / t_mean if t_mean > 0 else 0.0,
+            "source": "readback-drain",
+            "valid": t_mean >= SOL_MARGIN * sol_t,
+        }
+        print(f"[stream] chunk={chunk_frames}f{' mxu16' if mxu16 else ''} "
+              f"({rec['chunk_ms']:.0f}ms) mean={rec['p50_ms']:.3f}ms "
+              f"sol={rec['sol_ms']:.3f}ms "
+              f"rtf/stream={rec['rtf_per_stream']:.1f} "
+              f"(readback-drain, valid={rec['valid']})", file=sys.stderr)
+        return rec
     if len(durs) < 3 and not bench._REGIME["wallclock"]:
         # canary-proven untimeable backend (unbounded queue, no-op sync):
         # a wall-clock here is a backlog artifact that may land ABOVE the
@@ -205,9 +234,18 @@ def summarize_stream(recs: list, backend: str) -> dict:
         print("[stream] backend sync proven broken (canary below its HBM "
               "floor) — wall-clock latencies are dispatch-only, rejected",
               file=sys.stderr)
+    # A drained record below the floor proves the readback channel lies
+    # (bench.summarize's broken_drain rule).
+    broken_drain = any(r["source"] == "readback-drain" and not r["valid"]
+                       for r in recs)
+    if broken_drain:
+        print("[stream] readback-drain channel proven broken — drained "
+              "records inadmissible", file=sys.stderr)
     latency = [r for r in recs if not r.get("canary")]
     valid = [r for r in latency if r["valid"]
-             and (not broken_sync or r["source"] == "device-profiler")]
+             and not (r["source"] == "readback-drain" and broken_drain)
+             and (not broken_sync
+                  or r["source"] in ("device-profiler", "readback-drain"))]
     summary = {
         "metric": "streaming_chunk_latency",
         "backend": backend,
@@ -242,11 +280,18 @@ def main() -> int:
         return 0
 
     recs = []
-    if backend == "tpu":
+    drain_regime = (bench._REGIME.get("readback")
+                    and not bench._REGIME["wallclock"])
+    if backend == "tpu" and not drain_regime:
         # keep only the worker's PROFILED records: its wall-clocks are
         # re-measured here so the canary proof always runs alongside them
         recs = [r for r in _recs_from_worker()
                 if r.get("valid") and r["source"] == "device-profiler"]
+    elif drain_regime:
+        # drain channel verified: measure in-process, skip the profiler
+        # worker (its start_trace crash wedges the tunnel device)
+        print("[stream] drain regime: skipping the profiler worker",
+              file=sys.stderr)
     have = {r["chunk_frames"] for r in recs}
     missing = [c for c in CHUNK_FRAMES if c not in have]
     if missing:

@@ -180,6 +180,14 @@ def measure_candidate(mode: str, block_t: int, b: int, l: int, h: int,
 
     if use_profiler is None:
         use_profiler = jax.default_backend() == "tpu"
+    if use_profiler and jax.default_backend() == "tpu" \
+            and not _wallclock_trusted():
+        from sparsernns_tpu.utils.profiling import probe_readback_channel
+        if probe_readback_channel(chip_peaks()[0]):
+            # drain regime: skip the profiler — start_trace is
+            # UNIMPLEMENTED on this backend and its crash can wedge the
+            # shared tunnel device (observed 2026-08-19)
+            use_profiler = False
     _, hbm_bw = chip_peaks()
     dispatch, xla_bytes = _build_dispatch(mode, block_t, b, l, h, p)
     sol_t = xla_bytes / hbm_bw
@@ -202,6 +210,32 @@ def measure_candidate(mode: str, block_t: int, b: int, l: int, h: int,
             return failure
     if len(durs) < 3:
         if not _wallclock_trusted():
+            from sparsernns_tpu.utils.profiling import (
+                chip_peaks as _peaks, probe_readback_channel,
+                readback_drain_time)
+            # readback-drain channel (bench.py's regime): the verdict is
+            # probed once and cached in READBACK_ENV, so isolated
+            # per-candidate workers inherit it without re-paying the
+            # multi-minute canary
+            if probe_readback_channel(_peaks()[0]):
+                try:
+                    elapsed, n_eff = readback_drain_time(dispatch, iters,
+                                                         sol_t)
+                except Exception as e:  # noqa: BLE001 - hung readback etc.
+                    print(f"[autotune] drain timing failed for "
+                          f"block_t={block_t}: {e}", file=sys.stderr)
+                    return failure
+                if n_eff > 0 and elapsed > 0:
+                    t_mean = elapsed / n_eff
+                    return {
+                        "mode": mode, "block_t": block_t,
+                        "t_iter_s": t_mean, "n_timings": n_eff,
+                        "source": "readback-drain",
+                        "xla_bytes": xla_bytes, "sol_t_s": sol_t,
+                        "hbm_util": xla_bytes / t_mean / hbm_bw,
+                        "valid": t_mean >= SOL_MARGIN * sol_t,
+                    }
+                return failure
             # canary-proven untimeable backend (bench.py's regime): a
             # wall-clock here would be a backlog artifact; candidates
             # must not win on noise
@@ -260,6 +294,13 @@ def autotune_block_t(mode: str = "fused", candidates=DEFAULT_CANDIDATES,
 
     if isolate is None:
         isolate = jax.default_backend() == "tpu"
+    if isolate and jax.default_backend() == "tpu" \
+            and not _wallclock_trusted():
+        # probe the drain channel ONCE in the parent: the verdict caches
+        # into READBACK_ENV and every per-candidate worker inherits it
+        from sparsernns_tpu.utils.profiling import (chip_peaks,
+                                                    probe_readback_channel)
+        probe_readback_channel(chip_peaks()[0])
     records = []
     for bt in candidates:
         if isolate:

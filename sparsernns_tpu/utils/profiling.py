@@ -173,6 +173,142 @@ def timing_trust_canary(peak_flops: float, iters: int = 16,
     return t_iter >= 0.6 * floor, t_iter, floor
 
 
+def drain_readback(out, warm: bool = False):
+    """Block the host on REAL device completion by reading back ONE
+    element of ``out``'s first array leaf. On transports whose
+    block_until_ready/is_ready are no-ops (the round-2/3 tunnel), a
+    device-to-host transfer is the only primitive that genuinely waits
+    for the producing computation — the readback-drain timing channel.
+    ``warm=True`` marks the once-per-process transport-initialisation
+    read (observed ~2-4 min on the tunnel; subsequent reads ~34 ms)."""
+    import numpy as np
+    leaf = next(x for x in jax.tree_util.tree_leaves(out)
+                if hasattr(x, "dtype"))
+    return np.asarray(jnp.reshape(leaf, (-1,))[0])
+
+
+def readback_drain_time(dispatch, iters: int, sol_t: float = 0.0):
+    """Generic READBACK-DRAIN timing: chain ``k`` dispatches then block on
+    a 1-element readback of the final output; the elapsed difference
+    between two K values cancels the fixed transport latency (~34 ms on
+    the round-3 tunnel). ``sol_t`` (the workload's roofline floor per
+    iteration) scales ``iters`` so the measured signal spans >= ~0.75 s,
+    far above readback jitter. dispatch(prev_or_None) -> out.
+    Returns (elapsed_s, effective_iters). Shared by bench.py,
+    bench_streaming.py, and the block_t autotuner."""
+    import time as _time
+
+    out = dispatch(None)
+    out = dispatch(out)             # compile the chained variant too
+    drain_readback(out, warm=True)  # absorb per-process transport init
+    if sol_t > 0:
+        iters = max(iters, min(int(0.75 / sol_t) + 1, 4000))
+    iters = max(iters, 2)
+    k1 = max(1, min(iters // 8, iters - 1))
+
+    def run(k):
+        prev = None
+        t0 = _time.perf_counter()
+        for _ in range(k):
+            prev = dispatch(prev)
+        drain_readback(prev)
+        return _time.perf_counter() - t0
+
+    t_a = min(run(k1), run(k1))
+    t_b = min(run(iters), run(iters))
+    return max(t_b - t_a, 0.0), iters - k1
+
+
+#: env var carrying the once-per-run readback-channel verdict ("1"/"0"),
+#: set by the parent probe and inherited by worker subprocesses so they
+#: never re-pay the multi-minute canary.
+READBACK_ENV = "SPARSERNNS_READBACK_OK"
+
+
+def probe_readback_channel(peak_flops: float, timeout_s: float = 600,
+                           log=None) -> bool:
+    """Run readback_drain_canary in a THROWAWAY SUBPROCESS and cache the
+    verdict in READBACK_ENV (inherited by any later worker subprocess).
+    A dead transport HANGS the 1-element readback inside the C client
+    where SIGALRM cannot interrupt it — a subprocess can be killed on
+    timeout. The warm-up read alone costs minutes on the tunnel."""
+    import json as _json
+    import os as _os
+    import subprocess as _sp
+    import sys as _sys
+
+    cached = _os.environ.get(READBACK_ENV)
+    if cached is not None:
+        return cached == "1"
+    log = log or (lambda m: print(m, file=_sys.stderr, flush=True))
+    code = (
+        "from sparsernns_tpu.utils.profiling import readback_drain_canary\n"
+        f"ok, slope, floor = readback_drain_canary({peak_flops!r})\n"
+        "import json; print('READBACK_CANARY ' + json.dumps("
+        "{'ok': bool(ok), 'slope_ms': slope*1e3, 'floor_ms': floor*1e3}))\n")
+    verdict = False
+    try:
+        r = _sp.run([_sys.executable, "-c", code], timeout=timeout_s,
+                    capture_output=True, text=True)
+        for line in r.stdout.splitlines():
+            if line.startswith("READBACK_CANARY "):
+                rec = _json.loads(line[len("READBACK_CANARY "):])
+                log(f"canary: readback-drain slope {rec['slope_ms']:.2f} "
+                    f"ms/iter vs floor {rec['floor_ms']:.2f} ms -> "
+                    f"{'OK' if rec['ok'] else 'NOT a timing channel'}")
+                verdict = bool(rec["ok"])
+                break
+        else:
+            log(f"readback canary: probe failed (rc={r.returncode}) — "
+                f"{(r.stderr or '')[-200:]}")
+    except _sp.TimeoutExpired:
+        log("readback canary: probe hung (dead transport) — drain "
+            "channel unavailable")
+    _os.environ[READBACK_ENV] = "1" if verdict else "0"
+    return verdict
+
+
+def readback_drain_canary(peak_flops: float, k1: int = 4, k2: int = 20,
+                          k_mm: int = 8, n: int = 4096):
+    """Classify the READBACK-DRAIN timing channel: when dispatch timing is
+    untrustworthy (unbounded queue + no-op sync), does time-to-readback
+    still scale with queued device work?  Chains k matmul-chain calls and
+    times dispatch→1-element-readback at two K values; the SLOPE cancels
+    the fixed transport latency and must land at/above the pure-MXU floor
+    per chain call (k_mm*2*n^3/peak).  Measured on the round-3 tunnel
+    (2026-08-19): slope 0.713 ms per 4096^3 bf16 matmul vs 0.70 ms floor
+    (~98% of peak) with ~34 ms fixed overhead — a real timing channel.
+
+    Returns (trusted, slope_s_per_iter, floor_s_per_iter)."""
+    import time as _time
+
+    floor = k_mm * 2.0 * float(n) ** 3 / peak_flops
+    x = jnp.full((n, n), 1e-2, jnp.bfloat16)
+    w = jnp.full((n, n), 1e-4, jnp.bfloat16)
+
+    @jax.jit
+    def f(a, b):
+        for _ in range(k_mm):
+            a = (a @ b) * jnp.bfloat16(1e-4)
+        return a
+
+    drain_readback(f(x, w), warm=True)  # compile + transport init
+
+    def run(k):
+        prev = x
+        t0 = _time.perf_counter()
+        for _ in range(k):
+            prev = f(prev, w)
+        drain_readback(prev)
+        return _time.perf_counter() - t0
+
+    t_a = min(run(k1), run(k1))
+    t_b = min(run(k2), run(k2))
+    slope = (t_b - t_a) / (k2 - k1)
+    # same margin as the bench speed-of-light gate
+    return slope >= 0.6 * floor, slope, floor
+
+
 def model_forward_flops(b: int, l: int, d_io: int, h: int, p: int,
                         n_layers: int, glu_variant: str = "half1") -> float:
     """Analytic forward FLOPs for the NDNS S5 stack (encoder + n_layers

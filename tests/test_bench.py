@@ -323,3 +323,83 @@ def test_untimeable_records_fall_back_to_roofline(monkeypatch):
     # the reported value is the roofline bound, never an artifact
     assert s["value"] == pytest.approx(
         recs["w8a16-engine"]["sol_frames_per_sec"], rel=1e-6)
+
+
+def _drained_rec(name, t_iter_s, xla_bytes, frames=8 * 3751, flops=1e10):
+    return bench._finalize(name + " (readback-drain)", t_iter_s, True, 1,
+                           frames, flops, xla_bytes, PEAKS, drained=True)
+
+
+def test_drain_mode_times_on_untimeable_wallclock(monkeypatch):
+    """Round-3 tunnel regime: dispatch timing is fake but a 1-element
+    readback blocks on real completion (canary-verified slope ~98% of
+    the matmul MXU floor). With the readback regime proven, _measure
+    must time via _run_drained and mark the record drained."""
+    monkeypatch.setitem(bench._REGIME, "wallclock", False)
+    monkeypatch.setitem(bench._REGIME, "saturation", False)
+    monkeypatch.setitem(bench._REGIME, "readback", True)
+    # fake drain: pretend each iteration took 1.0 ms of device time
+    monkeypatch.setattr(bench, "_run_drained",
+                        lambda dispatch, iters, sol_t=0.0: (1.0e-3 * 9, 9))
+    rec = bench._measure("engine", lambda prev: prev, 10, 8 * 3751, 1e10,
+                         6.5e8, PEAKS, use_profiler=False)
+    assert rec["drained"] and rec["valid"]
+    assert rec["t_iter_ms"] == pytest.approx(1.0, rel=1e-6)
+
+
+def test_broken_sync_backend_accepts_drained_timing():
+    """A valid drained record survives the broken-sync proof (the drain
+    channel does not depend on the lying sync primitives)."""
+    recs = {
+        # synced-but-impossible wall-clock proves sync is broken
+        "associative": _rec("associative", 80e-6, 3.5e9),
+        "w8a16-engine": _drained_rec("w8a16-engine", 1.0e-3, 6.5e8),
+    }
+    s = bench.summarize(recs, PEAKS)
+    assert s["timing_valid"]
+    assert s["measurement"] == "readback-drain"
+    assert s["best_config"] == "w8a16-engine"
+
+
+def test_broken_drain_channel_drops_all_drained_records():
+    """One drained record below the speed of light proves the readback
+    returned before execution finished — every drained record becomes
+    inadmissible, and the summary falls back to the roofline."""
+    recs = {
+        "associative": _drained_rec("associative", 10e-6, 3.5e9),  # impossible
+        "w8a16-engine": _drained_rec("w8a16-engine", 1.0e-3, 6.5e8),
+    }
+    s = bench.summarize(recs, PEAKS)
+    assert not s["timing_valid"]
+    assert s["measurement"] == "roofline-cost-model"
+
+
+def test_run_drained_cancels_fixed_overhead():
+    """_run_drained's two-point scheme: with a fake dispatch/readback
+    where each dispatch queues 2 ms of work and readback costs a fixed
+    35 ms, the recovered per-iter time must be ~2 ms, not 2ms+35ms/k."""
+    queued = {"t": 0.0}
+
+    class _FakeLeaf:
+        dtype = "f"
+
+    def dispatch(prev):
+        queued["t"] += 2.0e-3
+        return _FakeLeaf()
+
+    import time as _time
+    real_sleep = _time.sleep
+
+    def fake_read(out, warm=False):
+        real_sleep(0.035 + queued["t"])
+        queued["t"] = 0.0
+
+    import sparsernns_tpu.utils.profiling as prof
+    orig = prof.drain_readback
+    prof.drain_readback = fake_read
+    try:
+        elapsed, n_eff = bench._run_drained(dispatch, 16)
+        t_iter = elapsed / n_eff
+    finally:
+        prof.drain_readback = orig
+    assert t_iter == pytest.approx(2.0e-3, rel=0.25)

@@ -87,3 +87,41 @@ def test_measure_chunk_cpu_smoke():
     assert rec["p50_ms"] > 0 and rec["p99_ms"] >= rec["p50_ms"]
     assert rec["source"] == "wall-clock"
     assert rec["valid"]  # CPU interpret-mode is far above the TPU floor
+
+
+def test_drained_records_survive_broken_sync():
+    recs = [
+        _rec(16, 0.129, valid=True, sol_ms=0.008),
+        _rec(64, 0.05, valid=True, sol_ms=0.019, source="readback-drain"),
+        dict(_rec(2048, 0.129, valid=False, sol_ms=0.46), canary=True),
+    ]
+    s = bs.summarize_stream(recs, "tpu")
+    assert s["broken_sync"] and s["timing_valid"]
+    assert s["best_chunk_frames"] == 64
+
+
+def test_broken_drain_drops_streaming_drained_records():
+    recs = [
+        # impossible drained timing proves the readback channel lies
+        _rec(16, 0.001, valid=False, sol_ms=0.008, source="readback-drain"),
+        _rec(64, 0.05, valid=True, sol_ms=0.019, source="readback-drain"),
+    ]
+    s = bs.summarize_stream(recs, "tpu")
+    assert not s["timing_valid"]
+    assert s["measurement"] == "hbm-bound-cost-model"
+
+
+def test_measure_chunk_drain_path(monkeypatch):
+    """Untimeable wall-clock + verified readback channel: measure_chunk
+    must produce a drained MEAN record (p99 None, labelled)."""
+    import bench
+    monkeypatch.setitem(bench._REGIME, "wallclock", False)
+    monkeypatch.setitem(bench._REGIME, "readback", True)
+    monkeypatch.setattr(bench, "_run_drained",
+                        lambda dispatch, iters, sol_t=0.0: (0.01 * 9, 9))
+    rec = bs.measure_chunk(16, batch=1, iters=3, use_profiler=False)
+    assert rec["source"] == "readback-drain"
+    assert rec["p99_ms"] is None
+    assert rec["p50_ms"] == pytest.approx(10.0, rel=1e-6)
+    assert rec["valid"]
+    assert rec["rtf_per_stream"] > 0
