@@ -642,12 +642,14 @@ def bench_train_step(peaks, batch=8, seq_len=3751, d_io=257,
                     flops, xla_bytes, peaks, padded_flops=pflops)
 
 
-def run_all_modes(peaks, saturation_retry=True):
-    """Measure every config. In the worker subprocess (BENCH_WORKER=1)
-    _measure tries the device profiler first; in the parent it is pure
-    wall-clock + saturation."""
+def run_all_modes(peaks, saturation_retry=True, only=None):
+    """Measure every config (or just ``only``, an iterable of names). In
+    the worker subprocess (BENCH_WORKER=1) _measure tries the device
+    profiler first; in the parent it is pure wall-clock + saturation."""
     recs = {}
     for mode in ("associative", "pallas", "fused"):
+        if only is not None and mode not in only:
+            continue
         try:
             with _alarm(BENCH_MODE_TIMEOUT_S):
                 rec = bench_mode(mode, peaks)
@@ -668,6 +670,8 @@ def run_all_modes(peaks, saturation_retry=True):
     for name, mxu16, io16 in (("w8a16-engine", False, False),
                               ("w8a16-engine-mxu16", True, False),
                               ("w8a16-engine-bf16io", True, True)):
+        if only is not None and name not in only:
+            continue
         try:
             with _alarm(BENCH_MODE_TIMEOUT_S):
                 rec = bench_w8a16_engine(peaks, mxu16=mxu16, io_bf16=io16,
@@ -689,6 +693,8 @@ def run_all_modes(peaks, saturation_retry=True):
             _log(f"{name} failed: {e}")
     for name, sd in (("train-step", "float32"),
                      ("train-step-bf16s", "bfloat16")):
+        if only is not None and name not in only:
+            continue
         try:
             with _alarm(BENCH_MODE_TIMEOUT_S):
                 recs[name] = bench_train_step(peaks, stream_dtype=sd,
@@ -753,6 +759,79 @@ def _recs_from_worker() -> dict:
             _log("profiler worker: no valid records on attempt 1 — "
                  "skipping retry, falling back to wall-clock")
             break
+    return merged
+
+
+#: drain-regime measurement order: most valuable configs first (the
+#: quantized serving engines — the headline number), the observed
+#: wedge suspect LAST (2026-08-19 tunnel: dispatching the raw
+#: associative_scan program wedged the shared device for every later
+#: dispatch; everything measured before it survives in the merged recs).
+DRAIN_MODE_ORDER = ("w8a16-engine", "w8a16-engine-mxu16",
+                    "w8a16-engine-bf16io", "fused", "pallas",
+                    "train-step", "train-step-bf16s", "associative")
+
+
+def _probe_device_exec(timeout_s: float = 240) -> bool:
+    """Health check for the shared tunnel device: dispatch one tiny
+    matmul and drain it through a 1-element readback in a throwaway
+    subprocess. On the drain backend the readback blocks until execution
+    really completes, so a wedged device hangs here — and the subprocess
+    is killed on timeout — instead of wedging the parent."""
+    code = ("import jax.numpy as jnp\n"
+            "from sparsernns_tpu.utils.profiling import drain_readback\n"
+            "x = jnp.ones((128, 128), jnp.float32)\n"
+            "drain_readback(x @ x, warm=True)\n"
+            "print('DEVICE_OK')\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return False
+    return "DEVICE_OK" in r.stdout
+
+
+def _recs_from_drain_workers() -> dict:
+    """Drain-regime measurement loop: each mode runs in its OWN
+    subprocess with a kill-on-timeout, in DRAIN_MODE_ORDER. Rationale
+    (observed 2026-08-19 on the round-3 tunnel): one bad program can
+    wedge the shared device for every later dispatch in the same
+    process, so a hung mode measured in the parent would take the whole
+    bench down with it. The regime verdict rides BENCH_REGIME (and
+    profiling.READBACK_ENV) so workers skip the multi-minute canaries.
+    After a timeout, a cheap health probe decides whether the device
+    survived; if not, stop and keep the records measured so far. ALL
+    records merge (not just valid ones): summarize() needs invalid
+    drained records to detect a lying drain channel, and cost-only
+    records to fall back to the roofline."""
+    env = dict(os.environ)
+    env["BENCH_REGIME"] = json.dumps(_REGIME)
+    merged: dict = {}
+    for name in DRAIN_MODE_ORDER:
+        env["BENCH_DRAIN_ONLY"] = name
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True,
+                timeout=BENCH_MODE_TIMEOUT_S + 240)
+        except subprocess.TimeoutExpired:
+            _log(f"drain worker {name}: timed out — probing device health")
+            if not _probe_device_exec():
+                _log("device wedged (health probe hung) — stopping the "
+                     "drain loop, keeping records measured so far")
+                break
+            continue
+        sys.stderr.write(proc.stderr[-4000:])
+        got = {}
+        for line in proc.stdout.splitlines():
+            if line.startswith("BENCH_RECS "):
+                try:
+                    got = json.loads(line[len("BENCH_RECS "):])
+                except json.JSONDecodeError:
+                    pass
+        if not got:
+            _log(f"drain worker {name}: no records (rc={proc.returncode})")
+        merged.update(got)
     return merged
 
 
@@ -837,13 +916,31 @@ def main():
          f"peaks: {peaks[0] / 1e12:.0f} TFLOP/s bf16, "
          f"{peaks[1] / 1e9:.0f} GB/s HBM")
 
-    if backend == "tpu":
+    env_regime = os.environ.get("BENCH_REGIME")
+    if env_regime:
+        # regime verdict inherited from the parent bench: skip the
+        # canaries (minutes each, and more dispatches into a fragile
+        # transport than necessary)
+        try:
+            _REGIME.update(json.loads(env_regime))
+        except json.JSONDecodeError:
+            env_regime = None
+    if backend == "tpu" and not env_regime:
         try:
             with _alarm(BENCH_MODE_TIMEOUT_S):
                 _REGIME.update(_canary_check(peaks))
         except Exception as e:  # noqa: BLE001 - canary must not kill bench
             _maybe_profiler_dead(e)
             _log(f"canary failed ({e}); keeping wall-clock enabled")
+
+    drain_only = os.environ.get("BENCH_DRAIN_ONLY")
+    if drain_only:
+        # single-mode drain worker (no profiler — start_trace is
+        # UNIMPLEMENTED on this backend and its crash wedges the device)
+        recs = run_all_modes(peaks, saturation_retry=False,
+                             only=[drain_only])
+        print("BENCH_RECS " + json.dumps(recs))
+        return 0
 
     if os.environ.get("BENCH_WORKER") == "1":
         # isolated profiler pass: emit records for the parent, no summary
@@ -864,21 +961,32 @@ def main():
         if recs:
             _log(f"profiler worker delivered: {sorted(recs)}")
     elif drain_regime:
-        # Readback-drain is the verified channel: measure in-process and
-        # SKIP the profiler worker — on this backend start_trace is
-        # UNIMPLEMENTED and its crash can wedge the shared tunnel device
-        # for every later process (observed 2026-08-19: the whole
-        # transport hung after the worker's profiler crash).
-        _log("drain regime: skipping the profiler worker "
-             "(start_trace crash wedges the tunnel device)")
+        # Readback-drain is the verified channel. The profiler worker is
+        # SKIPPED (start_trace is UNIMPLEMENTED here and its crash can
+        # wedge the shared tunnel device for every later process) and
+        # every mode measures in its OWN kill-on-timeout subprocess —
+        # observed 2026-08-19: dispatching one bad program (the raw
+        # associative_scan probe) wedged the device for all later
+        # dispatches in its process.
+        _log("drain regime: per-mode isolated drain workers "
+             "(engines first, wedge-suspect associative last)")
+        recs = _recs_from_drain_workers()
+        if not recs:
+            print(json.dumps(_no_backend_summary(
+                "drain workers returned no records (device wedged)")))
+            return 0
     missing = [m for m in ("associative", "pallas", "fused", "w8a16-engine",
                            "w8a16-engine-mxu16", "train-step")
                if m not in recs]
-    if missing:
+    if missing and not drain_regime:
         _log(f"measuring in-process (no profiler): {missing}")
         local = run_all_modes(peaks)
         for k, v in local.items():
             recs.setdefault(k, v)
+    elif missing:
+        _log(f"drain regime: modes without records (worker hung/died, "
+             f"NOT re-run in-process — a wedge there kills the bench): "
+             f"{missing}")
 
     summary = summarize(recs, peaks, backend)
     print(json.dumps(summary))

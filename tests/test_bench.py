@@ -374,6 +374,69 @@ def test_broken_drain_channel_drops_all_drained_records():
     assert s["measurement"] == "roofline-cost-model"
 
 
+def test_run_all_modes_only_filter(monkeypatch):
+    """Drain workers measure ONE mode per subprocess: the only= filter
+    must skip every other mode's build (a skipped build is a skipped
+    dispatch — exactly the isolation the wedge-prone tunnel needs)."""
+    calls = []
+    monkeypatch.setattr(bench, "bench_mode",
+                        lambda mode, peaks, **kw: calls.append(mode) or
+                        {"name": mode, "valid": True})
+    monkeypatch.setattr(bench, "bench_w8a16_engine",
+                        lambda peaks, name="w8a16-engine", **kw:
+                        calls.append(name) or {"name": name, "valid": True})
+    monkeypatch.setattr(bench, "bench_train_step",
+                        lambda peaks, name="train-step", **kw:
+                        calls.append(name) or {"name": name, "valid": True})
+    recs = bench.run_all_modes(PEAKS, only=["w8a16-engine-mxu16"])
+    assert calls == ["w8a16-engine-mxu16"]
+    assert list(recs) == ["w8a16-engine-mxu16"]
+    calls.clear()
+    recs = bench.run_all_modes(PEAKS, only=["associative", "train-step"])
+    assert calls == ["associative", "train-step"]
+
+
+def test_drain_workers_merge_and_stop_on_wedge(monkeypatch):
+    """Per-mode drain-worker orchestration: records merge across worker
+    subprocesses (valid AND invalid — summarize needs both), a timed-out
+    worker is skipped, and once the health probe says the device is
+    wedged the loop stops — keeping everything measured before the
+    wedge. Mode order puts the engines first and associative last."""
+    import subprocess
+
+    seen = []
+
+    class _Proc:
+        def __init__(self, name):
+            self.stdout = ("BENCH_RECS " + __import__("json").dumps(
+                {name: {"name": name, "valid": name != "fused"}}) + "\n")
+            self.stderr = ""
+            self.returncode = 0
+
+    def fake_run(argv, env=None, timeout=None, **kw):
+        name = env["BENCH_DRAIN_ONLY"]
+        seen.append(name)
+        if name == "pallas":  # this worker hangs: device survives
+            raise subprocess.TimeoutExpired(argv, timeout)
+        if name == "train-step":  # this one wedges the device
+            raise subprocess.TimeoutExpired(argv, timeout)
+        return _Proc(name)
+
+    health = iter([True, False])  # pallas: survived; train-step: wedged
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    monkeypatch.setattr(bench, "_probe_device_exec",
+                        lambda timeout_s=240: next(health))
+    recs = bench._recs_from_drain_workers()
+    # ordered: engines first, associative (the wedge suspect) last —
+    # and nothing after the wedge-confirming timeout ran at all
+    assert seen == ["w8a16-engine", "w8a16-engine-mxu16",
+                    "w8a16-engine-bf16io", "fused", "pallas", "train-step"]
+    assert "associative" not in recs and "train-step" not in recs
+    assert set(recs) == {"w8a16-engine", "w8a16-engine-mxu16",
+                         "w8a16-engine-bf16io", "fused"}
+    assert not recs["fused"]["valid"]  # invalid records still merged
+
+
 def test_run_drained_cancels_fixed_overhead():
     """_run_drained's two-point scheme: with a fake dispatch/readback
     where each dispatch queues 2 ms of work and readback costs a fixed
