@@ -1,0 +1,321 @@
+"""Backend conformance probe: which op classes does this device ACTUALLY run?
+
+The round-3 tunnel backend executes plain matmul chains but refuses every
+model program with ``UNIMPLEMENTED`` and *wedges the shared device* on an
+int8 ``dot_general`` (the hang persists for every later process for tens of
+minutes). Debugging that one op class cost a full session — this probe maps
+the supported-op surface systematically so route selection (and future
+sessions) can consult a measured conformance table instead of rediscovering
+it by wedging the device.
+
+Design (mirrors bench.py's isolation rules):
+  * every stage runs in its OWN subprocess — an in-process hang inside the
+    C transport cannot be interrupted by SIGALRM, a subprocess can be killed;
+  * stages are ordered least- to most-likely to wedge (known wedgers LAST);
+  * each stage drains a 1-element readback, because on this backend
+    execution errors only surface at the first synchronizing readback;
+  * after a HANG the probe waits for device recovery (drained-matmul health
+    probe, exponential backoff) before continuing, and records the outage;
+  * results append to a JSON table (default runs/backend_probe.json) keyed
+    by stage name: {"status": "ok"|"error"|"hang", "detail": ..., "s": ...}.
+
+Usage:
+  python tools/backend_probe.py                # run all stages
+  python tools/backend_probe.py --stages a,b   # subset
+  python tools/backend_probe.py --list         # show stage names
+  python tools/backend_probe.py --skip-wedgers # leave known hangs out
+  python tools/backend_probe.py --stage X      # internal: run one stage
+
+Reference context: the reference framework assumes CUDA devices execute
+whatever torch emits (sparseRNNs/train_helpers.py has no backend gating);
+a tunnel TPU transport offers no such guarantee, so we measure it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: stage name -> (builder source, known_wedger). Each builder is exec'd in a
+#: fresh subprocess with jax/jnp/np in scope and must end with ``OUT = ...``
+#: (a device array or pytree); the driver drains a 1-element readback of it.
+STAGES = {
+    # --- controls ---
+    "f32_matmul": ("x = jnp.ones((256, 256), jnp.float32)\n"
+                   "OUT = jax.jit(lambda a: a @ a)(x)", False),
+    "bf16_matmul": ("x = jnp.ones((256, 256), jnp.bfloat16)\n"
+                    "OUT = jax.jit(lambda a: a @ a)(x)", False),
+    # --- program shapes ---
+    "multi_output": ("x = jnp.ones((64, 64), jnp.float32)\n"
+                     "OUT = jax.jit(lambda a: (a @ a, a + 1.0))(x)", False),
+    "donated_arg": ("x = jnp.ones((64, 64), jnp.float32)\n"
+                    "OUT = jax.jit(lambda a: a * 2.0, donate_argnums=0)(x)",
+                    False),
+    "s32_output": ("x = jnp.ones((64, 64), jnp.float32)\n"
+                   "OUT = jax.jit(lambda a: (a > 0).sum())(x)", False),
+    "bool_output": ("x = jnp.ones((64,), jnp.float32)\n"
+                    "OUT = jax.jit(lambda a: a > 0.5)(x)", False),
+    # --- dtypes / quantization path ---
+    "s8_transfer": ("w = np.arange(-8, 8, dtype=np.int8).reshape(4, 4)\n"
+                    "d = jax.device_put(w)\n"
+                    "OUT = jax.jit(lambda a: a.astype(jnp.float32).sum())(d)",
+                    False),
+    "s8_dequant_matmul": (
+        "w = jax.device_put(np.ones((128, 128), np.int8))\n"
+        "x = jnp.ones((8, 128), jnp.bfloat16)\n"
+        "OUT = jax.jit(lambda a, b: a @ (b.astype(jnp.bfloat16) * 0.01))"
+        "(x, w)", False),
+    "f32_from_s8_dot": (
+        "w = jax.device_put(np.ones((128, 128), np.int8))\n"
+        "OUT = jax.jit(lambda b: (b.astype(jnp.float32) @ "
+        "b.astype(jnp.float32)))(w)", False),
+    # --- RNG (model.init runs this on device) ---
+    "rng_normal": ("OUT = jax.jit(lambda k: jax.random.normal(k, (64, 64)))"
+                   "(jax.random.PRNGKey(0))", False),
+    # --- control flow / scan family ---
+    "associative_scan_add": (
+        "x = jnp.ones((64, 128), jnp.float32)\n"
+        "OUT = jax.jit(lambda a: jax.lax.associative_scan(\n"
+        "    lambda p, q: p + q, a, axis=0))(x)", True),
+    "lax_scan": ("x = jnp.ones((64, 128), jnp.float32)\n"
+                 "OUT = jax.jit(lambda a: jax.lax.scan(\n"
+                 "    lambda c, t: (c * 0.9 + t, c), a[0], a)[0])(x)", False),
+    "while_loop": ("OUT = jax.jit(lambda n: jax.lax.while_loop(\n"
+                   "    lambda s: s[0] < n, lambda s: (s[0] + 1, s[1] * 1.01),"
+                   " (0, jnp.ones((128,)))))(16)", False),
+    "cumsum": ("x = jnp.ones((64, 128), jnp.float32)\n"
+               "OUT = jax.jit(lambda a: jnp.cumsum(a, axis=0))(x)", False),
+    # --- elementwise / layer math ---
+    "activations": ("x = jnp.linspace(-3, 3, 512).reshape(4, 128)\n"
+                    "OUT = jax.jit(lambda a: jax.nn.gelu(a) + "
+                    "jax.nn.sigmoid(a) + jnp.tanh(a))(x)", False),
+    "bn_rsqrt": ("x = jnp.ones((8, 128), jnp.float32)\n"
+                 "OUT = jax.jit(lambda a: (a - a.mean(0)) * "
+                 "jax.lax.rsqrt(a.var(0) + 1e-5))(x)", False),
+    "exp_log": ("x = jnp.ones((8, 128), jnp.float32)\n"
+                "OUT = jax.jit(lambda a: jnp.log1p(jnp.exp(a)))(x)", False),
+    # --- data movement ---
+    "concat_pad_transpose": (
+        "x = jnp.ones((8, 64, 32), jnp.float32)\n"
+        "OUT = jax.jit(lambda a: jnp.pad(jnp.concatenate([a, a], -1),\n"
+        "    ((0, 0), (0, 0), (0, 32))).transpose(0, 2, 1))(x)", False),
+    "dynamic_slice": ("x = jnp.ones((64, 128), jnp.float32)\n"
+                      "OUT = jax.jit(lambda a, i: jax.lax.dynamic_slice(\n"
+                      "    a, (i, 0), (8, 128)))(x, 3)", False),
+    "gather_take": ("x = jnp.ones((64, 128), jnp.float32)\n"
+                    "idx = jnp.arange(0, 64, 2)\n"
+                    "OUT = jax.jit(lambda a, i: a[i])(x, idx)", False),
+    "top_k": ("x = jnp.linspace(0, 1, 128 * 8).reshape(8, 128)\n"
+              "OUT = jax.jit(lambda a: jax.lax.top_k(a, 16)[0])(x)", False),
+    "sort": ("x = jnp.linspace(1, 0, 128 * 8).reshape(8, 128)\n"
+             "OUT = jax.jit(lambda a: jnp.sort(a, axis=-1))(x)", False),
+    "iota": ("OUT = jax.jit(lambda: jnp.arange(1024, dtype=jnp.float32)"
+             ".reshape(8, 128) * 2.0)()", False),
+    # --- Pallas ---
+    "pallas_copy": (
+        "from jax.experimental import pallas as pl\n"
+        "def kern(x_ref, o_ref):\n"
+        "    o_ref[...] = x_ref[...] * 2.0\n"
+        "x = jnp.ones((8, 128), jnp.float32)\n"
+        "OUT = jax.jit(pl.pallas_call(kern,\n"
+        "    out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype)))(x)", False),
+    "pallas_diag_scan": (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from sparsernns_tpu.ops.pallas.scan_kernel import pallas_diag_scan\n"
+        "lam = (jnp.full((128,), 0.9), jnp.full((128,), 0.01))\n"
+        "bu = (jnp.ones((2, 64, 128)), jnp.ones((2, 64, 128)))\n"
+        "OUT = jax.jit(lambda l0, l1, b0, b1: pallas_diag_scan(\n"
+        "    (l0, l1), (b0, b1), block_t=64))(lam[0], lam[1], bu[0], bu[1])"
+        % REPO, False),
+    # --- model-level (weights built HOST-side; no on-device init) ---
+    "model_fwd_tiny_assoc": (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from __graft_entry__ import _flagship_model\n"
+        "model = _flagship_model(training=False, scan_mode='associative')\n"
+        "x = jnp.zeros((1, 64, 257), jnp.float32)\n"
+        "shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)\n"
+        "rng = np.random.RandomState(0)\n"
+        "v = jax.tree_util.tree_map(lambda s: (0.1 * np.abs(\n"
+        "    rng.randn(*s.shape)) + 0.01).astype(s.dtype), shapes)\n"
+        "OUT = jax.jit(lambda vv, xx: model.apply(vv, xx))(v, x)" % REPO,
+        True),
+    "model_init_tiny": (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from __graft_entry__ import _flagship_model\n"
+        "model = _flagship_model(training=False, scan_mode='associative')\n"
+        "x = jnp.zeros((1, 64, 257), jnp.float32)\n"
+        "OUT = model.init(jax.random.PRNGKey(0), x)" % REPO, True),
+    # --- known wedgers (run LAST; skipped by --skip-wedgers) ---
+    "complex_scan": ("x = jnp.ones((64, 128), jnp.complex64)\n"
+                     "OUT = jax.jit(lambda a: jax.lax.associative_scan(\n"
+                     "    lambda p, q: p * q, a, axis=0))(x)", True),
+    "s8_dot": ("a = jnp.ones((128, 128), jnp.int8)\n"
+               "OUT = jax.jit(lambda m: jax.lax.dot_general(m, m,\n"
+               "    (((1,), (0,)), ((), ())),\n"
+               "    preferred_element_type=jnp.int32))(a)", True),
+}
+
+#: jax may be PRE-IMPORTED by a sitecustomize hook with the tunnel
+#: platform selected — plain env vars are too late, so the workers apply
+#: PROBE_PLATFORM through jax.config (same trick as tests/conftest.py).
+_PLATFORM_PRELUDE = """\
+import os
+import jax
+_plat = os.environ.get("PROBE_PLATFORM")
+if _plat:
+    jax.config.update("jax_platforms", _plat)
+"""
+
+_WORKER_TEMPLATE = _PLATFORM_PRELUDE + """\
+import numpy as np
+import jax.numpy as jnp
+import sys
+sys.path.insert(0, {repo!r})
+from sparsernns_tpu.utils.profiling import drain_readback
+ns = dict(jax=jax, jnp=jnp, np=np)
+exec(compile({src!r}, "<stage>", "exec"), ns)
+drain_readback(ns["OUT"], warm=True)
+print("PROBE_OK")
+"""
+
+
+def _run_stage(name: str, timeout_s: float) -> dict:
+    src = STAGES[name][0]
+    code = _WORKER_TEMPLATE.format(repo=REPO, src=src)
+    t0 = time.time()
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return {"status": "hang", "detail": f"killed after {timeout_s:.0f}s",
+                "s": round(time.time() - t0, 1)}
+    dt = round(time.time() - t0, 1)
+    if "PROBE_OK" in r.stdout:
+        return {"status": "ok", "detail": "", "s": dt}
+    err = (r.stderr or "").strip().splitlines()
+    tail = next((ln for ln in reversed(err)
+                 if ln and "WARNING" not in ln), "no stderr")
+    return {"status": "error", "detail": tail[-300:], "s": dt}
+
+
+def _device_healthy(timeout_s: float = 240) -> bool:
+    code = (_PLATFORM_PRELUDE +
+            "import jax.numpy as jnp\n"
+            "import sys; sys.path.insert(0, %r)\n"
+            "from sparsernns_tpu.utils.profiling import drain_readback\n"
+            "x = jnp.ones((128, 128), jnp.float32)\n"
+            "drain_readback(x @ x, warm=True)\n"
+            "print('DEVICE_OK')\n" % REPO)
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return False
+    return "DEVICE_OK" in r.stdout
+
+
+def _wait_for_recovery(max_wait_s: float, log) -> float:
+    """Block until the device answers a drained matmul again (or give up).
+    Returns seconds waited. The tunnel wedge self-heals after a backend
+    restart; 5-minute polls keep the load negligible."""
+    t0 = time.time()
+    delay = 120.0
+    while time.time() - t0 < max_wait_s:
+        log(f"waiting {delay:.0f}s for device recovery "
+            f"({time.time() - t0:.0f}s so far)")
+        time.sleep(delay)
+        if _device_healthy():
+            waited = time.time() - t0
+            log(f"device recovered after {waited:.0f}s")
+            return waited
+        delay = min(delay * 1.5, 600.0)
+    log(f"device did NOT recover within {max_wait_s:.0f}s")
+    return time.time() - t0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--stages", default=None,
+                    help="comma-separated subset (default: all)")
+    ap.add_argument("--list", action="store_true")
+    ap.add_argument("--skip-wedgers", action="store_true",
+                    help="skip stages marked as known device-wedgers")
+    ap.add_argument("--out", default=os.path.join(REPO, "runs",
+                                                  "backend_probe.json"))
+    ap.add_argument("--timeout", type=float, default=240.0,
+                    help="per-stage subprocess timeout (s)")
+    ap.add_argument("--max-recovery-wait", type=float, default=3600.0)
+    args = ap.parse_args(argv)
+
+    if args.list:
+        for n, (_, wedger) in STAGES.items():
+            print(f"{n}{'  [known-wedger]' if wedger else ''}")
+        return 0
+
+    names = (args.stages.split(",") if args.stages else
+             [n for n, (_, w) in STAGES.items()
+              if not (w and args.skip_wedgers)])
+    unknown = [n for n in names if n not in STAGES]
+    if unknown:
+        print(f"unknown stages: {unknown}", file=sys.stderr)
+        return 2
+    # known wedgers last, preserving declaration order otherwise
+    names.sort(key=lambda n: STAGES[n][1])
+
+    def log(m):
+        print(f"[probe] {m}", file=sys.stderr, flush=True)
+
+    results = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+
+    if not _device_healthy():
+        log("device not healthy at start")
+        waited = _wait_for_recovery(args.max_recovery_wait, log)
+        if not _device_healthy():
+            results["_meta"] = {"aborted": "device never became healthy",
+                                "waited_s": round(waited, 1),
+                                "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
+            _write(args.out, results)
+            return 1
+
+    for name in names:
+        rec = _run_stage(name, args.timeout)
+        rec["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
+        results[name] = rec
+        log(f"{name}: {rec['status']} ({rec['s']}s) {rec['detail'][:120]}")
+        _write(args.out, results)
+        if rec["status"] == "hang":
+            log(f"{name} hung — checking whether it wedged the device")
+            if not _device_healthy():
+                rec["wedged_device"] = True
+                _write(args.out, results)
+                _wait_for_recovery(args.max_recovery_wait, log)
+                if not _device_healthy():
+                    log("stopping: device did not recover")
+                    break
+    ok = sorted(n for n, r in results.items()
+                if isinstance(r, dict) and r.get("status") == "ok")
+    bad = sorted(n for n, r in results.items()
+                 if isinstance(r, dict) and r.get("status") in
+                 ("error", "hang"))
+    print(json.dumps({"ok": ok, "failed": bad,
+                      "table": args.out}))
+    return 0
+
+
+def _write(path, results):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
