@@ -151,6 +151,33 @@ STAGES = {
         "model = _flagship_model(training=False, scan_mode='associative')\n"
         "x = jnp.zeros((1, 64, 257), jnp.float32)\n"
         "OUT = model.init(jax.random.PRNGKey(0), x)" % REPO, True),
+    # --- compile-only variants: split compile-time vs execution-time
+    #     failures (an UNIMPLEMENTED from .compile() is a compiler-service
+    #     limitation; one from the drained readback is an executor one) ---
+    "assoc_scan_compile_only": (
+        "x = jnp.ones((64, 128), jnp.float32)\n"
+        "f = jax.jit(lambda a: jax.lax.associative_scan(\n"
+        "    lambda p, q: p + q, a, axis=0))\n"
+        "f.lower(x).compile()\n"
+        "OUT = jnp.ones((2,), jnp.float32)", False),
+    "model_fwd_compile_only": (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from __graft_entry__ import _flagship_model\n"
+        "model = _flagship_model(training=False, scan_mode='associative')\n"
+        "x = jnp.zeros((1, 64, 257), jnp.float32)\n"
+        "shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)\n"
+        "rng = np.random.RandomState(0)\n"
+        "v = jax.tree_util.tree_map(lambda s: (0.1 * np.abs(\n"
+        "    rng.randn(*s.shape)) + 0.01).astype(s.dtype), shapes)\n"
+        "jax.jit(lambda vv, xx: model.apply(vv, xx)).lower(v, x).compile()\n"
+        "OUT = jnp.ones((2,), jnp.float32)" % REPO, False),
+    "s8_dot_compile_only": (
+        "a = jnp.ones((128, 128), jnp.int8)\n"
+        "f = jax.jit(lambda m: jax.lax.dot_general(m, m,\n"
+        "    (((1,), (0,)), ((), ())),\n"
+        "    preferred_element_type=jnp.int32))\n"
+        "f.lower(a).compile()\n"
+        "OUT = jnp.ones((2,), jnp.float32)", False),
     # --- known wedgers (run LAST; skipped by --skip-wedgers) ---
     "complex_scan": ("x = jnp.ones((64, 128), jnp.complex64)\n"
                      "OUT = jax.jit(lambda a: jax.lax.associative_scan(\n"
