@@ -141,6 +141,120 @@ def apply_carry(xs: Pair, lam: Pair, carry: Pair) -> Pair:
     return xs[0] + corr[0], xs[1] + corr[1]
 
 
+def _block_triangular(lam: Pair, block_t: int, dtype) -> Pair:
+    """Per-channel lower-triangular propagator M[j, i, p] = λ_p^{j-i}
+    (i ≤ j, else 0), shape (T, T, P) pair. Built from the stable polar
+    powers table (λ^0..λ^{T-1}) via a static gather — |λ| < 1 keeps every
+    entry in [0, 1], no inverse powers anywhere."""
+    lr, li = lam
+    one = jnp.ones((1,) + lr.shape, dtype)
+    if block_t > 1:
+        pw = lambda_powers((lr.astype(dtype), li.astype(dtype)),
+                           block_t - 1)  # λ^1..λ^{T-1}: (T-1, P)
+        p_re = jnp.concatenate([one, pw[0]], axis=0)
+        p_im = jnp.concatenate([jnp.zeros_like(one), pw[1]], axis=0)
+    else:
+        p_re, p_im = one, jnp.zeros_like(one)
+    idx = jnp.arange(block_t)
+    k = idx[:, None] - idx[None, :]                 # j - i
+    mask = (k >= 0)[..., None].astype(dtype)        # (T, T, 1)
+    kc = jnp.clip(k, 0)
+    return p_re[kc] * mask, p_im[kc] * mask         # (T, T, P) each
+
+
+def blocked_diag_scan(
+    lam: Pair,
+    bu: Pair,
+    block_t: int = 128,
+    reverse: bool = False,
+    carry_init: Optional[Pair] = None,
+) -> Pair:
+    """All-prefix states via BLOCK-PARALLEL matmuls — pure XLA, no
+    associative_scan / lax.scan / Pallas anywhere in the lowered program.
+
+    Split L into T-sized blocks. Within a block the prefix states are one
+    per-channel triangular matmul y[j] = Σ_{i≤j} λ^{j-i} u[i] (a (P)-batched
+    (T×T)·(T×N) `dot_general` — pure MXU work); the cross-block carry
+    c_{k+1} = λ^T c_k + y_k[T-1] is a STATIC Python loop over L/T ≈ 30
+    tiny (..., P) fmas, unrolled into straight-line HLO; the carry folds
+    back in with the λ^{j+1} powers table (`apply_carry`'s math,
+    vectorized over blocks).
+
+    Rationale: the reference executes scans through torch.cumsum/custom
+    CUDA (ssm.py:127); our primary TPU answer is the Pallas kernels, but a
+    conformance-limited transport (PERF.md round-3: the tunnel refuses
+    `associative_scan` programs and wedges on others) still runs plain
+    dot_generals at full MXU rate — this backend keeps the model servable
+    and measurable there, and doubles as the portability/debug path. FLOP
+    inflation vs a linear scan is ×T on the scan term (4·2·L·T·P·B per
+    layer ≈ 8 GFLOP at flagship T=128 — comparable to the projections),
+    all of it MXU-shaped.
+
+    Differentiable end-to-end (gather + matmuls), so it also trains.
+    No per-step requant / QAT hadamards — static-quant serving uses the
+    sequential or Pallas paths for those semantics.
+    """
+    if reverse:
+        if carry_init is not None:
+            raise NotImplementedError("carry with reverse scan")
+        flip = lambda p: (jnp.flip(p[0], -2), jnp.flip(p[1], -2))  # noqa: E731
+        return flip(blocked_diag_scan(lam, flip(bu), block_t=block_t))
+
+    bu_re, bu_im = bu
+    orig_shape = bu_re.shape
+    l, p = orig_shape[-2], orig_shape[-1]
+    t = min(block_t, l)
+    nb = -(-l // t)
+    pad = nb * t - l
+    dtype = bu_re.dtype
+
+    def prep(a):
+        a = a.reshape((-1,) + orig_shape[-2:])          # (N, L, P)
+        if pad:
+            a = jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
+        return a.reshape(-1, nb, t, p)                  # (N, nb, T, P)
+
+    u_re, u_im = prep(bu_re), prep(bu_im)
+    m_re, m_im = _block_triangular(lam, t, dtype)
+
+    def tri(m, u):  # (T,T,P) x (N,nb,T,P) -> (N,nb,T,P), contract i
+        return jnp.einsum("jip,nkip->nkjp", m, u)
+
+    y_re = tri(m_re, u_re) - tri(m_im, u_im)
+    y_im = tri(m_re, u_im) + tri(m_im, u_re)
+
+    # λ^T for the block-to-block recurrence (stable polar form)
+    lam_t = lambda_powers(lam, t)
+    lam_t = (lam_t[0][-1].astype(dtype), lam_t[1][-1].astype(dtype))
+    c_re = jnp.zeros_like(u_re[:, 0, 0, :])
+    c_im = jnp.zeros_like(c_re)
+    if carry_init is not None:
+        c_re = jnp.broadcast_to(carry_init[0].reshape(c_re.shape), c_re.shape)
+        c_im = jnp.broadcast_to(carry_init[1].reshape(c_im.shape), c_im.shape)
+    carries_re, carries_im = [c_re], [c_im]
+    for k in range(nb - 1):
+        ac = complex_mul(lam_t, (carries_re[-1], carries_im[-1]))
+        # carry entering block k+1 = λ^T c_k + within-block final of k
+        # where block k's true final already includes c_k: equivalently
+        # c_{k+1} = λ^T c_k + y_k[T-1]  with y the ZERO-carry local scan.
+        carries_re.append(ac[0] + y_re[:, k, -1, :])
+        carries_im.append(ac[1] + y_im[:, k, -1, :])
+    cs = (jnp.stack(carries_re, axis=1), jnp.stack(carries_im, axis=1))
+
+    # fold carries in: x[k, j] = y[k, j] + λ^{j+1} c_k
+    pw = lambda_powers(lam, t)
+    pw = (pw[0].astype(dtype), pw[1].astype(dtype))     # (T, P)
+    corr = complex_mul((pw[0][None, None], pw[1][None, None]),
+                       (cs[0][:, :, None, :], cs[1][:, :, None, :]))
+    x_re, x_im = y_re + corr[0], y_im + corr[1]
+
+    def unprep(a):
+        a = a.reshape(-1, nb * t, p)[:, :l, :]
+        return a.reshape(orig_shape)
+
+    return unprep(x_re), unprep(x_im)
+
+
 def diag_ssm_scan(
     lam: Pair,
     bu: Pair,
@@ -175,6 +289,15 @@ def diag_ssm_scan(
                 raise NotImplementedError("carry with reverse scan")
             xs = apply_carry(xs, lam, carry_init)
         return xs
+    if mode == "blocked":
+        if had_aa is not jnp.multiply or had_ax is not jnp.multiply:
+            raise NotImplementedError(
+                "QAT hadamards are per-combine; the blocked matmul form "
+                "has no per-combine site — train QAT with "
+                "mode='associative'/'pallas'")
+        return blocked_diag_scan(lam, bu, reverse=reverse,
+                                 carry_init=carry_init,
+                                 block_t=128 if block_t is None else block_t)
     if mode == "sequential":
         xs, _ = sequential_diag_scan(
             lam, bu, reverse=reverse, carry_init=carry_init,

@@ -58,7 +58,7 @@ class RunConfig:
     glu_variant: str = "half1"
     fuse_batchnorm_linear: bool = False
     dim_scale: float = 1.0
-    scan_mode: str = "associative"      # associative | sequential | pallas | fused
+    scan_mode: str = "associative"      # associative|sequential|pallas|fused|blocked
     block_t: int = 256                  # Pallas kernels' time-block size
                                         # (tune: python -m sparsernns_tpu.utils.autotune)
     # residual-stream storage dtype on the padded-stream training fast

@@ -110,6 +110,23 @@ def test_ssm_scan_modes_agree():
     m_seq = make_mixer(h, init, scan_mode="sequential")()
     ys_s, _ = m_seq.apply(variables, x)
     np.testing.assert_allclose(ys_a, ys_s, atol=1e-4)
+    # blocked (pure-XLA matmul scan, the conformance-fallback backend)
+    m_blk = make_mixer(h, init, scan_mode="blocked")()
+    ys_b, _ = m_blk.apply(variables, x)
+    np.testing.assert_allclose(ys_a, ys_b, atol=1e-4)
+
+
+def test_ssm_blocked_bidirectional_matches_associative():
+    init = small_init()
+    h = 8
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 20, h), jnp.float32)
+    m_a = make_mixer(h, init, bidirectional=True,
+                     scan_mode="associative")()
+    variables = m_a.init(jax.random.PRNGKey(0), x)
+    ys_a, _ = m_a.apply(variables, x)
+    m_b = make_mixer(h, init, bidirectional=True, scan_mode="blocked")()
+    ys_b, _ = m_b.apply(variables, x)
+    np.testing.assert_allclose(ys_a, ys_b, atol=1e-4)
 
 
 def test_ssm_bidirectional():

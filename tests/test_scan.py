@@ -117,3 +117,76 @@ def test_state_requant_sequential(rng):
 
     with pytest.raises(NotImplementedError):
         diag_ssm_scan(lam_p, bu_p, mode="associative", state_requant=requant)
+
+
+# ---------------- blocked (pure-XLA matmul) scan ----------------
+
+@pytest.mark.parametrize("l,block_t", [(33, 8), (64, 16), (7, 16), (128, 128)])
+def test_blocked_matches_numpy(rng, l, block_t):
+    """Block-parallel matmul scan == linear recurrence at every length
+    relation (L < T, L % T != 0, L == T, many blocks)."""
+    from sparsernns_tpu.ops.scan import blocked_diag_scan
+    lam, bu = _random_inputs(rng, l=l)
+    lam_p, bu_p = _to_pairs(lam, bu)
+    xs = blocked_diag_scan(lam_p, bu_p, block_t=block_t)
+    expected = _numpy_scan(lam, bu)
+    np.testing.assert_allclose(xs[0], expected.real, atol=1e-3)
+    np.testing.assert_allclose(xs[1], expected.imag, atol=1e-3)
+
+
+def test_blocked_reverse_and_carry(rng):
+    from sparsernns_tpu.ops.scan import blocked_diag_scan
+    lam, bu = _random_inputs(rng, l=29)
+    lam_p, bu_p = _to_pairs(lam, bu)
+    # reverse == numpy reverse recurrence
+    xs_r = blocked_diag_scan(lam_p, bu_p, block_t=8, reverse=True)
+    exp_r = _numpy_scan(lam, bu, reverse=True)
+    np.testing.assert_allclose(xs_r[0], exp_r.real, atol=1e-3)
+    # carry == sequential with the same carry
+    carry = (jnp.asarray(np.ones((2, 8)), jnp.float32),
+             jnp.asarray(0.5 * np.ones((2, 8)), jnp.float32))
+    xs_c = blocked_diag_scan(lam_p, bu_p, block_t=8, carry_init=carry)
+    xs_s, _ = sequential_diag_scan(lam_p, bu_p, carry_init=carry)
+    np.testing.assert_allclose(xs_c[0], xs_s[0], atol=1e-3)
+    np.testing.assert_allclose(xs_c[1], xs_s[1], atol=1e-3)
+
+
+def test_blocked_mode_dispatch_and_grads(rng):
+    """mode='blocked' dispatches, differentiates (it must train), and the
+    gradient matches the associative backend's."""
+    import jax
+    lam, bu = _random_inputs(rng, l=19)
+    lam_p, bu_p = _to_pairs(lam, bu)
+
+    def loss(mode, lam_p, bu_p):
+        xs = diag_ssm_scan(lam_p, bu_p, mode=mode, block_t=8)
+        return jnp.sum(xs[0] ** 2 + 0.5 * xs[1] ** 2)
+
+    for argnum, name in ((0, "lam"), (1, "bu")):
+        g_b = jax.grad(lambda l_, b_: loss("blocked", l_, b_),
+                       argnums=argnum)(lam_p, bu_p)
+        g_a = jax.grad(lambda l_, b_: loss("associative", l_, b_),
+                       argnums=argnum)(lam_p, bu_p)
+        np.testing.assert_allclose(g_b[0], g_a[0], rtol=2e-3, atol=2e-3,
+                                   err_msg=name)
+        np.testing.assert_allclose(g_b[1], g_a[1], rtol=2e-3, atol=2e-3,
+                                   err_msg=name)
+
+    with pytest.raises(NotImplementedError):
+        diag_ssm_scan(lam_p, bu_p, mode="blocked",
+                      had_aa=lambda a, b: a * b)
+
+
+def test_blocked_lowers_without_scan_ops(rng):
+    """The whole point: the lowered HLO must contain NO while/scan/sort —
+    only ops the conformance-limited transport executes (PERF.md round-3
+    backend conformance)."""
+    import jax
+    lam, bu = _random_inputs(rng, l=33)
+    lam_p, bu_p = _to_pairs(lam, bu)
+    from sparsernns_tpu.ops.scan import blocked_diag_scan
+    txt = jax.jit(lambda l_, b_: blocked_diag_scan(l_, b_, block_t=8)
+                  ).lower(lam_p, bu_p).as_text()
+    assert "stablehlo.while" not in txt
+    assert "stablehlo.sort" not in txt
+    assert "stablehlo.dot_general" in txt  # the scan IS matmuls
