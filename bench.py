@@ -504,7 +504,7 @@ def bench_mode(mode, peaks, batch=8, seq_len=3751, d_io=257,
                     padded_flops=pflops)
 
 
-def _build_engine(batch, seq_len, d_io, mxu16=False):
+def _build_engine(batch, seq_len, d_io, mxu16=False, route="auto"):
     import numpy as np
 
     from __graft_entry__ import _flagship_model
@@ -533,7 +533,7 @@ def _build_engine(batch, seq_len, d_io, mxu16=False):
         variables["params"], glu_variant="half1", relufication=False,
         prenorm=True, clip_eigs=True)
     engine = W8A16Engine(variables["params"], variables.get("batch_stats"),
-                         cfg, model_cfg, mxu16=mxu16)
+                         cfg, model_cfg, mxu16=mxu16, route=route)
     if mxu16:
         assert engine.mxu16["mixer"] and engine.mxu16["state"], engine.mxu16
     return engine, variables, x
@@ -541,7 +541,8 @@ def _build_engine(batch, seq_len, d_io, mxu16=False):
 
 def bench_w8a16_engine(peaks, batch=8, seq_len=3751, d_io=257,
                        iters=ITERS_FWD, n_fill=0, reserve_gb=None,
-                       mxu16=False, io_bf16=False, name="w8a16-engine"):
+                       mxu16=False, io_bf16=False, name="w8a16-engine",
+                       route="auto"):
     """The north-star config: w8a16 quantized serving engine
     (int8-stored weights, bf16 activations, fused Pallas mixer).
 
@@ -557,7 +558,8 @@ def bench_w8a16_engine(peaks, batch=8, seq_len=3751, d_io=257,
     boundary reads/writes, the two largest HBM terms of the forward."""
     from sparsernns_tpu.utils.profiling import (model_forward_flops,
                                                 model_padded_flops)
-    engine, variables, x = _build_engine(batch, seq_len, d_io, mxu16=mxu16)
+    engine, variables, x = _build_engine(batch, seq_len, d_io, mxu16=mxu16,
+                                         route=route)
     if io_bf16:
         x = x.astype(jnp.bfloat16)
     n_layers, h, p, _ = _model_dims(variables["params"])
@@ -647,7 +649,7 @@ def run_all_modes(peaks, saturation_retry=True, only=None):
     the worker subprocess (BENCH_WORKER=1) _measure tries the device
     profiler first; in the parent it is pure wall-clock + saturation."""
     recs = {}
-    for mode in ("associative", "pallas", "fused"):
+    for mode in ("associative", "blocked", "pallas", "fused"):
         if only is not None and mode not in only:
             continue
         try:
@@ -667,15 +669,17 @@ def run_all_modes(peaks, saturation_retry=True, only=None):
         except Exception as e:  # keep the bench robust per-mode
             _maybe_profiler_dead(e)
             _log(f"{mode} failed: {e}")
-    for name, mxu16, io16 in (("w8a16-engine", False, False),
-                              ("w8a16-engine-mxu16", True, False),
-                              ("w8a16-engine-bf16io", True, True)):
+    for name, mxu16, io16, route in (
+            ("w8a16-engine", False, False, "auto"),
+            ("w8a16-engine-mxu16", True, False, "auto"),
+            ("w8a16-engine-bf16io", True, True, "auto"),
+            ("w8a16-engine-xla", False, False, "xla")):
         if only is not None and name not in only:
             continue
         try:
             with _alarm(BENCH_MODE_TIMEOUT_S):
                 rec = bench_w8a16_engine(peaks, mxu16=mxu16, io_bf16=io16,
-                                         name=name)
+                                         name=name, route=route)
                 if (not rec["valid"] and saturation_retry
                         and _REGIME["saturation"]):
                     _log(f"{name}: retrying with the saturated-queue "
@@ -683,7 +687,7 @@ def run_all_modes(peaks, saturation_retry=True, only=None):
                     rec2 = bench_w8a16_engine(peaks, batch=128, iters=12,
                                               n_fill=3, reserve_gb=5.0,
                                               mxu16=mxu16, io_bf16=io16,
-                                              name=name)
+                                              name=name, route=route)
                     rec = rec2 if rec2["valid"] else rec
                 recs[name] = rec
         except _ProfilerDead:
@@ -767,9 +771,13 @@ def _recs_from_worker() -> dict:
 #: wedge suspect LAST (2026-08-19 tunnel: dispatching the raw
 #: associative_scan program wedged the shared device for every later
 #: dispatch; everything measured before it survives in the merged recs).
-DRAIN_MODE_ORDER = ("w8a16-engine", "w8a16-engine-mxu16",
-                    "w8a16-engine-bf16io", "fused", "pallas",
-                    "train-step", "train-step-bf16s", "associative")
+#: the xla-route engine and the blocked float mode lead: they are the
+#: only program classes the round-3 tunnel plausibly executes
+#: (runs/backend_probe.json — Pallas/associative_scan/int8 refused).
+DRAIN_MODE_ORDER = ("w8a16-engine-xla", "blocked", "w8a16-engine",
+                    "w8a16-engine-mxu16", "w8a16-engine-bf16io", "fused",
+                    "pallas", "train-step", "train-step-bf16s",
+                    "associative")
 
 
 def _probe_device_exec(timeout_s: float = 240) -> bool:
@@ -975,8 +983,9 @@ def main():
             print(json.dumps(_no_backend_summary(
                 "drain workers returned no records (device wedged)")))
             return 0
-    missing = [m for m in ("associative", "pallas", "fused", "w8a16-engine",
-                           "w8a16-engine-mxu16", "train-step")
+    missing = [m for m in ("associative", "blocked", "pallas", "fused",
+                           "w8a16-engine", "w8a16-engine-mxu16",
+                           "w8a16-engine-xla", "train-step")
                if m not in recs]
     if missing and not drain_regime:
         _log(f"measuring in-process (no profiler): {missing}")

@@ -168,6 +168,7 @@ def blocked_diag_scan(
     block_t: int = 128,
     reverse: bool = False,
     carry_init: Optional[Pair] = None,
+    block_requant: Optional[Tuple[float, float, int]] = None,
 ) -> Pair:
     """All-prefix states via BLOCK-PARALLEL matmuls — pure XLA, no
     associative_scan / lax.scan / Pallas anywhere in the lowered program.
@@ -191,8 +192,13 @@ def blocked_diag_scan(
     all of it MXU-shaped.
 
     Differentiable end-to-end (gather + matmuls), so it also trains.
-    No per-step requant / QAT hadamards — static-quant serving uses the
-    sequential or Pallas paths for those semantics.
+
+    ``block_requant`` (scale_re, scale_im, bits): static-quant serving at
+    BLOCK granularity with exactly the Pallas kernel's placement
+    (scan_kernel.py:162-176): every state requantizes onto the frozen
+    pow2 grid once, after the carry fold, and the outgoing carry is the
+    requantized block-final state. Per-combine QAT hadamards remain
+    inexpressible here (no per-combine site in the matmul form).
     """
     if reverse:
         if carry_init is not None:
@@ -217,6 +223,17 @@ def blocked_diag_scan(
     u_re, u_im = prep(bu_re), prep(bu_im)
     m_re, m_im = _block_triangular(lam, t, dtype)
 
+    if block_requant is not None:
+        s_re, s_im, bits = block_requant
+        qmax = float(2 ** (bits - 1) - 1)
+        qmin = float(-(2 ** (bits - 1)))
+
+        def rq(xr, xi):
+            return (jnp.clip(jnp.round(xr / s_re), qmin, qmax) * s_re,
+                    jnp.clip(jnp.round(xi / s_im), qmin, qmax) * s_im)
+    else:
+        rq = None
+
     def tri(m, u):  # (T,T,P) x (N,nb,T,P) -> (N,nb,T,P), contract i
         return jnp.einsum("jip,nkip->nkjp", m, u)
 
@@ -237,8 +254,11 @@ def blocked_diag_scan(
         # carry entering block k+1 = λ^T c_k + within-block final of k
         # where block k's true final already includes c_k: equivalently
         # c_{k+1} = λ^T c_k + y_k[T-1]  with y the ZERO-carry local scan.
-        carries_re.append(ac[0] + y_re[:, k, -1, :])
-        carries_im.append(ac[1] + y_im[:, k, -1, :])
+        nc_re, nc_im = ac[0] + y_re[:, k, -1, :], ac[1] + y_im[:, k, -1, :]
+        if rq is not None:  # carry = requantized block-final state
+            nc_re, nc_im = rq(nc_re, nc_im)
+        carries_re.append(nc_re)
+        carries_im.append(nc_im)
     cs = (jnp.stack(carries_re, axis=1), jnp.stack(carries_im, axis=1))
 
     # fold carries in: x[k, j] = y[k, j] + λ^{j+1} c_k
@@ -247,6 +267,8 @@ def blocked_diag_scan(
     corr = complex_mul((pw[0][None, None], pw[1][None, None]),
                        (cs[0][:, :, None, :], cs[1][:, :, None, :]))
     x_re, x_im = y_re + corr[0], y_im + corr[1]
+    if rq is not None:  # every served state lands on the frozen grid
+        x_re, x_im = rq(x_re, x_im)
 
     def unprep(a):
         a = a.reshape(-1, nb * t, p)[:, :l, :]

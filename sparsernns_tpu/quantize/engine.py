@@ -345,7 +345,17 @@ class W8A16Engine:
                  compact_state: bool = True,
                  block_sparse_dense: Optional[Tuple[int, int]] = (32, 128),
                  block_sparse_min_saving: float = 0.2,
-                 mxu16: bool = False):
+                 mxu16: bool = False, route: str = "auto"):
+        if route not in ("auto", "xla"):
+            raise ValueError(f"unknown engine route {route!r}")
+        #: "auto": fused Pallas kernels when eligible (the fast path).
+        #: "xla": NO Pallas / int8-MXU / block-sparse ops anywhere in the
+        #: lowered program — the mixer runs the blocked matmul scan
+        #: (ops/scan.blocked_diag_scan) and every dense dequantizes to
+        #: float. For conformance-limited transports (PERF.md round-3:
+        #: the tunnel refuses Pallas custom-calls and WEDGES on int8
+        #: dot_general) and as the portability/debug serving path.
+        self.route = route
         self.cfg = model_cfg
         self.act_dtype = act_dtype
         self.block_t = block_t
@@ -358,6 +368,8 @@ class W8A16Engine:
         #: name -> (kept_tiles, total_tiles). The honest realized saving
         #: is 1 - kept/total — nothing is claimed for unstructured zeros.
         self.dense_blocks: Dict[str, Tuple[int, int]] = {}
+        if route == "xla":
+            block_sparse_dense = None  # block-sparse matmul is a kernel
         bs_cfg = (None if block_sparse_dense is None else
                   (*block_sparse_dense, block_sparse_min_saving))
 
@@ -609,12 +621,27 @@ class W8A16Engine:
                 if _cs16(lp.out1_in_scale):
                     lp.out1_in_scale = None
 
+        if route == "xla":
+            # No int8-MXU dots anywhere (an int8 dot_general WEDGES the
+            # conformance-limited transport this route exists for): every
+            # dense falls back to the dequantize-and-float path. The
+            # elementwise requants (state/residual) keep their static-
+            # quant semantics — they are plain VPU math.
+            for lp in self.layers:
+                lp.out2_in_scale = lp.out1_in_scale = None
+                lp.mixer_in16 = None
+                lp.state16 = False
+                lp.but_requant = lp.yt_requant = None
+                lp.out2_out_requant = lp.out1_out_requant = None
+            self.encoder_in_scale = self.decoder_in_scale = None
+            self.encoder_out_requant = self.decoder_out_requant = None
+
         #: whole-layer fusion (ops/pallas/fused_layer): one kernel per
         #: layer, residual stream resident in HBM as padded int16/bf16 —
         #: collapses the per-layer traffic to read+write of one 2-byte
         #: stream. Ineligible configs fall back to the composable
         #: per-op path below.
-        self._stack_ok = self._fused_stack_eligible()
+        self._stack_ok = route != "xla" and self._fused_stack_eligible()
 
         # mxu16 lives on the fused routes (the per-op mixer kernel has no
         # quant_ut/quant_but/quant_yt hooks): if the stack route is
@@ -638,7 +665,8 @@ class W8A16Engine:
             if (self.decoder_in_scale is not None
                     and self.decoder_in_scale[1] > 8):
                 self.decoder_in_scale = None
-            self._stack_ok = self._fused_stack_eligible()
+            self._stack_ok = (route != "xla"
+                              and self._fused_stack_eligible())
 
         #: resolved mxu16 state (introspection: which dot sites run int).
         #: ``requants`` must cover EVERY bit-faithful requant anywhere —
@@ -667,7 +695,8 @@ class W8A16Engine:
         #: mask write + weights (the engine's speed-of-light path).
         #: Needs a time-block that divides L exactly (resolved per input
         #: shape in _apply).
-        self._network_ok = self._fused_network_eligible()
+        self._network_ok = (route != "xla"
+                            and self._fused_network_eligible())
 
         # Weights are pytree ARGUMENTS of the jitted forward (not closure
         # constants): smaller executables, donation-friendly, no host
@@ -719,7 +748,8 @@ class W8A16Engine:
             topk=cfg.topk, approx_topk=cfg.approx_topk)
         return W8A16Engine(params, stats, q_config, model_cfg,
                            block_t=cfg.block_t,
-                           mxu16=getattr(cfg, "engine_mxu16", False))
+                           mxu16=getattr(cfg, "engine_mxu16", False),
+                           route=getattr(cfg, "engine_route", "auto"))
 
     @staticmethod
     def _int8_dense_ok(w, in_scale) -> bool:
@@ -950,7 +980,24 @@ class W8A16Engine:
                           in_scale=self.encoder_in_scale)
         state_topk = cfg.relufication and cfg.topk < 1.0 and cfg.approx_topk
         for layer in weights["layers"]:
-            if state_topk:
+            if self.route == "xla":
+                # blocked matmul scan (ops/scan.py): pure dot_general +
+                # elementwise HLO — no Pallas custom-calls, no int8 MXU
+                # dots. Same per-block state_requant placement as the
+                # kernels (scan parity pinned in test_scan.py).
+                def mixer(z, layer=layer):
+                    from sparsernns_tpu.ops.scan import blocked_diag_scan
+                    z = z.astype(jnp.float32)
+                    bu = z @ layer.wb_f32()
+                    p = layer.p
+                    xs = blocked_diag_scan(
+                        layer.lam, (bu[..., :p], bu[..., p:]),
+                        block_t=block_t,
+                        block_requant=layer.state_requant)
+                    xs = state_activation(cfg, xs)
+                    return (jnp.concatenate(xs, axis=-1) @ layer.wc_f32()
+                            + layer.d * z)
+            elif state_topk:
                 # The fused kernel can't top-k the state in VMEM; use the
                 # pallas scan + explicit state activation for exact parity
                 # with the trained forward.

@@ -113,6 +113,11 @@ class RunConfig:
     # the exact two-plane code decomposition (ops/intdot.py) with the
     # static path's full requant chain applied in-kernel
     engine_mxu16: bool = False
+    # serving engine route: "auto" (fused Pallas kernels when eligible)
+    # or "xla" (pure dot_general/elementwise program — blocked matmul
+    # scan, dequantized float dots; for conformance-limited transports
+    # and portability/debugging)
+    engine_route: str = "auto"
     train_static_quant: bool = False
     qaft_epochs: int = 10
 

@@ -427,13 +427,16 @@ def test_drain_workers_merge_and_stop_on_wedge(monkeypatch):
     monkeypatch.setattr(bench, "_probe_device_exec",
                         lambda timeout_s=240: next(health))
     recs = bench._recs_from_drain_workers()
-    # ordered: engines first, associative (the wedge suspect) last —
-    # and nothing after the wedge-confirming timeout ran at all
-    assert seen == ["w8a16-engine", "w8a16-engine-mxu16",
-                    "w8a16-engine-bf16io", "fused", "pallas", "train-step"]
+    # ordered: the conformance-safe configs first (xla engine, blocked),
+    # then the kernels, associative (the wedge suspect) last — and
+    # nothing after the wedge-confirming timeout ran at all
+    assert seen == ["w8a16-engine-xla", "blocked", "w8a16-engine",
+                    "w8a16-engine-mxu16", "w8a16-engine-bf16io", "fused",
+                    "pallas", "train-step"]
     assert "associative" not in recs and "train-step" not in recs
-    assert set(recs) == {"w8a16-engine", "w8a16-engine-mxu16",
-                         "w8a16-engine-bf16io", "fused"}
+    assert set(recs) == {"w8a16-engine-xla", "blocked", "w8a16-engine",
+                         "w8a16-engine-mxu16", "w8a16-engine-bf16io",
+                         "fused"}
     assert not recs["fused"]["valid"]  # invalid records still merged
 
 

@@ -813,3 +813,56 @@ def test_pipeline_parallel_engine(pipeline):  # noqa: F811
     if e16.mxu16["requants"] or e16.mxu16["mixer"]:
         with _pytest.raises(NotImplementedError, match="mxu16"):
             make_pp_forward(e16, mesh)
+
+
+def test_engine_xla_route_matches_auto(pipeline):  # noqa: F811
+    """route='xla' (blocked matmul scan + dequantized float dots, zero
+    Pallas/int8-dot ops) must track both the auto-route engine and the
+    static-quant emulation within the same error budget — it is the
+    serving path for conformance-limited transports (PERF.md round-3)."""
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True)
+    e_auto = W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                         block_t=32)
+    e_xla = W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                        block_t=32, route="xla")
+    assert not e_xla._stack_ok and not e_xla._network_ok
+    y_a = np.asarray(e_auto(x))
+    y_x = np.asarray(e_xla(x))
+    denom = max(np.abs(y_a).max(), 1.0)
+    # same block_t and the same per-block requant grid: the two scans
+    # snap states onto identical grid points, differences stay tiny
+    assert np.abs(y_x - y_a).max() / denom < 0.02
+
+    inf_model = _model(inf_cfg)
+    y_q = np.asarray(inf_model.apply(
+        {"params": frozen_params, "batch_stats": frozen_stats}, x))
+    rel = np.abs(y_x - y_q).max() / max(np.abs(y_q).max(), 1.0)
+    assert rel < 0.10, rel
+
+
+def test_engine_xla_route_program_is_pallas_free(pipeline):  # noqa: F811
+    """The lowered xla-route program must contain NO custom-calls (Pallas)
+    and NO integer dot_generals — the op classes the round-3 tunnel
+    refuses or wedges on (runs/backend_probe.json)."""
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True)
+    e_xla = W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                        block_t=32, route="xla")
+    txt = jax.jit(lambda w, xi: e_xla._apply(w, xi, block_t=32)
+                  ).lower(e_xla.weights, x).as_text()
+    assert "custom_call" not in txt and "custom-call" not in txt
+    # every dot runs on dequantized float operands
+    import re
+    for m in re.finditer(r"stablehlo\.dot_general.*?->.*?tensor<[^>]*>",
+                         txt):
+        assert "xi8" not in m.group(0) and "xi16" not in m.group(0), \
+            m.group(0)[:200]

@@ -190,3 +190,21 @@ def test_blocked_lowers_without_scan_ops(rng):
     assert "stablehlo.while" not in txt
     assert "stablehlo.sort" not in txt
     assert "stablehlo.dot_general" in txt  # the scan IS matmuls
+
+
+def test_blocked_block_requant_matches_pallas_placement(rng):
+    """blocked + block_requant mirrors the Pallas kernel's static-quant
+    placement (scan_kernel.py:162-176): states snap to the frozen pow2
+    grid once per block, the carry is the requantized block-final. Same
+    block_t => the two backends land on the same grid points."""
+    from sparsernns_tpu.ops.pallas.scan_kernel import pallas_diag_scan
+    from sparsernns_tpu.ops.scan import blocked_diag_scan
+    lam, bu = _random_inputs(rng, l=32)
+    lam_p, bu_p = _to_pairs(lam, bu)
+    s = 2.0 ** -6
+    rqspec = (s, s, 16)
+    xs_b = blocked_diag_scan(lam_p, bu_p, block_t=8, block_requant=rqspec)
+    xs_k = pallas_diag_scan(lam_p, bu_p, block_t=8, block_requant=rqspec,
+                            interpret=True)
+    np.testing.assert_allclose(xs_b[0], xs_k[0], atol=1e-5)
+    np.testing.assert_allclose(xs_b[1], xs_k[1], atol=1e-5)
