@@ -695,14 +695,15 @@ def run_all_modes(peaks, saturation_retry=True, only=None):
         except Exception as e:
             _maybe_profiler_dead(e)
             _log(f"{name} failed: {e}")
-    for name, sd in (("train-step", "float32"),
-                     ("train-step-bf16s", "bfloat16")):
+    for name, sd, sm in (("train-step", "float32", "fused"),
+                         ("train-step-bf16s", "bfloat16", "fused"),
+                         ("train-step-xla", "float32", "blocked")):
         if only is not None and name not in only:
             continue
         try:
             with _alarm(BENCH_MODE_TIMEOUT_S):
                 recs[name] = bench_train_step(peaks, stream_dtype=sd,
-                                              name=name)
+                                              scan_mode=sm, name=name)
         except _ProfilerDead:
             raise
         except Exception as e:
@@ -774,10 +775,10 @@ def _recs_from_worker() -> dict:
 #: the xla-route engine and the blocked float mode lead: they are the
 #: only program classes the round-3 tunnel plausibly executes
 #: (runs/backend_probe.json — Pallas/associative_scan/int8 refused).
-DRAIN_MODE_ORDER = ("w8a16-engine-xla", "blocked", "w8a16-engine",
-                    "w8a16-engine-mxu16", "w8a16-engine-bf16io", "fused",
-                    "pallas", "train-step", "train-step-bf16s",
-                    "associative")
+DRAIN_MODE_ORDER = ("w8a16-engine-xla", "blocked", "train-step-xla",
+                    "w8a16-engine", "w8a16-engine-mxu16",
+                    "w8a16-engine-bf16io", "fused", "pallas", "train-step",
+                    "train-step-bf16s", "associative")
 
 
 def _probe_device_exec(timeout_s: float = 240) -> bool:
@@ -1079,11 +1080,21 @@ def summarize(recs, peaks, backend="tpu"):
              f"(max of HBM and padded-MXU floors) estimate for {best_name} "
              "(see PERF.md measurement protocol)")
 
-    tstep = recs.get("train-step", {})
-    tstep_valid = bool(tstep.get("valid")
-                       and not (tstep.get("drained") and broken_drain)
-                       and (not broken_sync or tstep.get("profiled")
-                            or tstep.get("drained")))
+    # train-side: prefer the fused-kernel step; fall back to the pure-XLA
+    # (blocked-scan) step on transports that refuse kernel programs —
+    # a measured number from the admissible config beats an analytic one.
+    tstep, tstep_name, tstep_valid = {}, "train-step", False
+    for cand in ("train-step", "train-step-xla"):
+        r = recs.get(cand, {})
+        ok = bool(r.get("valid")
+                  and not (r.get("drained") and broken_drain)
+                  and (not broken_sync or r.get("profiled")
+                       or r.get("drained") or r.get("saturated")))
+        if r and not tstep:
+            tstep, tstep_name = r, cand   # first present: analytic fallback
+        if ok:
+            tstep, tstep_name, tstep_valid = r, cand, True
+            break
     out = {
         "metric": "ndns_s5_frames_per_sec_per_chip",
         "value": round(value, 1),
@@ -1097,6 +1108,7 @@ def summarize(recs, peaks, backend="tpu"):
         "backend": backend,
         "train_step_frames_per_sec": (
             round(tstep["frames_per_sec"], 1) if tstep_valid else None),
+        "train_step_config": tstep_name if tstep else None,
     }
     if not tstep_valid and tstep.get("sol_frames_per_sec"):
         # labelled analytic floor, so the record still carries a

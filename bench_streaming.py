@@ -64,17 +64,19 @@ def _percentile(durs, q):
 
 def measure_chunk(chunk_frames: int, batch: int = BATCH, d_io: int = 257,
                   iters: int = 20, use_profiler=None,
-                  mxu16: bool = False) -> dict:
+                  mxu16: bool = False, route: str = "auto") -> dict:
     """Latency record for one chunk size. Carries chain the iterations.
     ``mxu16``: the exact int8-MXU serving mode (two-plane dots) — the
-    compute-bound variant whose dots run ~4x the f32 rate."""
+    compute-bound variant whose dots run ~4x the f32 rate. ``route``:
+    "xla" streams through the Pallas-free engine (the only program class
+    the round-3 tunnel executes — runs/backend_probe.json)."""
     from sparsernns_tpu.utils.profiling import chip_peaks
 
     if use_profiler is None:
         use_profiler = os.environ.get("BENCH_WORKER") == "1"
     peaks = chip_peaks()
     engine, variables, _ = bench._build_engine(batch, chunk_frames, d_io,
-                                               mxu16=mxu16)
+                                               mxu16=mxu16, route=route)
     x = jnp.asarray(
         np.random.RandomState(0).randn(batch, chunk_frames, d_io)
         .astype(np.float32) * 0.02)
@@ -109,6 +111,7 @@ def measure_chunk(chunk_frames: int, batch: int = BATCH, d_io: int = 257,
         chunk_s = chunk_frames * FRAME_MS / 1e3
         rec = {
             "chunk_frames": chunk_frames, "mxu16": mxu16,
+            "route": route,
             "chunk_ms": chunk_frames * FRAME_MS, "batch": batch,
             "p50_ms": t_mean * 1e3, "p99_ms": None,
             "percentiles": "unavailable(readback-drain mean)",
@@ -132,6 +135,7 @@ def measure_chunk(chunk_frames: int, batch: int = BATCH, d_io: int = 257,
         # floor, so don't produce one at all — cost-only record.
         rec = {
             "chunk_frames": chunk_frames, "mxu16": mxu16,
+            "route": route,
             "chunk_ms": chunk_frames * FRAME_MS, "batch": batch,
             "p50_ms": None, "p99_ms": None, "n_timings": 0,
             "sol_ms": sol_t * 1e3, "hbm_util": 0.0,
@@ -159,6 +163,7 @@ def measure_chunk(chunk_frames: int, batch: int = BATCH, d_io: int = 257,
     rec = {
         "chunk_frames": chunk_frames,
         "mxu16": mxu16,
+        "route": route,
         "chunk_ms": chunk_frames * FRAME_MS,
         "batch": batch,
         "p50_ms": p50 * 1e3,
@@ -183,17 +188,19 @@ def measure_chunk(chunk_frames: int, batch: int = BATCH, d_io: int = 257,
 
 def run_all(chunks=CHUNK_FRAMES, canary=True) -> list:
     recs = []
-    todo = [(cf, False) for cf in chunks]
+    todo = [(cf, False, "auto") for cf in chunks]
     # one mxu16 latency point at the middle chunk size (the int-dot
-    # serving mode; full sweep would double the run for little signal)
+    # serving mode; full sweep would double the run for little signal),
+    # and one xla-route point (the conformance-fallback streaming path)
     if len(chunks) >= 2:
-        todo.append((chunks[1], True))
+        todo.append((chunks[1], True, "auto"))
+        todo.append((chunks[1], False, "xla"))
     if canary:
-        todo.append((CANARY_FRAMES, False))
-    for cf, mxu16 in todo:
+        todo.append((CANARY_FRAMES, False, "auto"))
+    for cf, mxu16, route in todo:
         try:
             with bench._alarm(bench.BENCH_MODE_TIMEOUT_S):
-                rec = measure_chunk(cf, mxu16=mxu16)
+                rec = measure_chunk(cf, mxu16=mxu16, route=route)
                 rec["canary"] = cf == CANARY_FRAMES and cf not in chunks
                 recs.append(rec)
         except Exception as e:  # noqa: BLE001 - keep per-chunk robustness

@@ -1102,13 +1102,34 @@ class W8A16Engine:
                           in_scale=self.encoder_in_scale)
         new_carries = []
         for layer, carry in zip(weights["layers"], carries):
-            def mixer(z, layer=layer, carry=carry):
-                return fused_s5_apply_carry(
-                    z, layer.lam, layer.w_b, layer.w_c, layer.d, carry,
-                    block_t=min(block_t, x.shape[1]),
-                    relu_state=cfg.relufication,
-                    block_requant=layer.state_requant,
-                    wb_scales=layer.wb_scales, wc_scales=layer.wc_scales)
+            if self.route == "xla":
+                # Pallas-free chunked mixer: blocked matmul scan with the
+                # layer carry folded in; new carry = final state (already
+                # on the requant grid when state_requant is set — same
+                # rule as the kernel's carry store).
+                def mixer(z, layer=layer, carry=carry):
+                    from sparsernns_tpu.ops.scan import blocked_diag_scan
+                    z = z.astype(jnp.float32)
+                    bu = z @ layer.wb_f32()
+                    p = layer.p
+                    xs = blocked_diag_scan(
+                        layer.lam, (bu[..., :p], bu[..., p:]),
+                        block_t=min(block_t, x.shape[1]),
+                        carry_init=carry,
+                        block_requant=layer.state_requant)
+                    new_c = (xs[0][..., -1, :], xs[1][..., -1, :])
+                    xs = state_activation(cfg, xs)
+                    y = (jnp.concatenate(xs, axis=-1) @ layer.wc_f32()
+                         + layer.d * z)
+                    return y, new_c
+            else:
+                def mixer(z, layer=layer, carry=carry):
+                    return fused_s5_apply_carry(
+                        z, layer.lam, layer.w_b, layer.w_c, layer.d, carry,
+                        block_t=min(block_t, x.shape[1]),
+                        relu_state=cfg.relufication,
+                        block_requant=layer.state_requant,
+                        wb_scales=layer.wb_scales, wc_scales=layer.wc_scales)
 
             h, new_c = engine_layer_forward(cfg, layer, h, mixer,
                                             act_dtype=self.act_dtype,

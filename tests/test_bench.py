@@ -430,13 +430,13 @@ def test_drain_workers_merge_and_stop_on_wedge(monkeypatch):
     # ordered: the conformance-safe configs first (xla engine, blocked),
     # then the kernels, associative (the wedge suspect) last — and
     # nothing after the wedge-confirming timeout ran at all
-    assert seen == ["w8a16-engine-xla", "blocked", "w8a16-engine",
-                    "w8a16-engine-mxu16", "w8a16-engine-bf16io", "fused",
-                    "pallas", "train-step"]
+    assert seen == ["w8a16-engine-xla", "blocked", "train-step-xla",
+                    "w8a16-engine", "w8a16-engine-mxu16",
+                    "w8a16-engine-bf16io", "fused", "pallas", "train-step"]
     assert "associative" not in recs and "train-step" not in recs
-    assert set(recs) == {"w8a16-engine-xla", "blocked", "w8a16-engine",
-                         "w8a16-engine-mxu16", "w8a16-engine-bf16io",
-                         "fused"}
+    assert set(recs) == {"w8a16-engine-xla", "blocked", "train-step-xla",
+                         "w8a16-engine", "w8a16-engine-mxu16",
+                         "w8a16-engine-bf16io", "fused"}
     assert not recs["fused"]["valid"]  # invalid records still merged
 
 
@@ -469,3 +469,22 @@ def test_run_drained_cancels_fixed_overhead():
     finally:
         prof.drain_readback = orig
     assert t_iter == pytest.approx(2.0e-3, rel=0.25)
+
+
+def test_train_step_xla_fallback_reported():
+    """When the fused train step can't measure but the pure-XLA one does
+    (drained), the summary reports the measured xla number and names the
+    config it came from."""
+    recs = {
+        "w8a16-engine-xla": _drained_rec("w8a16-engine-xla", 1.0e-3, 6.5e8),
+        "train-step": bench._finalize("train-step (untimeable)",
+                                      float("inf"), False, 1, 8 * 3751,
+                                      9e10, 9e9, PEAKS),
+        "train-step-xla": bench._finalize(
+            "train-step-xla (readback-drain)", 30e-3, True, 1, 8 * 3751,
+            9e10, 9e9, PEAKS, drained=True),
+    }
+    s = bench.summarize(recs, PEAKS)
+    assert s["train_step_config"] == "train-step-xla"
+    assert s["train_step_frames_per_sec"] == pytest.approx(
+        8 * 3751 / 30e-3, rel=0.01)

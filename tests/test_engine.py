@@ -866,3 +866,25 @@ def test_engine_xla_route_program_is_pallas_free(pipeline):  # noqa: F811
                          txt):
         assert "xi8" not in m.group(0) and "xi16" not in m.group(0), \
             m.group(0)[:200]
+
+
+def test_engine_xla_route_chunked_matches_whole(pipeline):  # noqa: F811
+    """xla-route process_chunk with carry flow == one whole-sequence
+    xla-route call (streaming on the Pallas-free path)."""
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True)
+    engine = W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
+                         act_dtype=jnp.float32, block_t=8, route="xla")
+    y_whole = np.asarray(engine(x))  # L = 24
+
+    c = None
+    chunks = []
+    for start in (0, 8, 16):
+        y_c, c = engine.process_chunk(x[:, start:start + 8], c)
+        chunks.append(np.asarray(y_c))
+    y_chunked = np.concatenate(chunks, axis=1)
+    np.testing.assert_allclose(y_chunked, y_whole, atol=2e-3)
