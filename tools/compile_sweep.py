@@ -92,14 +92,16 @@ def sweep_entries(quick: bool = False):
     def fused_fwd():
         return model_forward("fused", training=False)
 
-    def fused_train_step():
+    def train_step(scan_mode="fused"):
         """FULL NDNS train step (loss + backward + optimizer) through the
-        fused kernels at flagship geometry."""
+        given scan backend at flagship geometry. ``fused`` = the Pallas
+        whole-layer kernels; ``blocked`` = the pure-XLA matmul scan the
+        conformance-limited tunnel can execute (bench train-step-xla)."""
         from sparsernns_tpu.train.optim import create_optimizer
         from sparsernns_tpu.train.state import TrainState
         from sparsernns_tpu.train.steps import make_ndns_train_step
 
-        model = _flagship(training=True, scan_mode="fused")
+        model = _flagship(training=True, scan_mode=scan_mode)
         variables = jax.eval_shape(model.init, jax.random.PRNGKey(0),
                                    jnp.zeros((2, 16, D_IO), jnp.float32))
         rng = np.random.RandomState(0)
@@ -121,7 +123,7 @@ def sweep_entries(quick: bool = False):
 
         return fn, (state, noisy_mag, clean)
 
-    def engine(route, mxu16, dim_scale=1):
+    def engine(route, mxu16, dim_scale=1, engine_route="auto"):
         q_cfg = quantization_recipes["w8a16"](static_quant=True,
                                               calibrating=False)
         params = _synthetic_static_params(q_cfg, dim_scale)["params"]
@@ -130,7 +132,7 @@ def sweep_entries(quick: bool = False):
                                     clip_eigs=True)
         eng = W8A16Engine(params, None, q_cfg, mcfg,
                           act_dtype=jnp.bfloat16, block_t=256,
-                          mxu16=mxu16)
+                          mxu16=mxu16, route=engine_route)
         if route == "network":
             assert eng._network_ok, "network route ineligible"
         elif route == "stack":
@@ -170,12 +172,19 @@ def sweep_entries(quick: bool = False):
 
     entries = [
         ("fused-forward L=3751", fused_fwd),
-        ("fused-train-step L=3751", fused_train_step),
+        ("fused-train-step L=3751", train_step),
         ("engine-network L=3751", lambda: engine("network", False)),
         ("engine-network-mxu16 L=3751", lambda: engine("network", True)),
+        # the conformance-safe paths the round-3 tunnel can execute
+        # (bench modes w8a16-engine-xla / train-step-xla)
+        ("engine-xla-route L=3751",
+         lambda: engine(None, False, engine_route="xla")),
+        ("blocked-train-step L=3751", lambda: train_step("blocked")),
     ]
     if not quick:
         entries += [
+            ("blocked-forward L=3751",
+             lambda: model_forward("blocked", training=False)),
             # dim_scale=2: 2P=512 > the single-int32 budget, so the
             # B/C int dots lower through intdot's PLANE-WISE path —
             # the Mosaic compile check for the lifted K cap
