@@ -178,6 +178,67 @@ STAGES = {
         "    preferred_element_type=jnp.int32))\n"
         "f.lower(a).compile()\n"
         "OUT = jnp.ones((2,), jnp.float32)", False),
+    # --- round-3 bisect: the tunnel runs plain matmul chains at 98.9%
+    #     of the MXU floor but refuses every model program UNIMPLEMENTED.
+    #     These stages climb from the known-good control to the model in
+    #     op-class steps, to find the eliminating construct. ---
+    "matmul_batched_3d": (
+        "a = jnp.ones((128, 64, 64), jnp.float32)\n"
+        "b = jnp.ones((128, 64, 32), jnp.float32)\n"
+        "OUT = jax.jit(lambda x, y: jax.lax.dot_general(x, y,\n"
+        "    (((2,), (1,)), ((0,), (0,)))))(a, b)", False),
+    "reduce_mean_axis": ("x = jnp.ones((8, 128, 64), jnp.float32)\n"
+                         "OUT = jax.jit(lambda a: a.mean(axis=1))(x)", False),
+    "logistic_3d": ("x = jnp.ones((8, 64, 128), jnp.float32)\n"
+                    "OUT = jax.jit(lambda a: jax.nn.sigmoid(a) * a)(x)",
+                    False),
+    "transpose_021": ("x = jnp.ones((8, 64, 128), jnp.float32)\n"
+                      "OUT = jax.jit(lambda a: a.transpose(0, 2, 1) @ "
+                      "jnp.ones((8, 128, 64), jnp.float32))(x)", False),
+    "many_args": ("xs = [jnp.full((64, 64), float(i)) for i in range(40)]\n"
+                  "OUT = jax.jit(lambda *a: sum(a))(*xs)", False),
+    "big_program": ("x = jnp.ones((128, 128), jnp.float32)\n"
+                    "def f(a):\n"
+                    "    for i in range(200):\n"
+                    "        a = a * 1.001 + 0.001\n"
+                    "        if i % 20 == 0:\n"
+                    "            a = a @ a * 1e-3\n"
+                    "    return a\n"
+                    "OUT = jax.jit(f)(x)", False),
+    "stft_splitter_dot": (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from sparsernns_tpu.ops.stft import stft_splitter\n"
+        "x = jnp.ones((1, 8192), jnp.float32)\n"
+        "OUT = stft_splitter(x)" % REPO, False),
+    "encoder_dense_relu": (
+        "w = jnp.ones((257, 192), jnp.float32) * 0.01\n"
+        "x = jnp.ones((1, 64, 257), jnp.float32)\n"
+        "OUT = jax.jit(lambda a, k: jax.nn.relu(a @ k + 0.1))(x, w)", False),
+    "blocked_scan_tiny": (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from sparsernns_tpu.ops.scan import blocked_diag_scan\n"
+        "lam = (jnp.full((128,), 0.9), jnp.full((128,), 0.01))\n"
+        "bu = (jnp.ones((2, 64, 128)), jnp.ones((2, 64, 128)))\n"
+        "OUT = jax.jit(lambda l0, l1, b0, b1: blocked_diag_scan(\n"
+        "    (l0, l1), (b0, b1), block_t=32))(lam[0], lam[1], bu[0], bu[1])"
+        % REPO, False),
+    "model_fwd_tiny_blocked": (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from __graft_entry__ import _flagship_model\n"
+        "model = _flagship_model(d_model=16, ssm_size=16, blocks=2,\n"
+        "    n_layers=2, d_io=33, training=False, scan_mode='blocked')\n"
+        "x = jnp.zeros((1, 64, 33), jnp.float32)\n"
+        "shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)\n"
+        "rng = np.random.RandomState(0)\n"
+        "v = jax.tree_util.tree_map(lambda s: (0.1 * np.abs(\n"
+        "    rng.randn(*s.shape)) + 0.01).astype(s.dtype), shapes)\n"
+        "OUT = jax.jit(lambda vv, xx: model.apply(vv, xx))(v, x)" % REPO,
+        False),
+    "engine_xla_tiny": (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from bench import _build_engine\n"
+        "engine, variables, x = _build_engine(1, 64, 257, route='xla')\n"
+        "OUT = jax.jit(engine.forward)(x)" % REPO, False),
     # --- known wedgers (run LAST; skipped by --skip-wedgers) ---
     "complex_scan": ("x = jnp.ones((64, 128), jnp.complex64)\n"
                      "OUT = jax.jit(lambda a: jax.lax.associative_scan(\n"
