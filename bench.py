@@ -413,7 +413,23 @@ def _measure(name, dispatch, iters, frames_per_iter, flops, xla_bytes,
         # scales with queued work even though dispatch timing doesn't
         peak_flops, hbm_bw = peaks
         sol_t = max(xla_bytes / hbm_bw, padded_flops / peak_flops)
-        elapsed, n_eff = _run_drained(dispatch, iters, sol_t)
+        try:
+            elapsed, n_eff = _run_drained(dispatch, iters, sol_t)
+        except Exception as e:  # noqa: BLE001 - executor refused the
+            # compiled program (observed: UNIMPLEMENTED on the round-3
+            # conformance-limited tunnel). The compile and XLA cost
+            # analysis already succeeded, so keep a COST-ONLY record:
+            # summarize() then reports the labelled roofline with the
+            # per-config floor table instead of the bare
+            # backend-unavailable summary. (A wedge/hang is different —
+            # that kills the worker subprocess via its timeout.)
+            _log(f"{name}: drained execution refused ({e}) — "
+                 "keeping cost-only record")
+            rec = _finalize(name + " (exec-refused)", float("inf"), False,
+                            iters, frames_per_iter, flops, xla_bytes,
+                            peaks, padded_flops=padded_flops)
+            rec["exec_refused"] = repr(e)[:160]
+            return rec
         return _finalize(name + " (readback-drain)", elapsed, True, n_eff,
                          frames_per_iter, flops, xla_bytes, peaks,
                          drained=True, padded_flops=padded_flops)

@@ -347,6 +347,32 @@ def test_drain_mode_times_on_untimeable_wallclock(monkeypatch):
     assert rec["t_iter_ms"] == pytest.approx(1.0, rel=1e-6)
 
 
+def test_drain_exec_refusal_keeps_cost_only_record(monkeypatch):
+    """Round-3 tunnel: the executor REFUSES compiled model programs
+    (UNIMPLEMENTED) while the drain channel itself is verified. The mode
+    must survive as a cost-only record (valid=False, floors populated,
+    exec_refused tagged) so summarize() reports the labelled roofline
+    table instead of dropping the config entirely."""
+    monkeypatch.setitem(bench._REGIME, "wallclock", False)
+    monkeypatch.setitem(bench._REGIME, "saturation", False)
+    monkeypatch.setitem(bench._REGIME, "readback", True)
+
+    def refuse(dispatch, iters, sol_t=0.0):
+        raise RuntimeError("UNIMPLEMENTED: TPU backend error")
+
+    monkeypatch.setattr(bench, "_run_drained", refuse)
+    rec = bench._measure("engine", lambda prev: prev, 10, 8 * 3751, 1e10,
+                         6.5e8, PEAKS, use_profiler=False)
+    assert not rec["valid"] and not rec["drained"]
+    assert "UNIMPLEMENTED" in rec["exec_refused"]
+    assert rec["sol_frames_per_sec"] > 0
+    summary = bench.summarize({"engine": rec}, PEAKS)
+    assert summary["timing_valid"] is False
+    assert summary["measurement"] == "roofline-cost-model"
+    assert summary["value"] == pytest.approx(rec["sol_frames_per_sec"],
+                                             rel=1e-3)
+
+
 def test_broken_sync_backend_accepts_drained_timing():
     """A valid drained record survives the broken-sync proof (the drain
     channel does not depend on the lying sync primitives)."""
