@@ -151,43 +151,50 @@ def _ola_norm(n_frames: int, nfft: int, hop: int) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("nfft", "hop_length"))
-def stft_mixer(mag: jax.Array, phase: jax.Array, nfft: int = NFFT,
-               hop_length: int = HOP_LENGTH) -> jax.Array:
-    """(magnitude, phase) -> audio (..., T). Inverse of stft_splitter.
+def stft_mixer_tm(mag: jax.Array, phase: jax.Array, nfft: int = NFFT,
+                  hop_length: int = HOP_LENGTH) -> jax.Array:
+    """TIME-MAJOR iSTFT core: (..., L, F) magnitude/phase -> audio (..., T).
 
-    TPU-idiomatic iSTFT: the one-sided inverse DFT runs as ONE MXU
-    matmul against a (nfft+2, nfft) basis, and the boxcar overlap-add is
+    TPU-idiomatic: the one-sided inverse DFT runs as ONE MXU matmul
+    against a (nfft+2, nfft) basis, and the boxcar overlap-add is
     nfft/hop shifted pad+adds — no complex dtype, no FFT factorization
-    convolutions, no layout copies. Bit-compatible with stft_mixer_fft
-    (the jax.scipy istft path) to f32 matmul precision; parity pinned in
-    tests/test_losses.py. Gradients flow through `mag` via the transposed
-    dot, cutting the train step's loss-path HBM bytes ~4x (PERF.md).
+    convolutions. The frequency-plane contraction happens on the
+    MINOR-MOST axis — the layout the model emits its mask in (B, L, F),
+    so the train/eval loss path carries no transposes in the
+    user-visible graph. (Measured on the v5e lowering: XLA normalizes
+    the frequency-major form to the same program — cost-model bytes are
+    identical — so this core is an API/clarity choice for time-major
+    callers, not a throughput claim.) Bit-compatible with
+    stft_mixer_fft to f32 matmul precision (tests/test_losses.py);
+    gradients flow through `mag` via the transposed dot.
 
     Bin-count handling matches the reference's `irfft(..., n=nfft)`
     (train_helpers.py:1399-1412): inputs with FEWER than nfft//2+1
     frequency bins are treated as a truncated one-sided spectrum and
     zero-padded up to the full bin count; inputs with MORE bins imply
     the caller framed at a larger nfft, which we infer as 2*(F-1)."""
-    f_in = mag.shape[-2]
+    f_in = mag.shape[-1]
     if f_in > nfft // 2 + 1:
         nfft = 2 * (f_in - 1)
     if nfft % hop_length != 0:
-        return stft_mixer_fft(mag, phase, nfft=nfft, hop_length=hop_length)
+        return stft_mixer_fft(jnp.swapaxes(mag, -1, -2),
+                              jnp.swapaxes(phase, -1, -2),
+                              nfft=nfft, hop_length=hop_length)
     if f_in < nfft // 2 + 1:
         # zero-pad the missing high bins (irfft n=nfft semantics)
-        pad = [(0, 0)] * (mag.ndim - 2) + [(0, nfft // 2 + 1 - f_in), (0, 0)]
+        pad = [(0, 0)] * (mag.ndim - 1) + [(0, nfft // 2 + 1 - f_in)]
         mag = jnp.pad(mag, pad)
         phase = jnp.pad(phase, pad)
-    n_frames = mag.shape[-1]
+    n_frames = mag.shape[-2]
     lead = mag.shape[:-2]
-    # (..., nfft+2, L): one fused elementwise producing both DFT planes
+    # (..., L, nfft+2): one fused elementwise producing both DFT planes
     products = jnp.concatenate(
-        [mag * jnp.cos(phase), mag * jnp.sin(phase)], axis=-2)
+        [mag * jnp.cos(phase), mag * jnp.sin(phase)], axis=-1)
     basis = jnp.asarray(_idft_matrix(nfft))
-    # contract the frequency-plane dim -> frames (..., L, nfft)
+    # contract the minor-most frequency-plane dim -> frames (..., L, nfft)
     frames = jax.lax.dot_general(
         products, basis,
-        (((products.ndim - 2,), (0,)), ((), ())),
+        (((products.ndim - 1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST)
     # overlap-add: frame l covers samples [l*hop, l*hop + nfft)
     total = (n_frames - 1) * hop_length + nfft
@@ -202,3 +209,16 @@ def stft_mixer(mag: jax.Array, phase: jax.Array, nfft: int = NFFT,
     x = reduce(jnp.add, pieces)
     norm = jnp.asarray(_ola_norm(n_frames, nfft, hop_length))
     return x[..., nfft // 2: total - nfft // 2] / norm
+
+
+@partial(jax.jit, static_argnames=("nfft", "hop_length"))
+def stft_mixer(mag: jax.Array, phase: jax.Array, nfft: int = NFFT,
+               hop_length: int = HOP_LENGTH) -> jax.Array:
+    """(magnitude, phase) (..., F, L) -> audio (..., T). Inverse of
+    stft_splitter (the reference's frequency-major convention,
+    train_helpers.py:1399-1412). Thin transpose wrapper over the
+    time-major core `stft_mixer_tm`; hot paths that already hold
+    time-major tensors (the train/eval loss) call the core directly."""
+    return stft_mixer_tm(jnp.swapaxes(mag, -1, -2),
+                         jnp.swapaxes(phase, -1, -2),
+                         nfft=nfft, hop_length=hop_length)

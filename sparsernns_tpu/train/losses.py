@@ -12,7 +12,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from sparsernns_tpu.ops.stft import stft_mixer
+from sparsernns_tpu.ops.stft import stft_mixer_tm
 
 _EPS = 1e-8
 
@@ -37,6 +37,34 @@ STFT_MAG_MEAN = 0.0007  # input mean-subtraction constant (train_helpers.py:1434
 NDNS_LOSS_LAMBDA = 0.001
 
 
+def ndns_loss_from_mask_tm(
+    mask: jax.Array,
+    noisy_mag: jax.Array,
+    noisy_phase: jax.Array,
+    clean_mag: jax.Array,
+    clean_audio: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """TIME-MAJOR NDNS objective: all spectral tensors are (B, L, F) —
+    the layout the model emits — so the mask needs no transpose inside
+    the differentiated graph (the train step's phase/clean inputs
+    transpose ONCE outside it; they carry no gradients). XLA lowers this
+    and the frequency-major form to byte-identical programs on the v5e
+    (measured); the tm entry point exists for time-major callers and to
+    keep the step graph free of layout plumbing. Semantics identical to
+    `ndns_loss_from_mask` (reference train_helpers.py:1461-1469): the
+    MSE and SI-SNR terms are layout-invariant reductions.
+
+    Returns (loss, mean SI-SNR, cleaned magnitude (B, L, F))."""
+    cleaned_mag = noisy_mag * (1.0 + mask)
+    cleaned = stft_mixer_tm(cleaned_mag, noisy_phase)
+    # iSTFT length is hop-aligned and may exceed the original audio length
+    cleaned = cleaned[..., :clean_audio.shape[-1]]
+    snr = si_snr(cleaned, clean_audio)
+    loss = NDNS_LOSS_LAMBDA * jnp.mean((cleaned_mag - clean_mag) ** 2) + (
+        100.0 - jnp.mean(snr))
+    return loss, jnp.mean(snr), cleaned_mag
+
+
 def ndns_loss_from_mask(
     mask: jax.Array,
     noisy_mag: jax.Array,
@@ -44,20 +72,17 @@ def ndns_loss_from_mask(
     clean_mag: jax.Array,
     clean_audio: jax.Array,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """NDNS objective given the model's predicted spectral mask.
+    """NDNS objective given the model's predicted spectral mask, in the
+    reference's frequency-major convention.
 
     mask, *_mag, *_phase: (B, F, L); clean_audio: (B, T).
-    Returns (loss, mean SI-SNR, cleaned magnitude).
+    Returns (loss, mean SI-SNR, cleaned magnitude (B, F, L)).
     Reference: train_helpers.py:1461-1469.
     """
-    cleaned_mag = noisy_mag * (1.0 + mask)
-    cleaned = stft_mixer(cleaned_mag, noisy_phase)
-    # iSTFT length is hop-aligned and may exceed the original audio length
-    cleaned = cleaned[..., :clean_audio.shape[-1]]
-    snr = si_snr(cleaned, clean_audio)
-    loss = NDNS_LOSS_LAMBDA * jnp.mean((cleaned_mag - clean_mag) ** 2) + (
-        100.0 - jnp.mean(snr))
-    return loss, jnp.mean(snr), cleaned_mag
+    t = lambda a: jnp.swapaxes(a, -1, -2)  # noqa: E731
+    loss, snr, cleaned_mag = ndns_loss_from_mask_tm(
+        t(mask), t(noisy_mag), t(noisy_phase), t(clean_mag), clean_audio)
+    return loss, snr, t(cleaned_mag)
 
 
 def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:

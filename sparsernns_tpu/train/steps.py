@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from sparsernns_tpu.train.losses import (STFT_MAG_MEAN, accuracy,
                                          cross_entropy_loss,
-                                         ndns_loss_from_mask)
+                                         ndns_loss_from_mask_tm)
 from sparsernns_tpu.train.optim import zero_scale_gradients
 from sparsernns_tpu.train.pruning import MagnitudePruner
 from sparsernns_tpu.train.state import TrainState
@@ -87,10 +87,17 @@ def make_ndns_train_step(
     @jax.jit
     def step(state: TrainState, rng, noisy_mag, noisy_phase, clean_mag, clean):
         drop_rng = jax.random.fold_in(rng, state.step)
+        # the whole loss path runs TIME-MAJOR (B, L, F) — the model's own
+        # layout — so no transpose/relayout sits inside the differentiated
+        # graph; the spectral inputs transpose once here (they carry no
+        # gradients: only the mask does)
+        noisy_mag_tm = jnp.transpose(noisy_mag, (0, 2, 1))
+        noisy_phase_tm = jnp.transpose(noisy_phase, (0, 2, 1))
+        clean_mag_tm = jnp.transpose(clean_mag, (0, 2, 1))
 
         def loss_fn(params):
             fwd = _forward_params(state, params, pruner)
-            x = jnp.transpose(noisy_mag - STFT_MAG_MEAN, (0, 2, 1))
+            x = noisy_mag_tm - STFT_MAG_MEAN
             variables = {"params": fwd}
             mutable = []
             if batchnorm or state.batch_stats:
@@ -101,9 +108,8 @@ def make_ndns_train_step(
                 rngs={"dropout": drop_rng},
                 mutable=mutable,
             )
-            mask = jnp.transpose(out, (0, 2, 1))
-            loss, snr, _ = ndns_loss_from_mask(
-                mask, noisy_mag, noisy_phase, clean_mag, clean)
+            loss, snr, _ = ndns_loss_from_mask_tm(
+                out, noisy_mag_tm, noisy_phase_tm, clean_mag_tm, clean)
             return loss, (mod_vars, snr)
 
         (loss, (mod_vars, snr)), grads = jax.value_and_grad(
@@ -131,7 +137,9 @@ def make_ndns_eval_step(model, batchnorm: bool = True,
     @jax.jit
     def step(state: TrainState, noisy_mag, noisy_phase, clean_mag, clean):
         fwd = _forward_params(state, state.params, pruner)
-        x = jnp.transpose(noisy_mag - STFT_MAG_MEAN, (0, 2, 1))
+        # time-major loss path, mirroring the train step
+        noisy_mag_tm = jnp.transpose(noisy_mag, (0, 2, 1))
+        x = noisy_mag_tm - STFT_MAG_MEAN
         variables = {"params": fwd}
         if batchnorm or state.batch_stats:
             variables["batch_stats"] = state.batch_stats
@@ -140,9 +148,10 @@ def make_ndns_eval_step(model, batchnorm: bool = True,
         else:
             out = model.apply(variables, x)
             mod_vars = {}
-        mask = jnp.transpose(out, (0, 2, 1))
-        loss, snr, cleaned_mag = ndns_loss_from_mask(
-            mask, noisy_mag, noisy_phase, clean_mag, clean)
+        loss, snr, cleaned_mag = ndns_loss_from_mask_tm(
+            out, noisy_mag_tm,
+            jnp.transpose(noisy_phase, (0, 2, 1)),
+            jnp.transpose(clean_mag, (0, 2, 1)), clean)
         metrics = {"loss": loss, "si_snr": snr}
         if mutable_stats:
             return metrics, mod_vars.get("batch_stats")

@@ -7,9 +7,11 @@ import numpy as np
 
 import jax
 
-from sparsernns_tpu.ops.stft import stft_mixer, stft_mixer_fft, stft_splitter
+from sparsernns_tpu.ops.stft import (stft_mixer, stft_mixer_fft,
+                                     stft_mixer_tm, stft_splitter)
 from sparsernns_tpu.train.losses import (accuracy, cross_entropy_loss,
-                                         ndns_loss_from_mask, si_snr)
+                                         ndns_loss_from_mask,
+                                         ndns_loss_from_mask_tm, si_snr)
 
 
 def test_si_snr_perfect_estimate_is_high():
@@ -130,6 +132,53 @@ def test_ndns_loss_small_feature_dim():
     g = jax.grad(lambda m: ndns_loss_from_mask(m, mag, phase, mag, audio)[0])(
         jnp.zeros_like(mag))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_stft_mixer_tm_matches_freq_major():
+    """The time-major core (the train/eval hot path — frequency
+    contraction on the minor-most axis, no relayout) must match the
+    frequency-major wrapper AND the FFT oracle, at the default framing,
+    truncated bins, and a non-default nfft."""
+    rng = np.random.RandomState(21)
+    cases = [
+        ((2, 257, 37), {}),             # default nfft, full bins
+        ((2, 33, 17), {}),              # truncated bins (F=33 regression)
+        ((2, 33, 29), {"nfft": 64, "hop_length": 16}),  # explicit framing
+    ]
+    for shape, kw in cases:
+        mag = jnp.asarray(np.abs(rng.randn(*shape)), jnp.float32)
+        phase = jnp.asarray(rng.uniform(-np.pi, np.pi, shape), jnp.float32)
+        fm = stft_mixer(mag, phase, **kw)
+        tm = stft_mixer_tm(jnp.swapaxes(mag, -1, -2),
+                           jnp.swapaxes(phase, -1, -2), **kw)
+        np.testing.assert_array_equal(np.asarray(fm), np.asarray(tm))
+
+        def loss_tm(m):
+            return jnp.sum(jnp.abs(stft_mixer_tm(
+                m, jnp.swapaxes(phase, -1, -2), **kw)))
+
+        g = np.asarray(jax.grad(loss_tm)(jnp.swapaxes(mag, -1, -2)))
+        assert np.isfinite(g).all() and np.abs(g).max() > 0
+
+
+def test_ndns_loss_tm_matches_freq_major():
+    """ndns_loss_from_mask_tm (the in-step layout) == ndns_loss_from_mask
+    (the reference-convention API) on identical data."""
+    rng = np.random.RandomState(22)
+    mag = jnp.asarray(np.abs(rng.randn(2, 257, 37)), jnp.float32)
+    phase = jnp.asarray(rng.uniform(-np.pi, np.pi, (2, 257, 37)), jnp.float32)
+    clean_mag = mag * 0.9
+    audio = jnp.asarray(rng.randn(2, 36 * 128), jnp.float32)
+    mask = jnp.asarray(0.1 * rng.randn(2, 257, 37), jnp.float32)
+    t = lambda a: jnp.swapaxes(a, -1, -2)  # noqa: E731
+    loss_f, snr_f, cleaned_f = ndns_loss_from_mask(
+        mask, mag, phase, clean_mag, audio)
+    loss_t, snr_t, cleaned_t = ndns_loss_from_mask_tm(
+        t(mask), t(mag), t(phase), t(clean_mag), audio)
+    np.testing.assert_allclose(float(loss_f), float(loss_t), rtol=1e-6)
+    np.testing.assert_allclose(float(snr_f), float(snr_t), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(cleaned_f),
+                                  np.asarray(t(cleaned_t)))
 
 
 def test_ndns_loss_zero_mask_on_clean_input():
