@@ -76,7 +76,23 @@ import jax
 import jax.numpy as jnp
 
 BENCH_MODE_TIMEOUT_S = 900
+#: whole-run WALL BUDGET (VERDICT r3 #1: BENCH_r03 died rc=124 with no
+#: summary record at all — the driver killed a run whose only
+#: ``print(json.dumps(summary))`` sat after 11 x 15-minute mode slots).
+#: The bench now (a) emits its current-best summary line after backend
+#: init and again after EVERY completed mode, so a SIGKILL at any moment
+#: leaves the last stdout line a complete parseable record, and (b)
+#: stops launching work when the budget is nearly spent.
+BENCH_WALL_BUDGET_S = float(os.environ.get("BENCH_WALL_BUDGET_S", "480"))
+#: minimum budget worth launching one more drain worker (per-process
+#: transport warm-up alone is ~2-4 min on the tunnel backend)
+BENCH_MIN_MODE_S = float(os.environ.get("BENCH_MIN_MODE_S", "150"))
+_T0 = time.time()
 SYNC_DEADLINE_S = 60
+
+
+def _budget_left() -> float:
+    return BENCH_WALL_BUDGET_S - (time.time() - _T0)
 ITERS_FWD = 20
 ITERS_TRAIN = 8
 # Accept wall-clocks down to 0.6x the bytes-derived floor: XLA's "bytes
@@ -783,6 +799,77 @@ def _recs_from_worker() -> dict:
     return merged
 
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+_RECS_CACHE_PATH = os.path.join(_REPO_DIR, "runs", "bench_recs_cache.json")
+_PROBE_TABLE_PATH = os.path.join(_REPO_DIR, "runs", "backend_probe.json")
+
+
+def _emit(summary: dict, partial: bool = True):
+    """Print the CURRENT-BEST summary as a JSON line right now (and
+    mirror it to runs/bench_last.json). Called after backend init and
+    after every completed mode: the last stdout line is always a
+    complete record, so a driver kill at any point loses precision, not
+    the whole record (BENCH_r03 was rc=124 / parsed:null)."""
+    out = dict(summary)
+    out["partial"] = bool(partial)
+    out["elapsed_s"] = round(time.time() - _T0, 1)
+    out["wall_budget_s"] = BENCH_WALL_BUDGET_S
+    print(json.dumps(out), flush=True)
+    try:
+        os.makedirs(os.path.join(_REPO_DIR, "runs"), exist_ok=True)
+        with open(os.path.join(_REPO_DIR, "runs", "bench_last.json"),
+                  "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
+
+
+def _load_json(path) -> dict:
+    try:
+        with open(path) as f:
+            got = json.load(f)
+        return got if isinstance(got, dict) else {}
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def _save_recs_cache(recs: dict):
+    """Persist per-mode records across runs; only cost-only (valid=False)
+    entries are ever REUSED (their floors are deterministic compile-time
+    properties, safe to reheat — a stale measured timing is not)."""
+    try:
+        os.makedirs(os.path.dirname(_RECS_CACHE_PATH), exist_ok=True)
+        with open(_RECS_CACHE_PATH, "w") as f:
+            json.dump(recs, f, indent=1)
+    except OSError:
+        pass
+
+
+#: drain mode -> backend-conformance probe stage exercising the same
+#: program class (tools/backend_probe.py). A probe row refusing
+#: ("error") or wedging ("hang") that stage convicts the mode without
+#: spending a multi-minute worker on it; an "ok" row promotes it to the
+#: front of the order. Unknown stages keep their declared order.
+_MODE_PROBE_STAGE = {
+    "w8a16-engine-xla": "engine_xla_tiny",
+    "blocked": "model_fwd_tiny_blocked",
+    "train-step-xla": "model_fwd_tiny_blocked",
+    "w8a16-engine": "pallas_diag_scan",
+    "w8a16-engine-mxu16": "s8_dot",
+    "w8a16-engine-bf16io": "pallas_diag_scan",
+    "fused": "pallas_diag_scan",
+    "pallas": "pallas_diag_scan",
+    "train-step": "pallas_diag_scan",
+    "train-step-bf16s": "pallas_diag_scan",
+    "associative": "model_fwd_tiny_assoc",
+}
+
+
+def _probe_status(table: dict, mode: str):
+    rec = table.get(_MODE_PROBE_STAGE.get(mode, ""))
+    return rec.get("status") if isinstance(rec, dict) else None
+
+
 #: drain-regime measurement order: most valuable configs first (the
 #: quantized serving engines — the headline number), the observed
 #: wedge suspect LAST (2026-08-19 tunnel: dispatching the raw
@@ -816,31 +903,87 @@ def _probe_device_exec(timeout_s: float = 240) -> bool:
     return "DEVICE_OK" in r.stdout
 
 
-def _recs_from_drain_workers() -> dict:
+def _recs_from_drain_workers(emit=None, probe_table=None,
+                             budget_fn=None) -> dict:
     """Drain-regime measurement loop: each mode runs in its OWN
-    subprocess with a kill-on-timeout, in DRAIN_MODE_ORDER. Rationale
-    (observed 2026-08-19 on the round-3 tunnel): one bad program can
-    wedge the shared device for every later dispatch in the same
-    process, so a hung mode measured in the parent would take the whole
-    bench down with it. The regime verdict rides BENCH_REGIME (and
-    profiling.READBACK_ENV) so workers skip the multi-minute canaries.
-    After a timeout, a cheap health probe decides whether the device
-    survived; if not, stop and keep the records measured so far. ALL
-    records merge (not just valid ones): summarize() needs invalid
-    drained records to detect a lying drain channel, and cost-only
-    records to fall back to the roofline."""
+    subprocess with a kill-on-timeout. Rationale (observed 2026-08-19 on
+    the round-3 tunnel): one bad program can wedge the shared device for
+    every later dispatch in the same process, so a hung mode measured in
+    the parent would take the whole bench down with it. The regime
+    verdict rides BENCH_REGIME (and profiling.READBACK_ENV) so workers
+    skip the multi-minute canaries. After a timeout, a cheap health
+    probe decides whether the device survived; if not, stop and keep the
+    records measured so far. ALL records merge (not just valid ones):
+    summarize() needs invalid drained records to detect a lying drain
+    channel, and cost-only records to fall back to the roofline.
+
+    Round-4 budget honesty (VERDICT r3 #1): the loop consults the
+    measured backend-conformance table (runs/backend_probe.json) —
+    probe-"ok" modes run first, probe-"error" (refused) modes are
+    re-heated from the cost-only record cache instead of burning a
+    worker, probe-"hang" modes (device wedgers) never launch — and it
+    sizes each worker's timeout from ``budget_fn()``, stopping before
+    the budget dies. ``emit(merged)`` fires after every completed mode
+    so the parent can print an updated summary line immediately."""
     env = dict(os.environ)
     env["BENCH_REGIME"] = json.dumps(_REGIME)
+    if probe_table is None:
+        probe_table = _load_json(_PROBE_TABLE_PATH)
+    if budget_fn is None:
+        budget_fn = _budget_left
+    cache = _load_json(_RECS_CACHE_PATH)
+    rank = {"ok": 0, None: 1, "error": 2, "hang": 3}
+    order = sorted(DRAIN_MODE_ORDER,
+                   key=lambda m: rank.get(_probe_status(probe_table, m), 1))
     merged: dict = {}
-    for name in DRAIN_MODE_ORDER:
+
+    def _reheat(name) -> bool:
+        rec = cache.get(name)
+        if isinstance(rec, dict) and not rec.get("valid"):
+            merged[name] = dict(rec, cached=True)
+            return True
+        return False
+
+    for name in order:
+        status = _probe_status(probe_table, name)
+        if status == "hang" and not os.environ.get("BENCH_RUN_WEDGERS"):
+            _log(f"drain worker {name}: SKIPPED — conformance probe "
+                 f"recorded a device wedge for its program class "
+                 f"({_MODE_PROBE_STAGE.get(name)}); set "
+                 "BENCH_RUN_WEDGERS=1 to override")
+            _reheat(name)
+            continue
+        left = budget_fn()
+        if status == "error" and _reheat(name):
+            _log(f"drain worker {name}: probe says refused "
+                 f"({_MODE_PROBE_STAGE.get(name)}) — reusing cached "
+                 "cost-only record, not spending a worker")
+            if emit is not None:
+                emit(merged)
+            continue
+        if left < BENCH_MIN_MODE_S:
+            _log(f"wall budget nearly spent ({left:.0f}s left < "
+                 f"{BENCH_MIN_MODE_S:.0f}s) — stopping the drain loop, "
+                 "reheating remaining modes from cache")
+            for rest in order[order.index(name):]:
+                if rest not in merged:
+                    _reheat(rest)
+            if merged and emit is not None:
+                emit(merged)
+            break
+        timeout = min(BENCH_MODE_TIMEOUT_S + 240, max(BENCH_MIN_MODE_S,
+                                                      left - 20))
         env["BENCH_DRAIN_ONLY"] = name
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True,
-                timeout=BENCH_MODE_TIMEOUT_S + 240)
+                capture_output=True, text=True, timeout=timeout)
         except subprocess.TimeoutExpired:
-            _log(f"drain worker {name}: timed out — probing device health")
+            _log(f"drain worker {name}: timed out ({timeout:.0f}s) — "
+                 "probing device health")
+            if budget_fn() < BENCH_MIN_MODE_S:
+                _log("budget spent — skipping the health probe, stopping")
+                break
             if not _probe_device_exec():
                 _log("device wedged (health probe hung) — stopping the "
                      "drain loop, keeping records measured so far")
@@ -857,6 +1000,11 @@ def _recs_from_drain_workers() -> dict:
         if not got:
             _log(f"drain worker {name}: no records (rc={proc.returncode})")
         merged.update(got)
+        if got:
+            cache.update(got)
+            _save_recs_cache(cache)
+            if emit is not None:
+                emit(merged)
     return merged
 
 
@@ -921,25 +1069,41 @@ def _probe_backend(timeout_s: float) -> Optional[str]:
 
 def main():
     from sparsernns_tpu.utils.profiling import chip_peaks
-    reason = _probe_backend(BACKEND_INIT_TIMEOUT_S)
+    is_worker = (os.environ.get("BENCH_WORKER") == "1"
+                 or bool(os.environ.get("BENCH_DRAIN_ONLY")))
+    init_budget = BACKEND_INIT_TIMEOUT_S
+    if not is_worker:
+        init_budget = min(BACKEND_INIT_TIMEOUT_S,
+                          max(60.0, _budget_left() * 0.5))
+    reason = _probe_backend(init_budget)
     if reason is not None:
         _log(f"backend unusable: {reason}")
-        print(json.dumps(_no_backend_summary(reason)))
+        _emit(_no_backend_summary(reason), partial=False)
         return 0
     try:
         # belt-and-braces: the probe succeeded, but guard the parent's
         # own init too (KeyboardInterrupt/SystemExit propagate).
-        with _alarm(BACKEND_INIT_TIMEOUT_S):
+        with _alarm(int(init_budget)):
             peaks = chip_peaks()
             backend = jax.default_backend()
             kind = jax.devices()[0].device_kind
     except Exception as e:
         _log(f"backend initialization failed/hung: {e!r}")
-        print(json.dumps(_no_backend_summary(repr(e))))
+        _emit(_no_backend_summary(repr(e)), partial=False)
         return 0
     _log(f"backend={backend} device={kind!r} "
          f"peaks: {peaks[0] / 1e12:.0f} TFLOP/s bf16, "
          f"{peaks[1] / 1e9:.0f} GB/s HBM")
+
+    if not is_worker:
+        # FIRST summary line lands within seconds of backend init — the
+        # analytic roofline labelled pending; every later emission only
+        # improves on it (the driver parses the LAST line).
+        pending = _no_backend_summary("measurement in progress")
+        pending["measurement"] = "roofline-cost-model(pending)"
+        pending["backend"] = backend
+        pending.pop("error", None)
+        _emit(pending)
 
     env_regime = os.environ.get("BENCH_REGIME")
     if env_regime:
@@ -951,8 +1115,12 @@ def main():
         except json.JSONDecodeError:
             env_regime = None
     if backend == "tpu" and not env_regime:
+        canary_budget = BENCH_MODE_TIMEOUT_S
+        if not is_worker:
+            canary_budget = int(min(BENCH_MODE_TIMEOUT_S,
+                                    max(90.0, _budget_left() * 0.5)))
         try:
-            with _alarm(BENCH_MODE_TIMEOUT_S):
+            with _alarm(canary_budget):
                 _REGIME.update(_canary_check(peaks))
         except Exception as e:  # noqa: BLE001 - canary must not kill bench
             _maybe_profiler_dead(e)
@@ -994,11 +1162,14 @@ def main():
         # associative_scan probe) wedged the device for all later
         # dispatches in its process.
         _log("drain regime: per-mode isolated drain workers "
-             "(engines first, wedge-suspect associative last)")
-        recs = _recs_from_drain_workers()
+             "(probe-ok modes first, convicted modes reheated from "
+             "cache, wedgers skipped)")
+        recs = _recs_from_drain_workers(
+            emit=lambda m: _emit(summarize(m, peaks, backend)))
         if not recs:
-            print(json.dumps(_no_backend_summary(
-                "drain workers returned no records (device wedged)")))
+            _emit(_no_backend_summary(
+                "drain workers returned no records (device wedged)"),
+                partial=False)
             return 0
     missing = [m for m in ("associative", "blocked", "pallas", "fused",
                            "w8a16-engine", "w8a16-engine-mxu16",
@@ -1006,6 +1177,8 @@ def main():
                if m not in recs]
     if missing and not drain_regime:
         _log(f"measuring in-process (no profiler): {missing}")
+        if recs:
+            _emit(summarize(recs, peaks, backend))
         local = run_all_modes(peaks)
         for k, v in local.items():
             recs.setdefault(k, v)
@@ -1015,7 +1188,7 @@ def main():
              f"{missing}")
 
     summary = summarize(recs, peaks, backend)
-    print(json.dumps(summary))
+    _emit(summary, partial=False)
     return 0 if summary["value"] > 0 else 1
 
 

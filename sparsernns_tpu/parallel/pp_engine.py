@@ -38,6 +38,89 @@ from sparsernns_tpu.quantize.engine import (W8A16Engine, engine_encode,
                                             state_activation)
 
 
+def _make_pp_forward_mpmd(engine: W8A16Engine, mesh: Mesh,
+                          chunks: Optional[int] = None):
+    """Pipeline-parallel serving for the bit-faithful mxu16 engine:
+    host-scheduled MPMD — each stage is its OWN jitted program
+    (engine._apply_chunk over its layer range) pinned to its mesh device
+    by committed inputs, with time chunks handed stage-to-stage via
+    device_put and SSM carries staying stage-local.
+
+    Why MPMD and not the float path's single shard_map program: the int
+    route bakes per-layer requant/scale constants (frozen grids) into
+    the compiled kernels, and they differ across layers — one SPMD
+    program would need them uniform across stages. Per-stage programs
+    keep each stage's constants exactly as the single-chip engine
+    compiles them, so the pipeline output is BIT-IDENTICAL to
+    single-chip chunked serving (process_chunk) at the same chunk size —
+    the same carry-exactness the streaming path rests on. Dispatch is
+    asynchronous, so in steady state all stages execute concurrently
+    (the classic GPipe overlap); per-tick cross-device traffic is one
+    (B, L/C, H_pad) activation chunk, same as the shard_map route.
+
+    No reference equivalent (single-device only; SURVEY.md §2.2)."""
+    from functools import partial
+
+    n_stages = mesh.shape[MODEL_AXIS]
+    n_layers = len(engine.layers)
+    if n_layers % n_stages:
+        raise ValueError(f"{n_layers} layers do not partition into "
+                         f"{n_stages} stages")
+    per = n_layers // n_stages
+    n_chunks = chunks if chunks is not None else 2 * n_stages
+    axis = mesh.axis_names.index(MODEL_AXIS)
+    devs = np.moveaxis(mesh.devices, axis, 0).reshape(n_stages, -1)[:, 0]
+
+    stage_fns = []
+    stage_weights = []
+    for s in range(n_stages):
+        lo, hi = s * per, (s + 1) * per
+        stage_fns.append(jax.jit(partial(
+            engine._apply_chunk, block_t=engine.block_t, lo=lo,
+            encode=(s == 0), decode=(s == n_stages - 1))))
+        # ship each stage ONLY its layer slice (encoder/decoder tensors
+        # are small; they ride along so the weights pytree keeps the
+        # structure _apply_chunk expects)
+        w = dict(engine.weights)
+        w["layers"] = list(w["layers"][lo:hi])
+        stage_weights.append(jax.device_put(w, devs[s]))
+
+    def forward(x):
+        b, l, _ = x.shape
+        if l % n_chunks:
+            raise ValueError(
+                f"L={l} not divisible by {n_chunks} chunks")
+        lc = l // n_chunks
+        carries = engine.init_stream_state(b)
+        stage_carries = [
+            jax.device_put(tuple(carries[s * per:(s + 1) * per]), devs[s])
+            for s in range(n_stages)]
+        x_chunks = [jax.device_put(x[:, c * lc:(c + 1) * lc], devs[0])
+                    for c in range(n_chunks)]
+        outs = [None] * n_chunks
+        handoff = [None] * n_stages   # stage s's output awaiting stage s+1
+        # GPipe over time: tick t runs chunk t-s on stage s; stages are
+        # visited LAST-first so each consumes the handoff produced on the
+        # previous tick before it is overwritten. Dispatch is async —
+        # the host races ahead and the devices overlap for real.
+        for t in range(n_chunks + n_stages - 1):
+            for s in reversed(range(n_stages)):
+                c = t - s
+                if not 0 <= c < n_chunks:
+                    continue
+                inp = (x_chunks[c] if s == 0
+                       else jax.device_put(handoff[s - 1], devs[s]))
+                out, stage_carries[s] = stage_fns[s](
+                    stage_weights[s], inp, stage_carries[s])
+                if s == n_stages - 1:
+                    outs[c] = out
+                else:
+                    handoff[s] = out
+        return jnp.concatenate(outs, axis=1)
+
+    return forward
+
+
 def _uniform(vals, what: str):
     """All layers must share the value (stages run one SPMD program)."""
     if len(set(vals)) > 1:
@@ -53,8 +136,17 @@ def make_pp_forward(engine: W8A16Engine, mesh: Mesh,
     stages. ``n_layers`` must divide evenly into stages; layer operand
     shapes must be uniform (state compaction off or uniform). Returns
     ``forward(x (B, L, d_in)) -> (B, L, d_out)`` with L divisible by
-    ``chunks`` (default ``2 * n_stages``)."""
-    _reject_mxu16(engine, "make_pp_forward")
+    ``chunks`` (default ``2 * n_stages``).
+
+    mxu16 engines route to the MPMD schedule (_make_pp_forward_mpmd):
+    unlike SP — where chunk states are computed in parallel without the
+    true carry, which per-step requantization makes unrecoverable
+    (PARITY.md) — PP stages own whole layers and process time chunks
+    SEQUENTIALLY with the true carry in hand, so the bit-faithful int
+    kernels run unchanged per stage."""
+    m = getattr(engine, "mxu16", None)
+    if m and (m.get("mixer") or m.get("state") or m.get("requants")):
+        return _make_pp_forward_mpmd(engine, mesh, chunks)
     cfg = engine.cfg
     n_stages = mesh.shape[MODEL_AXIS]
     layers = engine.layers

@@ -1044,24 +1044,41 @@ class W8A16Engine:
              jnp.zeros((batch, layer.w_b.shape[-1] // 2), jnp.float32))
             for layer in self.layers)
 
-    def _apply_chunk_stack(self, weights, x, carries, block_t: int):
+    def _apply_chunk_stack(self, weights, x, carries, block_t: int,
+                           lo: int = 0, encode: bool = True,
+                           decode: bool = True):
         """Chunked whole-layer-kernel forward (streaming counterpart of
         _apply_stack): per-layer carry I/O, residual stream padded on the
         lane dim only (the chunk length must already divide the time
-        block — process_chunk's contract)."""
+        block — process_chunk's contract).
+
+        PIPELINE-STAGE mode (parallel.pp_engine's MPMD mxu16 route):
+        ``weights["layers"]`` holds only the stage's layer slice and
+        ``lo`` is the GLOBAL index of its first layer. With
+        ``encode=False`` x is the previous stage's padded act_dtype
+        residual, handed over on the frozen requant grid of layer lo-1
+        (``in_rq`` resumes from ``self.layers[lo-1].residual_requant``
+        exactly as the mid-loop value would); with ``decode=False`` the
+        raw residual is returned for the next stage instead of being
+        dequantized+decoded."""
         from sparsernns_tpu.ops.pallas.fused_layer import \
             fused_layer_apply_carry
         cfg = self.cfg
-        h = engine_encode(cfg, weights["encoder_kernel"],
-                          weights["encoder_bias"], x,
-                          in_scale=self.encoder_in_scale,
-                          out_spec=self.encoder_out_requant)
-        b, l, hd = h.shape
-        t = min(block_t, l)
-        h_pad = -(-hd // 128) * 128
-        r = jnp.pad(h, ((0, 0), (0, 0), (0, h_pad - hd))
-                    ).astype(self.act_dtype)
-        in_rq = None
+        if encode:
+            h = engine_encode(cfg, weights["encoder_kernel"],
+                              weights["encoder_bias"], x,
+                              in_scale=self.encoder_in_scale,
+                              out_spec=self.encoder_out_requant)
+            b, l, hd = h.shape
+            t = min(block_t, l)
+            h_pad = -(-hd // 128) * 128
+            r = jnp.pad(h, ((0, 0), (0, 0), (0, h_pad - hd))
+                        ).astype(self.act_dtype)
+        else:
+            r = x.astype(self.act_dtype)
+            t = min(block_t, r.shape[1])
+            hd = self.encoder_bias.shape[0]
+        in_rq = (self.layers[lo - 1].residual_requant if lo > 0 else None)
         new_carries = []
         for layer, carry in zip(weights["layers"], carries):
             out_rq = layer.residual_requant
@@ -1079,6 +1096,8 @@ class W8A16Engine:
                 act_dtype=self.act_dtype, **glu_scales)
             new_carries.append(new_c)
             in_rq = out_rq
+        if not decode:
+            return r, tuple(new_carries)
         rf = r.astype(jnp.float32)
         if in_rq is not None:
             rf = rf * in_rq[0]
@@ -1089,17 +1108,26 @@ class W8A16Engine:
                               out_spec=self.decoder_out_requant)
         return out, tuple(new_carries)
 
-    def _apply_chunk(self, weights, x, carries, block_t: int):
+    def _apply_chunk(self, weights, x, carries, block_t: int,
+                     lo: int = 0, encode: bool = True,
+                     decode: bool = True):
         """Chunked forward: like _apply but each layer's scan starts from
         its carry and returns the updated one (fused_s5_apply_carry —
-        streaming at fused-kernel speed). L must divide the time block."""
+        streaming at fused-kernel speed). L must divide the time block.
+        ``lo``/``encode``/``decode`` select pipeline-stage mode (see
+        _apply_chunk_stack: weights["layers"] is the stage's slice)."""
         from sparsernns_tpu.ops.pallas.fused_s5 import fused_s5_apply_carry
         if self._stack_ok:
-            return self._apply_chunk_stack(weights, x, carries, block_t)
+            return self._apply_chunk_stack(weights, x, carries, block_t,
+                                           lo=lo, encode=encode,
+                                           decode=decode)
         cfg = self.cfg
-        h = engine_encode(cfg, weights["encoder_kernel"],
-                          weights["encoder_bias"], x,
-                          in_scale=self.encoder_in_scale)
+        if encode:
+            h = engine_encode(cfg, weights["encoder_kernel"],
+                              weights["encoder_bias"], x,
+                              in_scale=self.encoder_in_scale)
+        else:
+            h = x.astype(self.act_dtype)
         new_carries = []
         for layer, carry in zip(weights["layers"], carries):
             if self.route == "xla":
@@ -1135,6 +1163,8 @@ class W8A16Engine:
                                             act_dtype=self.act_dtype,
                                             mixer_has_aux=True)
             new_carries.append(new_c)
+        if not decode:
+            return h, tuple(new_carries)
         out = quantized_dense(h, weights["decoder_kernel"],
                               weights["decoder_bias"],
                               self.decoder_in_scale)

@@ -422,7 +422,7 @@ def test_run_all_modes_only_filter(monkeypatch):
     assert calls == ["associative", "train-step"]
 
 
-def test_drain_workers_merge_and_stop_on_wedge(monkeypatch):
+def test_drain_workers_merge_and_stop_on_wedge(monkeypatch, tmp_path):
     """Per-mode drain-worker orchestration: records merge across worker
     subprocesses (valid AND invalid — summarize needs both), a timed-out
     worker is skipped, and once the health probe says the device is
@@ -431,6 +431,8 @@ def test_drain_workers_merge_and_stop_on_wedge(monkeypatch):
     import subprocess
 
     seen = []
+    monkeypatch.setattr(bench, "_RECS_CACHE_PATH",
+                        str(tmp_path / "cache.json"))
 
     class _Proc:
         def __init__(self, name):
@@ -452,7 +454,8 @@ def test_drain_workers_merge_and_stop_on_wedge(monkeypatch):
     monkeypatch.setattr(bench.subprocess, "run", fake_run)
     monkeypatch.setattr(bench, "_probe_device_exec",
                         lambda timeout_s=240: next(health))
-    recs = bench._recs_from_drain_workers()
+    recs = bench._recs_from_drain_workers(probe_table={},
+                                          budget_fn=lambda: 1e9)
     # ordered: the conformance-safe configs first (xla engine, blocked),
     # then the kernels, associative (the wedge suspect) last — and
     # nothing after the wedge-confirming timeout ran at all
@@ -464,6 +467,61 @@ def test_drain_workers_merge_and_stop_on_wedge(monkeypatch):
                          "w8a16-engine", "w8a16-engine-mxu16",
                          "w8a16-engine-bf16io", "fused"}
     assert not recs["fused"]["valid"]  # invalid records still merged
+
+
+def test_drain_workers_probe_conviction_and_budget(monkeypatch, tmp_path):
+    """Round-4 budget honesty: (a) a probe-"hang" mode NEVER launches,
+    (b) a probe-"error" mode with a cached cost-only record is reheated
+    for free, (c) probe-"ok" modes run FIRST, (d) the loop stops
+    launching when the budget is nearly spent and back-fills the rest
+    from cache, (e) emit fires after every completed mode."""
+    import json as _json
+
+    cache_path = tmp_path / "cache.json"
+    cache_path.write_text(_json.dumps({
+        "w8a16-engine-mxu16": {"name": "w8a16-engine-mxu16",
+                               "valid": False, "sol_frames_per_sec": 1.0},
+        "associative": {"name": "associative", "valid": False,
+                        "sol_frames_per_sec": 2.0},
+        "pallas": {"name": "pallas", "valid": True,   # stale measurement:
+                   "sol_frames_per_sec": 3.0},        # must NOT reheat
+    }))
+    monkeypatch.setattr(bench, "_RECS_CACHE_PATH", str(cache_path))
+
+    probe = {
+        "engine_xla_tiny": {"status": "ok"},          # w8a16-engine-xla
+        "model_fwd_tiny_blocked": {"status": "ok"},   # blocked, t-s-xla
+        "s8_dot": {"status": "error"},                # w8a16-engine-mxu16
+        "model_fwd_tiny_assoc": {"status": "hang"},   # associative
+        "pallas_diag_scan": {"status": "error"},      # pallas/fused/...
+    }
+    seen, emitted = [], []
+
+    class _Proc:
+        def __init__(self, name):
+            self.stdout = ("BENCH_RECS " + _json.dumps(
+                {name: {"name": name, "valid": True}}) + "\n")
+            self.stderr = ""
+            self.returncode = 0
+
+    def fake_run(argv, env=None, timeout=None, **kw):
+        seen.append(env["BENCH_DRAIN_ONLY"])
+        return _Proc(env["BENCH_DRAIN_ONLY"])
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    # budget: enough for exactly the three probe-ok workers
+    budget = iter([1e9, 1e9, 1e9, 10.0, 10.0, 10.0, 10.0, 10.0, 10.0,
+                   10.0, 10.0, 10.0])
+    recs = bench._recs_from_drain_workers(
+        emit=lambda m: emitted.append(set(m)),
+        probe_table=probe, budget_fn=lambda: next(budget))
+    # probe-ok modes ran, in front
+    assert seen == ["w8a16-engine-xla", "blocked", "train-step-xla"]
+    # the convicted + budget-stopped modes: reheated where cache allows
+    assert recs["w8a16-engine-mxu16"]["cached"]
+    assert recs["associative"]["cached"]   # hang-marked: never launched
+    assert "pallas" not in recs            # stale VALID record not reused
+    assert emitted and emitted[-1] == set(recs)
 
 
 def test_run_drained_cancels_fixed_overhead():

@@ -213,6 +213,33 @@ def test_engine_chunked_streaming_matches_whole(pipeline):  # noqa: F811
                                             jnp.zeros((1, 4))),
                              block_t=8)
 
+    # pipeline-stage split of the same chunk call (pp_engine's MPMD
+    # building block): layer 0 with decode=False hands the raw residual
+    # to layer 1 with encode=False/lo=1, and the composition is
+    # BIT-IDENTICAL to the unsplit _apply_chunk (same kernels, same
+    # constants — only the Python loop is cut in two)
+    carries = engine.init_stream_state(x.shape[0])
+    xc = x[:, :8]
+    import jax as _jax
+    y_full, nc_full = _jax.jit(
+        lambda w, xi, c: engine._apply_chunk(w, xi, c,
+                                             block_t=engine.block_t))(
+        engine.weights, xc, carries)
+    w0 = dict(engine.weights); w0["layers"] = engine.weights["layers"][:1]
+    w1 = dict(engine.weights); w1["layers"] = engine.weights["layers"][1:]
+    r, nc0 = _jax.jit(
+        lambda w, xi, c: engine._apply_chunk(w, xi, c, lo=0, decode=False,
+                                             block_t=engine.block_t))(
+        w0, xc, carries[:1])
+    y_split, nc1 = _jax.jit(
+        lambda w, xi, c: engine._apply_chunk(w, xi, c, lo=1, encode=False,
+                                             block_t=engine.block_t))(
+        w1, r, carries[1:])
+    np.testing.assert_array_equal(np.asarray(y_full), np.asarray(y_split))
+    for a, b in zip(nc_full, nc0 + nc1):
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
 
 def test_engine_weights_are_int8_storage(pipeline):  # noqa: F811
     """VERDICT round-1 item 2: weights must be REAL int8 arrays (4x less
@@ -806,13 +833,30 @@ def test_pipeline_parallel_engine(pipeline):  # noqa: F811
     y_pp2 = np.asarray(make_pp_forward(engine, mesh, chunks=8)(x))
     assert np.abs(y_pp2 - y_single).max() / denom < 0.1
 
-    # mxu16 engines are refused, like sp/tp
-    import pytest as _pytest
+    # mxu16 engines route to the MPMD pipeline (per-stage jitted
+    # programs — unlike SP, PP stages advance time chunks SEQUENTIALLY
+    # with the true carry, so the bit-faithful int kernels run
+    # unchanged). The pipeline must be BIT-IDENTICAL to single-chip
+    # chunked serving (process_chunk) at the same chunk size.
     e16 = W8A16Engine(frozen_params, frozen_stats, inf_cfg, model_cfg,
                       act_dtype=jnp.float32, block_t=32, mxu16=True)
+    assert e16.mxu16["mixer"] or e16.mxu16["requants"]  # really int mode
     if e16.mxu16["requants"] or e16.mxu16["mixer"]:
-        with _pytest.raises(NotImplementedError, match="mxu16"):
-            make_pp_forward(e16, mesh)
+        n_chunks = 4
+        lc = x.shape[1] // n_chunks
+        y_pp16 = np.asarray(make_pp_forward(e16, mesh,
+                                            chunks=n_chunks)(x))
+        carries, ys = None, []
+        for c in range(n_chunks):
+            yc, carries = e16.process_chunk(
+                x[:, c * lc:(c + 1) * lc], carries)
+            ys.append(np.asarray(yc))
+        y_ref = np.concatenate(ys, axis=1)
+        np.testing.assert_array_equal(y_pp16, y_ref)
+        # and within the usual budget of the whole-sequence int forward
+        y16_whole = np.asarray(e16(x))
+        denom16 = max(np.abs(y16_whole).max(), 1.0)
+        assert np.abs(y_pp16 - y16_whole).max() / denom16 < 0.1
 
 
 def test_engine_xla_route_matches_auto(pipeline):  # noqa: F811

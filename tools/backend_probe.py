@@ -59,6 +59,13 @@ STAGES = {
                     False),
     "s32_output": ("x = jnp.ones((64, 64), jnp.float32)\n"
                    "OUT = jax.jit(lambda a: (a > 0).sum())(x)", False),
+    # bool_output wedges the device (recorded 2026-08-19); this is the
+    # documented WORKAROUND class: predicates cast to u8 before the jit
+    # boundary (VERDICT r3 #7 — no shipped route returns bools today,
+    # pruning/top-k masks are float-cast at train/pruning.py:208,220)
+    "predicate_u8_output": (
+        "x = jnp.ones((64,), jnp.float32)\n"
+        "OUT = jax.jit(lambda a: (a > 0.5).astype(jnp.uint8))(x)", False),
     "bool_output": ("x = jnp.ones((64,), jnp.float32)\n"
                     "OUT = jax.jit(lambda a: a > 0.5)(x)", False),
     # --- dtypes / quantization path ---
@@ -194,7 +201,7 @@ STAGES = {
                     False),
     "transpose_021": ("x = jnp.ones((8, 64, 128), jnp.float32)\n"
                       "OUT = jax.jit(lambda a: a.transpose(0, 2, 1) @ "
-                      "jnp.ones((8, 128, 64), jnp.float32))(x)", False),
+                      "jnp.ones((8, 64, 128), jnp.float32))(x)", False),
     "many_args": ("xs = [jnp.full((64, 64), float(i)) for i in range(40)]\n"
                   "OUT = jax.jit(lambda *a: sum(a))(*xs)", False),
     "big_program": ("x = jnp.ones((128, 128), jnp.float32)\n"
@@ -238,7 +245,68 @@ STAGES = {
         "import sys; sys.path.insert(0, %r)\n"
         "from bench import _build_engine\n"
         "engine, variables, x = _build_engine(1, 64, 257, route='xla')\n"
-        "OUT = jax.jit(engine.forward)(x)" % REPO, False),
+        "OUT = engine(x)" % REPO, False),
+    # --- round-4 bisect: every op-level stage (incl. Pallas, scans,
+    #     trig-in-blocked-scan, 600-op programs) is OK on the 2026-08-20
+    #     tunnel, while model_fwd_compile_only and engine_xla_tiny are
+    #     refused AT COMPILE in <1s. These stages split the remaining
+    #     candidates: the tuple-combine associative scan (the one scan
+    #     class never compiled standalone), the model program minus the
+    #     associative scan (blocked variant, compile-only), engine BUILD
+    #     vs engine FORWARD, and raw program size ~1300 ops. ---
+    "assoc_scan_pair_compile_only": (
+        "def comb(p, q):\n"
+        "    (ar, ai, br, bi), (cr, ci, dr, di) = p, q\n"
+        "    return (ar * cr - ai * ci, ar * ci + ai * cr,\n"
+        "            cr * br - ci * bi + dr, cr * bi + ci * br + di)\n"
+        "a = tuple(jnp.full((64, 128), v) for v in (0.9, 0.01, 0.1, 0.1))\n"
+        "f = jax.jit(lambda *t: jax.lax.associative_scan(comb, t, axis=0))\n"
+        "f.lower(*a).compile()\n"
+        "OUT = jnp.ones((2,), jnp.float32)", False),
+    "model_blocked_compile_only": (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from __graft_entry__ import _flagship_model\n"
+        "model = _flagship_model(training=False, scan_mode='blocked')\n"
+        "x = jnp.zeros((1, 64, 257), jnp.float32)\n"
+        "shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)\n"
+        "rng = np.random.RandomState(0)\n"
+        "v = jax.tree_util.tree_map(lambda s: (0.1 * np.abs(\n"
+        "    rng.randn(*s.shape)) + 0.01).astype(s.dtype), shapes)\n"
+        "jax.jit(lambda vv, xx: model.apply(vv, xx)).lower(v, x).compile()\n"
+        "OUT = jnp.ones((2,), jnp.float32)" % REPO, False),
+    "engine_xla_build_only": (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from bench import _build_engine\n"
+        "engine, variables, x = _build_engine(1, 64, 257, route='xla')\n"
+        "OUT = jnp.ones((2,), jnp.float32)" % REPO, False),
+    "engine_xla_compile_only": (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from bench import _build_engine\n"
+        "engine, variables, x = _build_engine(1, 64, 257, route='xla')\n"
+        "jax.jit(lambda w, xi: engine._apply(w, xi,\n"
+        "    block_t=engine.block_t)).lower(engine.weights, x).compile()\n"
+        "OUT = jnp.ones((2,), jnp.float32)" % REPO, False),
+    "huge_program_1300": (
+        "x = jnp.ones((128, 128), jnp.float32)\n"
+        "def f(a):\n"
+        "    for i in range(430):\n"
+        "        a = a * 1.001 + 0.001\n"
+        "        if i % 20 == 0:\n"
+        "            a = a @ a * 1e-3\n"
+        "    return a\n"
+        "OUT = jax.jit(f)(x)", False),
+    "layer_tiny_blocked": (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from __graft_entry__ import _flagship_model\n"
+        "model = _flagship_model(d_model=16, ssm_size=16, blocks=2,\n"
+        "    n_layers=1, d_io=33, training=False, scan_mode='blocked')\n"
+        "x = jnp.zeros((1, 64, 33), jnp.float32)\n"
+        "shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)\n"
+        "rng = np.random.RandomState(0)\n"
+        "v = jax.tree_util.tree_map(lambda s: (0.1 * np.abs(\n"
+        "    rng.randn(*s.shape)) + 0.01).astype(s.dtype), shapes)\n"
+        "OUT = jax.jit(lambda vv, xx: model.apply(vv, xx))(v, x)" % REPO,
+        False),
     # --- known wedgers (run LAST; skipped by --skip-wedgers) ---
     "complex_scan": ("x = jnp.ones((64, 128), jnp.complex64)\n"
                      "OUT = jax.jit(lambda a: jax.lax.associative_scan(\n"
@@ -272,6 +340,203 @@ drain_readback(ns["OUT"], warm=True)
 print("PROBE_OK")
 """
 
+#: batch worker: warm the transport ONCE, then serve stages fed one per
+#: line on stdin, draining after each and printing a marker line per
+#: stage. Amortizes the per-process transport warm-up (measured
+#: 2026-08-20: 540 s — at one stage per subprocess the remaining table
+#: would cost hours of device time in warm-ups alone). After a stage
+#: errors, a ~34 ms warm-channel health drain decides whether the
+#: process survived the refusal (measured 2026-08-20: an UNIMPLEMENTED
+#: compile refusal poisons EVERY later device call in the process —
+#: hence the parent's warm-spare pool); if poisoned, the worker exits
+#: and the parent promotes the spare.
+_BATCH_TEMPLATE = _PLATFORM_PRELUDE + """\
+import json as _json
+import time as _time
+import numpy as np
+import jax.numpy as jnp
+import sys
+sys.path.insert(0, {repo!r})
+from sparsernns_tpu.utils.profiling import drain_readback
+stages = dict({stages!r})
+_warm = jnp.ones((128, 128), jnp.float32)
+drain_readback(_warm @ _warm, warm=True)
+print("PROBE_WARM", flush=True)
+for _line in sys.stdin:
+    _name = _line.strip()
+    if not _name or _name == "EXIT":
+        break
+    _src = stages[_name]
+    print("PROBE_STAGE_START " + _name, flush=True)
+    _t0 = _time.time()
+    try:
+        ns = dict(jax=jax, jnp=jnp, np=np)
+        exec(compile(_src, "<stage>", "exec"), ns)
+        drain_readback(ns["OUT"])
+        print("PROBE_STAGE_OK %s %.1f" % (_name, _time.time() - _t0),
+              flush=True)
+    except Exception as e:
+        _tail = repr(e)[:300].replace(chr(10), " ")
+        print("PROBE_STAGE_ERR %s %.1f %s" % (_name, _time.time() - _t0,
+                                              _tail), flush=True)
+        try:
+            drain_readback(_warm @ _warm)
+            print("PROBE_HEALTH_OK", flush=True)
+        except Exception:
+            print("PROBE_HEALTH_DEAD", flush=True)
+            break
+print("PROBE_BATCH_DONE", flush=True)
+"""
+
+
+class _PoolWorker:
+    """One stdin-driven batch worker. The parent keeps a SPARE warming
+    while the active one serves stages, so a poisoning refusal costs
+    only the stage, not a fresh multi-minute transport warm-up."""
+
+    def __init__(self, names):
+        stages = [(n, STAGES[n][0]) for n in names]
+        code = _BATCH_TEMPLATE.format(repo=REPO, stages=stages)
+        self.proc = subprocess.Popen(
+            [sys.executable, "-c", code], stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            bufsize=1)
+        self.t_launch = time.time()
+        self.warm = False
+
+    def _readline(self, timeout_s: float):
+        """Line or None on timeout (select on the pipe)."""
+        import select
+        end = time.time() + timeout_s
+        while True:
+            left = end - time.time()
+            if left <= 0:
+                return None
+            r, _, _ = select.select([self.proc.stdout], [], [],
+                                    min(left, 1.0))
+            if r:
+                return self.proc.stdout.readline()
+            if self.proc.poll() is not None:
+                return ""
+
+    def wait_warm(self, timeout_s: float) -> bool:
+        if self.warm:
+            return True
+        end = time.time() + timeout_s
+        while time.time() < end:
+            line = self._readline(end - time.time())
+            if line is None or line == "":
+                return False
+            if line.strip() == "PROBE_WARM":
+                self.warm = True
+                return True
+        return False
+
+    def is_warm_now(self) -> bool:
+        """Non-blocking warm check."""
+        return self.warm or self.wait_warm(0.01)
+
+    def run_stage(self, name: str, timeout_s: float) -> dict:
+        """Returns the stage record; rec["worker_dead"] set when the
+        worker cannot take further stages (poisoned / hung / exited)."""
+        try:
+            self.proc.stdin.write(name + "\n")
+            self.proc.stdin.flush()
+        except (BrokenPipeError, OSError):
+            return {"status": "error", "detail": "worker gone", "s": 0.0,
+                    "worker_dead": True}
+        t0 = time.time()
+        rec = None
+        deadline = t0 + timeout_s
+        while True:
+            line = self._readline(deadline - time.time())
+            if line is None:
+                rec = {"status": "hang", "s": round(time.time() - t0, 1),
+                       "detail": f"killed after {timeout_s:.0f}s (pool)",
+                       "worker_dead": True}
+                self.kill()
+                return rec
+            if line == "":
+                return rec or {"status": "error", "detail": "worker died",
+                               "s": round(time.time() - t0, 1),
+                               "worker_dead": True}
+            line = line.strip()
+            if line.startswith("PROBE_STAGE_OK "):
+                _, n, s = line.split(" ")
+                return {"status": "ok", "detail": "", "s": float(s)}
+            if line.startswith("PROBE_STAGE_ERR "):
+                _, n, s, detail = line.split(" ", 3)
+                rec = {"status": "error", "detail": detail[:300],
+                       "s": float(s)}
+                # health verdict follows
+                verdict = self._readline(max(60.0, deadline - time.time()))
+                if verdict is None or "PROBE_HEALTH_DEAD" in (verdict or ""):
+                    rec["worker_dead"] = True
+                    self.kill()
+                return rec
+
+    def kill(self):
+        if self.proc.poll() is None:
+            self.proc.kill()
+        self.proc.wait()
+
+
+def _run_pool(names, warm_timeout_s: float, stage_timeout_s: float,
+              log, on_record=None) -> dict:
+    """Warm-spare scheduler: feed ``names`` (in order) to a warm worker;
+    keep one spare warming concurrently so a poisoning refusal or hang
+    promotes the spare instead of paying the warm-up again. Wedge
+    recovery stays with the caller (a hang record triggers it)."""
+    results: dict = {}
+    remaining = list(names)
+    active = _PoolWorker(remaining)
+    #: the spare launches only AFTER the active warms: two transports
+    #: warming concurrently contend (observed 2026-08-20: solo warm
+    #: 540 s, two concurrent >16 min)
+    spare = None
+    consecutive_warm_failures = 0
+    try:
+        while remaining:
+            if not active.wait_warm(warm_timeout_s):
+                active.kill()
+                consecutive_warm_failures += 1
+                log(f"pool: worker failed to warm "
+                    f"({consecutive_warm_failures} in a row)")
+                if consecutive_warm_failures >= 2:
+                    log("pool: transport will not warm — giving up "
+                        "(device down or wedged)")
+                    break
+                active = spare if spare is not None else \
+                    _PoolWorker(remaining)
+                spare = None
+                continue
+            consecutive_warm_failures = 0
+            if spare is None:
+                spare = _PoolWorker(remaining)
+            name = remaining[0]
+            rec = active.run_stage(name, stage_timeout_s)
+            dead = rec.pop("worker_dead", False)
+            results[name] = rec
+            remaining.pop(0)
+            log(f"pool: {name}: {rec['status']} ({rec['s']}s) "
+                f"{rec['detail'][:100]}")
+            if on_record is not None:
+                on_record(name, rec)
+            if rec["status"] == "hang":
+                # possible device wedge: stop and let the caller decide
+                break
+            if dead:
+                log("pool: promoting the spare worker")
+                active.kill()
+                active = spare if spare is not None else \
+                    _PoolWorker(remaining)
+                spare = None
+    finally:
+        active.kill()
+        if spare is not None:
+            spare.kill()
+    return results
+
 
 def _run_stage(name: str, timeout_s: float) -> dict:
     src = STAGES[name][0]
@@ -292,7 +557,7 @@ def _run_stage(name: str, timeout_s: float) -> dict:
     return {"status": "error", "detail": tail[-300:], "s": dt}
 
 
-def _device_healthy(timeout_s: float = 240) -> bool:
+def _device_healthy(timeout_s: float = 600) -> bool:
     code = (_PLATFORM_PRELUDE +
             "import jax.numpy as jnp\n"
             "import sys; sys.path.insert(0, %r)\n"
@@ -338,6 +603,15 @@ def main(argv=None) -> int:
                                                   "backend_probe.json"))
     ap.add_argument("--timeout", type=float, default=240.0,
                     help="per-stage subprocess timeout (s)")
+    ap.add_argument("--batch", action="store_true",
+                    help="run non-wedger stages through shared batch "
+                         "workers (amortizes the multi-minute transport "
+                         "warm-up); wedgers stay one-per-process")
+    ap.add_argument("--warm-timeout", type=float, default=600.0,
+                    help="batch mode: allowance for the first stage "
+                         "(includes transport warm-up)")
+    ap.add_argument("--skip-done", action="store_true",
+                    help="skip stages already recorded in --out")
     ap.add_argument("--max-recovery-wait", type=float, default=3600.0)
     args = ap.parse_args(argv)
 
@@ -363,8 +637,19 @@ def main(argv=None) -> int:
     if os.path.exists(args.out):
         with open(args.out) as f:
             results = json.load(f)
+    if args.skip_done:
+        names = [n for n in names
+                 if not isinstance(results.get(n), dict)
+                 or results[n].get("status") not in ("ok", "error", "hang")]
+        if not names:
+            print(json.dumps({"ok": [], "failed": [],
+                              "table": args.out, "note": "all done"}))
+            return 0
 
-    if not _device_healthy():
+    # batch mode: the first batch's own warm-up doubles as the health
+    # check (an upfront _device_healthy costs a full ~6-min transport
+    # warm-up of its own on the 2026-08-20 tunnel)
+    if not args.batch and not _device_healthy():
         log("device not healthy at start")
         waited = _wait_for_recovery(args.max_recovery_wait, log)
         if not _device_healthy():
@@ -373,6 +658,45 @@ def main(argv=None) -> int:
                                 "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
             _write(args.out, results)
             return 1
+
+    if args.batch:
+        remaining = [n for n in names if not STAGES[n][1]]
+        names = [n for n in names if STAGES[n][1]]  # wedgers: isolated
+
+        def on_record(n, rec):
+            rec = dict(rec)
+            rec["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
+            results[n] = rec
+            _write(args.out, results)
+
+        rounds = 0
+        while remaining and rounds < 8:
+            rounds += 1
+            log(f"pool round {rounds}: {len(remaining)} stages")
+            got = _run_pool(remaining, args.warm_timeout, args.timeout,
+                            log, on_record=on_record)
+            progressed = bool(got)
+            remaining = [n for n in remaining if n not in got]
+            hung = any(r.get("status") == "hang" for r in got.values())
+            if hung:
+                log("pool saw a hang — checking device health")
+                if not _device_healthy():
+                    _wait_for_recovery(args.max_recovery_wait, log)
+                    if not _device_healthy():
+                        log("stopping: device did not recover")
+                        remaining = []
+                        break
+            elif not progressed:
+                log("pool made no progress — checking device health "
+                    "(a refusal can wedge the device for later clients)")
+                if not _device_healthy():
+                    _wait_for_recovery(args.max_recovery_wait, log)
+                    if not _device_healthy():
+                        log("stopping: device did not recover")
+                        break
+                else:
+                    log("device healthy but pool stalled — stopping")
+                    break
 
     for name in names:
         rec = _run_stage(name, args.timeout)
