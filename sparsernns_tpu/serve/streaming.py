@@ -225,6 +225,14 @@ class ContinuousBatcher:
         #: per-slot reset can never destroy unprocessed tail audio (the
         #: engine path buffers up to block_t-1 frames in _pending)
         self._content_end: Dict[str, int] = {}
+        #: global sample index of each stream's FIRST real sample (its
+        #: admission ingest position): emissions before it belong to the
+        #: slot's previous occupant / pre-admission silence and are NOT
+        #: routed to the stream — collect() is content-exact even under
+        #: admission churn (emission lags ingestion, so without this
+        #: clip a freshly admitted stream would receive the tail of the
+        #: previous stream's denoised silence)
+        self._content_start: Dict[str, int] = {}
 
     @property
     def n_free(self) -> int:
@@ -240,6 +248,7 @@ class ContinuousBatcher:
             if s is None:
                 self.slots[i] = stream_id
                 self.denoiser.reset(slot=i)
+                self._content_start[stream_id] = self.denoiser._in_pos
                 return i
         self._waiting.append(stream_id)
         return None
@@ -276,9 +285,10 @@ class ContinuousBatcher:
                 # emissions past content_end are denoised trailing
                 # silence, not the stream's audio
                 end = self._content_end.get(sid, emit0 + out.shape[1])
-                keep = min(out.shape[1], max(0, end - emit0))
-                if keep:
-                    self._outputs[sid].append(out[i, :keep])
+                lo = max(0, self._content_start.get(sid, 0) - emit0)
+                hi = min(out.shape[1], max(0, end - emit0))
+                if hi > lo:
+                    self._outputs[sid].append(out[i, lo:hi])
         # release drained+ended+fully-EMITTED streams, admit from the
         # queue (emission trails ingestion by the analysis window plus
         # any frame_multiple buffering; recycling earlier would zero the
@@ -293,6 +303,7 @@ class ContinuousBatcher:
                     nxt = self._waiting.pop(0)
                     self.slots[i] = nxt
                     self.denoiser.reset(slot=i)
+                    self._content_start[nxt] = self.denoiser._in_pos
 
     def collect(self, stream_id: str) -> np.ndarray:
         """Denoised samples produced so far for a stream."""

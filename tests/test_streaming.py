@@ -121,13 +121,14 @@ def test_continuous_batcher_matches_solo_streams(rng):
     # stream's content end)
     assert out_a.shape[0] == a.shape[0]
     np.testing.assert_allclose(out_a, ref_a[:out_a.shape[0]], atol=1e-4)
-    # slot B's outputs start at the first step AFTER admission; the solo
-    # reference covers global t=0, so offset by the samples already
-    # emitted before admission
-    ref_b_aligned = ref_b[emitted_before_b:]
-    n_b = min(out_b.shape[0], ref_b_aligned.shape[0])
-    assert n_b > 0
-    np.testing.assert_allclose(out_b[:n_b], ref_b_aligned[:n_b], atol=1e-4)
+    # routing is CONTENT-EXACT (round 4): slot B's output starts at its
+    # admission ingest position (global t=chunk) — emissions before it
+    # (the slot's pre-admission silence) are not B's samples. The solo
+    # reference covers the global clock, so B aligns at ref_b[chunk:].
+    assert emitted_before_b <= chunk     # emission lags ingestion
+    assert out_b.shape[0] == b.shape[0]  # content-exact
+    np.testing.assert_allclose(out_b, ref_b[chunk:chunk + b.shape[0]],
+                               atol=1e-4)
 
 
 def test_continuous_batcher_queue_and_slot_reuse(rng):
@@ -163,6 +164,64 @@ def test_continuous_batcher_queue_and_slot_reuse(rng):
     for _ in range(8):
         cb.step(chunk)
     assert cb.collect("s2").shape[0] > 0
+
+
+def test_continuous_batcher_churn(rng):
+    """Admission CHURN (VERDICT r3 weak #4): six short streams of random
+    length arrive faster than two slots can serve them — streams queue,
+    recycle slots repeatedly, and EVERY stream's routed output still
+    equals its solo zero-padded reference (a stream admitted at global
+    sample T behaves exactly like a solo stream preceded by T zeros and
+    reset at admission)."""
+    from sparsernns_tpu.serve.streaming import ContinuousBatcher
+
+    model = _eval_model(d_io=257)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 16, 257), jnp.float32))
+    chunk = 512
+    streams = {f"s{i}": rng.randn(int(l) * chunk).astype(np.float32) * 0.1
+               for i, l in enumerate([2, 1, 3, 1, 2, 1])}
+
+    cb = ContinuousBatcher(StreamingDenoiser(model, variables,
+                                             batch_size=2))
+    admitted_at: dict = {}
+    pending = list(streams)
+    # all six arrive at t=0; only two slots — the rest queue
+    for sid in pending:
+        slot = cb.add_stream(sid)
+        cb.feed(sid, streams[sid])
+        cb.end_stream(sid)
+        if slot is not None:
+            admitted_at[sid] = 0
+    t = 0
+    for _ in range(40):
+        before = dict(zip(cb.slots, cb.slots))
+        cb.step(chunk)
+        t += chunk
+        for sid in cb.slots:
+            if sid is not None and sid not in admitted_at:
+                admitted_at[sid] = t   # admitted at this step boundary
+        if all(s is None for s in cb.slots):
+            break
+    assert set(admitted_at) == set(streams)      # every stream served
+    assert all(s is None for s in cb.slots)      # and all drained
+
+    def solo_ref(signal, t_admit):
+        solo = StreamingDenoiser(model, variables, batch_size=1)
+        padded = np.concatenate(
+            [np.zeros(t_admit, np.float32), signal])
+        outs = [solo.process(padded[None, i:i + chunk])
+                for i in range(0, padded.shape[0], chunk)]
+        for _ in range(6):
+            outs.append(solo.process(np.zeros((1, chunk), np.float32)))
+        full = np.concatenate([o for o in outs if o.size], axis=-1)[0]
+        return full[t_admit:t_admit + signal.shape[0]]
+
+    for sid, sig in streams.items():
+        out = cb.collect(sid)
+        assert out.shape[0] == sig.shape[0], sid   # exact content length
+        np.testing.assert_allclose(out, solo_ref(sig, admitted_at[sid]),
+                                   atol=1e-4, err_msg=sid)
 
 
 def _mxu16_engine(block_t=8):
@@ -274,8 +333,14 @@ def test_continuous_batcher_mxu16_matches_solo(rng):
         outs.append(solo_b.process(np.zeros((1, chunk), np.float32)))
     outs.append(solo_b.flush())
     ref_b = np.concatenate([o for o in outs if o.size], axis=-1)[0]
-    n_b = min(out_b.shape[0], ref_b.shape[0])
-    assert n_b > 0
     assert emitted_before_b > 0  # admission really was mid-stream
-    # same engine, same carries, same global frame clock -> bit-exact
-    np.testing.assert_array_equal(out_b[:n_b], ref_b[:n_b])
+    # content-exact routing (round 4): out_b starts at b's admission
+    # ingest position (global sample `chunk`), while ref_b's first
+    # sample is solo_b's emission position after one silence chunk
+    # (global `emitted_before_b`) — align by the difference. Same
+    # engine, same carries, same global frame clock -> bit-exact.
+    assert out_b.shape[0] == b.shape[0]
+    ref_b_aligned = ref_b[chunk - emitted_before_b:]
+    n_b = min(out_b.shape[0], ref_b_aligned.shape[0])
+    assert n_b > 0
+    np.testing.assert_array_equal(out_b[:n_b], ref_b_aligned[:n_b])
