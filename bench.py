@@ -526,7 +526,7 @@ def bench_mode(mode, peaks, batch=8, seq_len=3751, d_io=257,
     def bench_target(v, xi):
         return model.apply(v, xi)
 
-    fwd = jax.jit(bench_target)
+    fwd = _jit_for_bench(bench_target, variables, x)
     _, xla_bytes = _xla_cost(fwd, variables, x)
     dispatch = _chained_dispatch(fwd, variables, x,
                                  ("params", "encoder", "encoder", "bias"))
@@ -605,7 +605,7 @@ def bench_w8a16_engine(peaks, batch=8, seq_len=3751, d_io=257,
     # XLA picks a time-minor entry/exit layout and brackets the Pallas
     # network kernel with two full-stream relayout copies.
     pins = engine._io_format_pins()
-    fwd = jax.jit(bench_target, **pins)
+    fwd = _jit_for_bench(bench_target, engine.weights, x, pins=pins)
     if pins:
         x = jax.device_put(x, pins["out_shardings"])
     _, xla_bytes = _xla_cost(fwd, engine.weights, x)
@@ -660,7 +660,8 @@ def bench_train_step(peaks, batch=8, seq_len=3751, d_io=257,
     def bench_target(st, k, nm, nph, cm, cl):
         return step(st, k, nm, nph, cm, cl)
 
-    tstep = jax.jit(bench_target)
+    tstep = _jit_for_bench(bench_target, state, key, noisy_mag,
+                           noisy_phase, clean_mag, clean)
     _, xla_bytes = _xla_cost(tstep, state, key, noisy_mag, noisy_phase,
                              clean_mag, clean)
 
@@ -865,9 +866,70 @@ _MODE_PROBE_STAGE = {
 }
 
 
+#: when the jaxpr relay is engaged, the program class each mode ships is
+#: the RELAYED one — consult the relay conformance stages instead (the
+#: mxu16 modes still key on the int8 dot, an op-level exec wedge the
+#: relay cannot affect; associative keeps its own model stage: its
+#: wedge risk is the tuple-combine scan at execution, also not a
+#: metadata question).
+_MODE_PROBE_STAGE_RELAY = {
+    "w8a16-engine-xla": "engine_relay_tiny",
+    "w8a16-engine": "engine_relay_tiny",
+    "w8a16-engine-bf16io": "engine_relay_tiny",
+    "blocked": "model_fwd_jaxpr_relay",
+    "train-step-xla": "model_fwd_jaxpr_relay",
+    "fused": "model_fwd_jaxpr_relay",
+    "pallas": "model_fwd_jaxpr_relay",
+    "train-step": "model_fwd_jaxpr_relay",
+    "train-step-bf16s": "model_fwd_jaxpr_relay",
+}
+
+
 def _probe_status(table: dict, mode: str):
-    rec = table.get(_MODE_PROBE_STAGE.get(mode, ""))
+    stage = _MODE_PROBE_STAGE.get(mode, "")
+    if _relay_enabled():
+        stage = _MODE_PROBE_STAGE_RELAY.get(mode, stage)
+    rec = table.get(stage)
     return rec.get("status") if isinstance(rec, dict) else None
+
+
+def _relay_enabled() -> bool:
+    """Should bench route its jits through the jaxpr relay
+    (utils/relay.py)? Env override BENCH_JAXPR_RELAY=1/0; otherwise
+    auto from the conformance table: the tunnel compile service refuses
+    flax-lowered programs but accepts the SAME jaxpr re-emitted without
+    flax's scope metadata (probe stages model_*_compile_only vs
+    model_fwd_jaxpr_relay, 2026-08-20)."""
+    env = os.environ.get("BENCH_JAXPR_RELAY")
+    if env is not None:
+        return env == "1"
+    if jax.default_backend() != "tpu":
+        return False
+    t = _load_json(_PROBE_TABLE_PATH)
+
+    def bad(stage):
+        return (t.get(stage, {}) or {}).get("status") in ("error", "hang")
+
+    relay_ok = (t.get("model_fwd_jaxpr_relay", {}) or {}).get(
+        "status") == "ok"
+    return relay_ok and (bad("model_fwd_compile_only")
+                         or bad("model_blocked_compile_only"))
+
+
+def _jit_for_bench(fn, *example_args, pins=None):
+    """jax.jit — or the metadata-stripping relay_jit when the backend's
+    compile service is known to refuse flax lowerings. Returns a
+    callable with the original pytree signature plus ``.lower`` for the
+    cost-analysis path."""
+    pins = pins or {}
+    if _relay_enabled():
+        from sparsernns_tpu.utils.relay import relay_jit
+        _log(f"jaxpr relay engaged for {getattr(fn, '__name__', 'fn')} "
+             "(conformance table: flax lowerings refused)")
+        return relay_jit(fn, *example_args,
+                         in_shardings=pins.get("in_shardings"),
+                         out_shardings=pins.get("out_shardings"))
+    return jax.jit(fn, **pins)
 
 
 #: drain-regime measurement order: most valuable configs first (the

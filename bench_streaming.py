@@ -85,7 +85,7 @@ def measure_chunk(chunk_frames: int, batch: int = BATCH, d_io: int = 257,
     def bench_target(w, xi, carries):
         return engine._apply_chunk(w, xi, carries, block_t=engine.block_t)
 
-    fwd = jax.jit(bench_target)
+    fwd = bench._jit_for_bench(bench_target, engine.weights, x, carries0)
     _, xla_bytes = bench._xla_cost(fwd, engine.weights, x, carries0)
     sol_t = xla_bytes / peaks[1]
 
@@ -234,10 +234,12 @@ def run_all(chunks=CHUNK_FRAMES, canary=True) -> list:
 #: config -> backend-conformance probe stage exercising the same program
 #: class (bench._MODE_PROBE_STAGE's rule, specialized to streaming)
 def _probe_stage(mxu16: bool, route: str) -> str:
+    if mxu16:
+        return "s8_dot"           # op-level exec wedge; relay-independent
+    if bench._relay_enabled():
+        return "engine_relay_tiny"
     if route == "xla":
         return "engine_xla_tiny"
-    if mxu16:
-        return "s8_dot"
     return "pallas_diag_scan"
 
 

@@ -107,6 +107,12 @@ STAGES = {
                  "jax.lax.rsqrt(a.var(0) + 1e-5))(x)", False),
     "exp_log": ("x = jnp.ones((8, 128), jnp.float32)\n"
                 "OUT = jax.jit(lambda a: jnp.log1p(jnp.exp(a)))(x)", False),
+    # stablehlo.minimum is one of only two ops present in the refused
+    # flax model programs but absent from the passing hand-built ones
+    # (the other, rsqrt, passed in bn_rsqrt) — split op-vs-metadata
+    "minimum_op": ("x = jnp.ones((8, 128), jnp.float32)\n"
+                   "OUT = jax.jit(lambda a: jnp.minimum(a, 0.5) + "
+                   "jnp.clip(a, -0.1, 0.9))(x)", False),
     # --- data movement ---
     "concat_pad_transpose": (
         "x = jnp.ones((8, 64, 32), jnp.float32)\n"
@@ -349,6 +355,73 @@ STAGES = {
         "        h = h + g * jax.nn.sigmoid(g @ L['gk'] + L['gb'])\n"
         "    return h @ w['dec_k'] + w['dec_b']\n"
         "OUT = jax.jit(fwd)(wd, x)" % REPO, False),
+    "model_fwd_jaxpr_relay": (
+        # THE CONVICTION TEST (2026-08-20): handbuilt_model_fwd passes,
+        # the flax-built identical math is refused at compile — so
+        # re-emit the flax program through utils.relay.relay_jit
+        # (make_jaxpr + strip_source_info + eval_jaxpr: same ops
+        # bit-for-bit, NONE of flax's scope/location metadata). If this
+        # passes, the relay IS the serving route for every model/engine
+        # program on this backend.
+        "import sys; sys.path.insert(0, %r)\n"
+        "from sparsernns_tpu.utils.relay import relay_jit\n"
+        "from __graft_entry__ import _flagship_model\n"
+        "model = _flagship_model(d_model=16, ssm_size=16, blocks=2,\n"
+        "    n_layers=2, d_io=33, training=False, scan_mode='blocked')\n"
+        "x = jnp.zeros((1, 64, 33), jnp.float32)\n"
+        "shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)\n"
+        "rng = np.random.RandomState(0)\n"
+        "v = jax.tree_util.tree_map(lambda s: (0.1 * np.abs(\n"
+        "    rng.randn(*s.shape)) + 0.01).astype(s.dtype), shapes)\n"
+        "fn = lambda vv, xx: model.apply(vv, xx)\n"
+        "OUT = relay_jit(fn, v, x)(v, x)" % REPO, False),
+    "model_fwd_relay_unstripped": (
+        # CONTROL: the same re-emission WITHOUT metadata stripping
+        # (eval_jaxpr replays each eqn's stored source info, flax scopes
+        # included). unstripped-refused + stripped-ok = metadata is the
+        # convicted construct, beyond doubt.
+        "import sys; sys.path.insert(0, %r)\n"
+        "from __graft_entry__ import _flagship_model\n"
+        "model = _flagship_model(d_model=16, ssm_size=16, blocks=2,\n"
+        "    n_layers=2, d_io=33, training=False, scan_mode='blocked')\n"
+        "x = jnp.zeros((1, 64, 33), jnp.float32)\n"
+        "shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)\n"
+        "rng = np.random.RandomState(0)\n"
+        "v = jax.tree_util.tree_map(lambda s: (0.1 * np.abs(\n"
+        "    rng.randn(*s.shape)) + 0.01).astype(s.dtype), shapes)\n"
+        "fn = lambda vv, xx: model.apply(vv, xx)\n"
+        "jpr = jax.make_jaxpr(fn)(v, x)\n"
+        "flat, _ = jax.tree_util.tree_flatten((v, x))\n"
+        "OUT = jax.jit(lambda *ls: jax.core.eval_jaxpr(\n"
+        "    jpr.jaxpr, jpr.literals, *ls))(*flat)" % REPO, False),
+    "engine_build_traceback": (
+        # engine_xla_build_only is refused on TPU while every device op
+        # the build makes on CPU is trivial (scalar convert/broadcast,
+        # threefry) — capture WHICH call site the refusal comes from
+        # (the worker records repr(e), so fold the traceback tail in).
+        "import sys, traceback; sys.path.insert(0, %r)\n"
+        "try:\n"
+        "    from bench import _build_engine\n"
+        "    engine, variables, x = _build_engine(1, 64, 257,\n"
+        "                                         route='xla')\n"
+        "    OUT = jnp.ones((2,), jnp.float32)\n"
+        "except Exception:\n"
+        "    tb = traceback.format_exc().splitlines()\n"
+        "    site = [ln.strip() for ln in tb if 'File' in ln]\n"
+        "    raise RuntimeError('; '.join(site[-4:])[:280])\n" % REPO,
+        False),
+    "engine_relay_tiny": (
+        # the w8a16 xla-route engine forward through the STRIPPING
+        # relay — if this passes, bench's engine modes get real drained
+        # timings. (Build-time device work is also under test:
+        # engine_xla_build_only / engine_build_traceback.)
+        "import sys; sys.path.insert(0, %r)\n"
+        "from sparsernns_tpu.utils.relay import relay_jit\n"
+        "from bench import _build_engine\n"
+        "engine, variables, x = _build_engine(1, 64, 257, route='xla')\n"
+        "fn = lambda w, xi: engine._apply(w, xi, block_t=engine.block_t)\n"
+        "OUT = relay_jit(fn, engine.weights, x)(engine.weights, x)"
+        % REPO, False),
     "mixed_rank_args": (
         "rng = np.random.RandomState(0)\n"
         "args = []\n"
@@ -766,8 +839,11 @@ def main(argv=None) -> int:
                         log("stopping: device did not recover")
                         break
                 else:
-                    log("device healthy but pool stalled — stopping")
-                    break
+                    # the device recovered while the pool was giving up
+                    # (observed 2026-08-20: wedge cleared during the
+                    # second warm window) — retry, the rounds cap bounds
+                    # the loop
+                    log("device healthy — retrying the pool")
 
     for name in names:
         rec = _run_stage(name, args.timeout)
