@@ -25,6 +25,7 @@ from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from sparsernns_tpu.models.ssm_init import (init_cv, init_log_steps,
@@ -139,7 +140,10 @@ class S5SSM(nn.Module):
 
         local_p = 2 * self.p if self.conj_sym else self.p
 
-        lam_init = jnp.asarray(self.lambda_init)
+        # np, not jnp: lambda_init is complex64 and an eager device_put
+        # of complex is refused on conformance-limited TPU transports
+        # (and pointless — only the f32 real/imag parts become params)
+        lam_init = np.asarray(self.lambda_init)
         self.lambda_re = self.param(
             "Lambda_re", lambda rng, _: lam_init.real.astype(jnp.float32), (None,))
         self.lambda_im = self.param(

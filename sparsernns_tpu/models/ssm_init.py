@@ -88,10 +88,20 @@ def blocked_dplr_init(ssm_size: int, blocks: int, conj_sym: bool = True):
     lam_full = (lam * np.ones((blocks, block_size_eff))).ravel()
     v_full = _block_diag([v] * blocks)
     vinv_full = _block_diag([vc] * blocks)
+    # HOST numpy on purpose — never device_put the complex eigenvector
+    # matrices. The device program only ever sees the f32 real-pair
+    # params derived from these; an eager complex64 transfer here is
+    # pure waste AND is refused (async, surfacing at the next sync) by
+    # conformance-limited TPU transports — convicted 2026-08-20 as the
+    # root cause of every "model program refused UNIMPLEMENTED" probe
+    # failure (runs/jaxpr_bisect.json, ladder in PERF.md).
+    # complex64 at the boundary: numpy eigh computes in complex128, but
+    # the params derived from these were always c64 (the pre-round-4
+    # jnp.asarray did the same truncation) — keep numerics identical.
     return {
-        "Lambda": jnp.asarray(lam_full),
-        "V": jnp.asarray(v_full),
-        "Vinv": jnp.asarray(vinv_full),
+        "Lambda": lam_full.astype(np.complex64),
+        "V": v_full.astype(np.complex64),
+        "Vinv": vinv_full.astype(np.complex64),
         "P": ssm_size_eff,
     }
 

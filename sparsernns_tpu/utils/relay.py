@@ -71,9 +71,56 @@ def strip_source_info(closed_jaxpr):
                              closed_jaxpr.consts)
 
 
+def normalize_dot_precision(closed_jaxpr, to=None):
+    """Rewrite every ``dot_general``/``conv`` eqn's ``precision`` param
+    to ``to`` (None = backend default), recursively through sub-jaxprs.
+
+    Why (measured 2026-08-20, runs/jaxpr_bisect.json): the tunnel TPU
+    executor REFUSES ``Precision.HIGHEST`` dots at execution
+    (UNIMPLEMENTED) while compiling them fine — the very first encoder
+    dense convicted at prefix k=1 of the runtime bisect, and the same
+    program with default precision executes. HIGHEST exists in model
+    code for fp32 torch-parity (qat.py:67, static.py:246, stft.py:96,
+    ssm.py:271); serving at default precision is the platform-correct
+    choice anyway (quantized engines carry their own int/bf16 dot
+    dtypes, and a bf16-pass f32 dot is the TPU-native fast path)."""
+    from jax._src import core as jcore
+
+    def clean_jaxpr(jaxpr):
+        eqns = []
+        for eqn in jaxpr.eqns:
+            params = {k: _clean_param(v) for k, v in eqn.params.items()}
+            if "precision" in params:
+                params["precision"] = to
+            eqns.append(eqn.replace(params=params))
+        return jaxpr.replace(eqns=eqns)
+
+    def _clean_param(p_val):
+        if isinstance(p_val, jcore.ClosedJaxpr):
+            return jcore.ClosedJaxpr(clean_jaxpr(p_val.jaxpr),
+                                     p_val.consts)
+        if isinstance(p_val, jcore.Jaxpr):
+            return clean_jaxpr(p_val)
+        if (isinstance(p_val, (tuple, list)) and not hasattr(p_val, "_fields")
+                and any(isinstance(q, (jcore.Jaxpr, jcore.ClosedJaxpr))
+                        for q in p_val)):
+            return type(p_val)(_clean_param(q) for q in p_val)
+        return p_val
+
+    return jcore.ClosedJaxpr(clean_jaxpr(closed_jaxpr.jaxpr),
+                             closed_jaxpr.consts)
+
+
 def relay_jit(fn, *example_args, in_shardings: Optional[tuple] = None,
-              out_shardings: Any = None, **jit_kw):
-    """``jax.jit(fn)`` with the lowering metadata stripped.
+              out_shardings: Any = None, default_precision: bool = True,
+              **jit_kw):
+    """``jax.jit(fn)`` with the lowering metadata stripped and (by
+    default) every dot's precision normalized to the backend default —
+    the two constructs the tunnel backend refuses (compile-time:
+    flax scope metadata; run-time: Precision.HIGHEST dots, convicted at
+    prefix k=1 by tools/jaxpr_bisect.py --execute). The relay exists
+    only for that backend, so normalization is opt-out
+    (``default_precision=False`` restores the traced precisions).
 
     Traces ``fn`` ONCE at ``example_args`` (structure + shapes fixed —
     same contract as a jitted call signature) and returns a callable
@@ -86,6 +133,8 @@ def relay_jit(fn, *example_args, in_shardings: Optional[tuple] = None,
     """
     jpr, out_shape = jax.make_jaxpr(fn, return_shape=True)(*example_args)
     jpr = strip_source_info(jpr)
+    if default_precision:
+        jpr = normalize_dot_precision(jpr)
     out_tree = jax.tree_util.tree_structure(out_shape)
     flat_example, in_tree = jax.tree_util.tree_flatten(example_args)
 

@@ -451,6 +451,23 @@ STAGES = {
         "    rng.randn(*s.shape)) + 0.01).astype(s.dtype), shapes)\n"
         "OUT = jax.jit(lambda vv, xx: model.apply(vv, xx))(v, x)" % REPO,
         False),
+    # --- round-4 conviction A/B (runs/jaxpr_bisect.json 2026-08-20):
+    #     the runtime prefix bisect convicted the FIRST eqn of the model
+    #     program — a dot_general with precision=(HIGHEST, HIGHEST) —
+    #     refused at EXECUTION while compiling fine; every earlier
+    #     passing dot stage used default precision. These two stages pin
+    #     the A/B in the conformance table. dot_highest poisons its
+    #     worker (execution refusal), so it sits just before the
+    #     wedger block. ---
+    "dot_default_enc_shape": (
+        "x = jnp.ones((1, 64, 33), jnp.float32)\n"
+        "w = jnp.ones((33, 16), jnp.float32)\n"
+        "OUT = jax.jit(lambda a, k: jnp.matmul(a, k))(x, w)", False),
+    "dot_highest": (
+        "x = jnp.ones((1, 64, 33), jnp.float32)\n"
+        "w = jnp.ones((33, 16), jnp.float32)\n"
+        "OUT = jax.jit(lambda a, k: jnp.matmul(a, k,\n"
+        "    precision=jax.lax.Precision.HIGHEST))(x, w)", False),
     # --- known wedgers (run LAST; skipped by --skip-wedgers) ---
     "complex_scan": ("x = jnp.ones((64, 128), jnp.complex64)\n"
                      "OUT = jax.jit(lambda a: jax.lax.associative_scan(\n"
