@@ -239,9 +239,29 @@ def _trace_module_times(dispatch, iters, match="bench_target"):
     return durs
 
 
+def _min_traffic_bytes(fn, *args) -> int:
+    """TRUE lower bound on one iteration's HBM traffic: every jit
+    argument read once + every output written once. XLA cost-analysis
+    bytes-accessed counts each op's operands AND results, overcounting
+    fused programs by >10x (measured 2026-08-20: ~5.0 GB reported for a
+    w8a16 engine forward whose args+outs total ~70 MB) — an overcounted
+    'floor' rejected the round's first genuine drained model timing as
+    impossible. Validity gating uses THIS bound; the cost-model bytes
+    stay in the record for roofline context."""
+    import numpy as np
+    outs = jax.eval_shape(fn, *args)
+    total = 0
+    for leaf in jax.tree_util.tree_leaves((args, outs)):
+        if hasattr(leaf, "dtype") and hasattr(leaf, "shape"):
+            total += (int(np.prod(leaf.shape, dtype=np.int64))
+                      * jnp.dtype(leaf.dtype).itemsize)
+    return int(total)
+
+
 def _finalize(name, elapsed, synced, iters, frames_per_iter,
               analytic_flops, xla_bytes, peaks, saturated=False,
-              profiled=False, padded_flops=0.0, drained=False):
+              profiled=False, padded_flops=0.0, drained=False,
+              min_bytes=None):
     peak_flops, hbm_bw = peaks
     t_iter = elapsed / iters
     # Roofline floor: max of the HBM bound and the MXU bound at the
@@ -251,7 +271,12 @@ def _finalize(name, elapsed, synced, iters, frames_per_iter,
     # over-state the cost-model fallback.
     sol_hbm = xla_bytes / hbm_bw
     sol_mxu = padded_flops / peak_flops
-    sol_t = max(sol_hbm, sol_mxu)            # floor, seconds
+    sol_t = max(sol_hbm, sol_mxu)            # cost-model floor, seconds
+    # VALIDITY floor: the cost-model bytes overcount fused programs
+    # (see _min_traffic_bytes) — gate timings on the true lower bound
+    # when the caller provides one, else fall back to the cost model.
+    sol_hbm_min = (min_bytes / hbm_bw) if min_bytes else sol_hbm
+    sol_floor = max(sol_hbm_min, sol_mxu)
     rec = {
         "name": name,
         "saturated": bool(saturated),
@@ -262,6 +287,8 @@ def _finalize(name, elapsed, synced, iters, frames_per_iter,
         "sol_t_ms": sol_t * 1e3,
         "sol_hbm_ms": sol_hbm * 1e3,
         "sol_mxu_ms": sol_mxu * 1e3,
+        "sol_floor_ms": sol_floor * 1e3,
+        "min_bytes": min_bytes,
         "floor": "mxu" if sol_mxu > sol_hbm else "hbm",
         "mfu": analytic_flops / t_iter / peak_flops if t_iter > 0 else 0.0,
         "hbm_util": xla_bytes / t_iter / hbm_bw if t_iter > 0 else 0.0,
@@ -269,10 +296,11 @@ def _finalize(name, elapsed, synced, iters, frames_per_iter,
         "analytic_flops": analytic_flops,
         "synced": bool(synced),
         "sol_frames_per_sec": frames_per_iter / sol_t if sol_t > 0 else 0.0,
-        "valid": bool(synced) and t_iter >= SOL_MARGIN * sol_t,
+        "valid": bool(synced) and t_iter >= SOL_MARGIN * sol_floor,
     }
     _log(f"{name}: {rec['frames_per_sec']:,.0f} frames/s "
          f"(t={rec['t_iter_ms']:.3f}ms sol={rec['sol_t_ms']:.3f}ms "
+         f"floor={rec['sol_floor_ms']:.3f}ms "
          f"mfu={rec['mfu']:.3f} hbm={rec['hbm_util']:.3f} "
          f"synced={synced} valid={rec['valid']})")
     if not rec["valid"]:
@@ -396,7 +424,7 @@ def _ballast(reserve_bytes: int):
 
 def _measure(name, dispatch, iters, frames_per_iter, flops, xla_bytes,
              peaks, n_fill=0, reserve_gb=None, use_profiler=None,
-             padded_flops=0.0):
+             padded_flops=0.0, min_bytes=None):
     """Measure one config: device-profiler timings first (sync-free,
     per-iteration module durations), wall-clock as the fallback. Every
     result passes the same speed-of-light gate in _finalize.
@@ -414,7 +442,8 @@ def _measure(name, dispatch, iters, frames_per_iter, flops, xla_bytes,
             t_med = statistics.median(durs)
             rec = _finalize(f"{name} (profiler)", t_med * len(durs), True,
                             len(durs), frames_per_iter, flops, xla_bytes,
-                            peaks, profiled=True, padded_flops=padded_flops)
+                            peaks, profiled=True, padded_flops=padded_flops,
+                            min_bytes=min_bytes)
             if rec["valid"]:
                 return rec
             _log(f"{name}: profiler timing rejected, trying wall-clock")
@@ -428,7 +457,8 @@ def _measure(name, dispatch, iters, frames_per_iter, flops, xla_bytes,
         # drain channel verified by its own canary: time-to-readback
         # scales with queued work even though dispatch timing doesn't
         peak_flops, hbm_bw = peaks
-        sol_t = max(xla_bytes / hbm_bw, padded_flops / peak_flops)
+        sol_t = max((min_bytes or xla_bytes) / hbm_bw,
+                    padded_flops / peak_flops)
         try:
             elapsed, n_eff = _run_drained(dispatch, iters, sol_t)
         except Exception as e:  # noqa: BLE001 - executor refused the
@@ -443,17 +473,19 @@ def _measure(name, dispatch, iters, frames_per_iter, flops, xla_bytes,
                  "keeping cost-only record")
             rec = _finalize(name + " (exec-refused)", float("inf"), False,
                             iters, frames_per_iter, flops, xla_bytes,
-                            peaks, padded_flops=padded_flops)
+                            peaks, padded_flops=padded_flops,
+                            min_bytes=min_bytes)
             rec["exec_refused"] = repr(e)[:160]
             return rec
         return _finalize(name + " (readback-drain)", elapsed, True, n_eff,
                          frames_per_iter, flops, xla_bytes, peaks,
-                         drained=True, padded_flops=padded_flops)
+                         drained=True, padded_flops=padded_flops,
+                         min_bytes=min_bytes)
     if untimeable:
         rec = _finalize(name + " (untimeable backend)", float("inf"), False,
                         iters, frames_per_iter, flops, xla_bytes, peaks,
                         saturated=reserve_gb is not None,
-                        padded_flops=padded_flops)
+                        padded_flops=padded_flops, min_bytes=min_bytes)
         rec["untimeable"] = True
         return rec
 
@@ -464,7 +496,7 @@ def _measure(name, dispatch, iters, frames_per_iter, flops, xla_bytes,
     return _finalize(name + suffix, elapsed, synced, iters, frames_per_iter,
                      flops, xla_bytes, peaks,
                      saturated=reserve_gb is not None,
-                     padded_flops=padded_flops)
+                     padded_flops=padded_flops, min_bytes=min_bytes)
 
 
 def _model_dims(params):
@@ -528,12 +560,13 @@ def bench_mode(mode, peaks, batch=8, seq_len=3751, d_io=257,
 
     fwd = _jit_for_bench(bench_target, variables, x)
     _, xla_bytes = _xla_cost(fwd, variables, x)
+    min_bytes = _min_traffic_bytes(bench_target, variables, x)
     dispatch = _chained_dispatch(fwd, variables, x,
                                  ("params", "encoder", "encoder", "bias"))
 
     return _measure(mode, dispatch, iters, batch * seq_len, flops,
                     xla_bytes, peaks, n_fill=n_fill, reserve_gb=reserve_gb,
-                    padded_flops=pflops)
+                    padded_flops=pflops, min_bytes=min_bytes)
 
 
 def _build_engine(batch, seq_len, d_io, mxu16=False, route="auto"):
@@ -609,11 +642,13 @@ def bench_w8a16_engine(peaks, batch=8, seq_len=3751, d_io=257,
     if pins:
         x = jax.device_put(x, pins["out_shardings"])
     _, xla_bytes = _xla_cost(fwd, engine.weights, x)
+    min_bytes = _min_traffic_bytes(bench_target, engine.weights, x)
     dispatch = _chained_dispatch(fwd, engine.weights, x, ("encoder_bias",))
 
     return _measure(name, dispatch, iters, batch * seq_len,
                     flops, xla_bytes, peaks, n_fill=n_fill,
-                    reserve_gb=reserve_gb, padded_flops=pflops)
+                    reserve_gb=reserve_gb, padded_flops=pflops,
+                    min_bytes=min_bytes)
 
 
 def bench_train_step(peaks, batch=8, seq_len=3751, d_io=257,
@@ -664,6 +699,8 @@ def bench_train_step(peaks, batch=8, seq_len=3751, d_io=257,
                            noisy_phase, clean_mag, clean)
     _, xla_bytes = _xla_cost(tstep, state, key, noisy_mag, noisy_phase,
                              clean_mag, clean)
+    min_bytes = _min_traffic_bytes(bench_target, state, key, noisy_mag,
+                                   noisy_phase, clean_mag, clean)
 
     holder = {"state": state}
 
@@ -674,7 +711,8 @@ def bench_train_step(peaks, batch=8, seq_len=3751, d_io=257,
         return new_state.params
 
     return _measure(name, dispatch, iters, batch * seq_len,
-                    flops, xla_bytes, peaks, padded_flops=pflops)
+                    flops, xla_bytes, peaks, padded_flops=pflops,
+                    min_bytes=min_bytes)
 
 
 def run_all_modes(peaks, saturation_retry=True, only=None):

@@ -127,18 +127,30 @@ def init_log_steps(key, shape_and_range):
 
 def init_vinv_b(init_fun, rng, shape, vinv):
     """Sample B in the original basis, project by Vinv, return as
-    (P, H, 2) real-pair parameterization."""
-    b = init_fun(rng, shape)
-    vinv_b = vinv @ b.astype(vinv.dtype)
-    return jnp.stack([vinv_b.real, vinv_b.imag], axis=-1).astype(jnp.float32)
+    (P, H, 2) real-pair parameterization.
+
+    The projection runs as two REAL matmuls against host-precomputed
+    Re/Im parts of Vinv — ``model.init`` stays complex-free on device
+    (complex64 is not MXU-native, and conformance-limited TPU
+    transports refuse complex programs outright; the framework's
+    complex-as-real-pairs rule applies to init too)."""
+    b = init_fun(rng, shape).astype(jnp.float32)
+    vinv_re = np.ascontiguousarray(np.real(vinv), np.float32)
+    vinv_im = np.ascontiguousarray(np.imag(vinv), np.float32)
+    return jnp.stack([vinv_re @ b, vinv_im @ b], axis=-1)
 
 
 def init_cv(init_fun, rng, shape, v):
-    """Sample complex C as (H, P_orig, 2), project by V, return (H, P, 2)."""
-    c_ = init_fun(rng, shape)
-    c = c_[..., 0] + 1j * c_[..., 1]
-    cv = c.astype(v.dtype) @ v
-    return jnp.stack([cv.real, cv.imag], axis=-1).astype(jnp.float32)
+    """Sample complex C as (H, P_orig, 2), project by V, return (H, P, 2).
+
+    Real-pair projection (see init_vinv_b): for c = cr + i·ci and
+    V = Vr + i·Vi, cV = (cr@Vr − ci@Vi) + i·(cr@Vi + ci@Vr)."""
+    c_ = init_fun(rng, shape).astype(jnp.float32)
+    cr, ci = c_[..., 0], c_[..., 1]
+    v_re = np.ascontiguousarray(np.real(v), np.float32)
+    v_im = np.ascontiguousarray(np.imag(v), np.float32)
+    return jnp.stack([cr @ v_re - ci @ v_im, cr @ v_im + ci @ v_re],
+                     axis=-1)
 
 
 def trunc_standard_normal(key, shape):
