@@ -87,7 +87,12 @@ def measure_chunk(chunk_frames: int, batch: int = BATCH, d_io: int = 257,
 
     fwd = bench._jit_for_bench(bench_target, engine.weights, x, carries0)
     _, xla_bytes = bench._xla_cost(fwd, engine.weights, x, carries0)
-    sol_t = xla_bytes / peaks[1]
+    # validity floor from the TRUE minimum traffic (args read + outputs
+    # written once): XLA's bytes-accessed overcounts fused programs >10x
+    # and would reject genuine drained timings (bench.py round-4 fix)
+    min_bytes = bench._min_traffic_bytes(bench_target, engine.weights, x,
+                                         carries0)
+    sol_t = min_bytes / peaks[1]
 
     def dispatch(prev):
         carries = carries0 if prev is None else prev

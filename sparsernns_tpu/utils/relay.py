@@ -1,23 +1,26 @@
-"""Jaxpr relay: re-emit a traced program through ``eval_jaxpr`` so its
-jit lowering carries NO flax named-scope / source metadata.
+"""Jaxpr relay: re-emit a traced program through ``eval_jaxpr`` with
+its lowering metadata stripped and (optionally) dot precisions
+normalized.
 
-Why this exists (measured 2026-08-20, runs/backend_probe.json): the
-tunnel TPU backend's compile service refuses every flax-built model
-program ``UNIMPLEMENTED`` in <1 s — while a HAND-BUILT forward with the
-exact same op content (same blocked scan, same dot shapes, flat pytree
-args; probe stages ``handbuilt_model_fwd`` / ``handbuilt_model_fwd_args``)
-compiles and executes. Diffing the two lowerings shows identical
-StableHLO op sets; the flax module carries ~160 extra location/scope
-metadata entries (``BatchNorm.__call__``, name-stack paths, site-package
-file names). Re-tracing the SAME jaxpr through ``jax.core.eval_jaxpr``
-reproduces the computation op-for-op while the new trace's metadata is
-generic — the relay is therefore semantically exact (same jaxpr, same
-primitives, same constants) and acceptable to the conformance-limited
-compiler.
+History — built on a conviction later FALSIFIED (round 4, 2026-08-20):
+the tunnel backend appeared to refuse every flax-built model program
+``UNIMPLEMENTED`` while hand-built equivalents passed, and flax's scope
+metadata was the only observable diff. The real mechanism
+(tools/jaxpr_bisect.py + transfer-guard ladder, runs/jaxpr_bisect.json)
+was an eager complex64 ``device_put`` at model construction
+(ssm_init.py pre-fix): the refused transfer is ASYNC, surfaces at the
+next synchronizing call, and poisons every later device call in the
+process — so whichever program was dispatched after building a model
+"failed", and the metadata-free stages passed only because they never
+built one. With complex kept host-side, flax lowerings compile and
+execute unmodified and the relay is NOT engaged (bench._relay_enabled
+reads the re-measured conformance table).
 
-This is a serving/bench-path tool: training code keeps plain ``jax.jit``
-(compile-service quirks of one tunnel transport are not a reason to
-complicate the programming model).
+The relay stays as a diagnostic/escape hatch: it produces a
+semantically exact re-emission (same jaxpr, same primitives, bit-exact
+outputs — tests/test_relay.py) with none of the scope/location
+metadata, plus a jaxpr-level dot-precision rewrite — the two knobs a
+future conformance-limited backend is most likely to need.
 
 Reference context: the reference framework never needs this — torch
 submits TorchScript/ATen kernels, and its CUDA backend accepts whatever
@@ -75,15 +78,15 @@ def normalize_dot_precision(closed_jaxpr, to=None):
     """Rewrite every ``dot_general``/``conv`` eqn's ``precision`` param
     to ``to`` (None = backend default), recursively through sub-jaxprs.
 
-    Why (measured 2026-08-20, runs/jaxpr_bisect.json): the tunnel TPU
-    executor REFUSES ``Precision.HIGHEST`` dots at execution
-    (UNIMPLEMENTED) while compiling them fine — the very first encoder
-    dense convicted at prefix k=1 of the runtime bisect, and the same
-    program with default precision executes. HIGHEST exists in model
-    code for fp32 torch-parity (qat.py:67, static.py:246, stft.py:96,
-    ssm.py:271); serving at default precision is the platform-correct
-    choice anyway (quantized engines carry their own int/bf16 dot
-    dtypes, and a bf16-pass f32 dot is the TPU-native fast path)."""
+    HIGHEST was briefly convicted by the k=1 runtime bisect
+    (2026-08-20) and then CLEARED — the dot_highest probe stage executes
+    fine; the real culprit was the async complex64 transfer poisoning
+    (module docstring). Kept because it is independently useful: HIGHEST
+    exists in model code for fp32 torch-parity (qat.py:67,
+    static.py:246, stft.py:96, ssm.py:271), and serving at default
+    precision is the TPU-native fast path (quantized engines carry
+    their own int/bf16 dot dtypes; a 6-pass f32-emulation dot is never
+    what a throughput route wants)."""
     from jax._src import core as jcore
 
     def clean_jaxpr(jaxpr):
@@ -115,12 +118,12 @@ def relay_jit(fn, *example_args, in_shardings: Optional[tuple] = None,
               out_shardings: Any = None, default_precision: bool = True,
               **jit_kw):
     """``jax.jit(fn)`` with the lowering metadata stripped and (by
-    default) every dot's precision normalized to the backend default —
-    the two constructs the tunnel backend refuses (compile-time:
-    flax scope metadata; run-time: Precision.HIGHEST dots, convicted at
-    prefix k=1 by tools/jaxpr_bisect.py --execute). The relay exists
-    only for that backend, so normalization is opt-out
-    (``default_precision=False`` restores the traced precisions).
+    default) every dot's precision normalized to the backend default.
+    Both knobs target conformance-limited backends (module docstring:
+    neither is needed on the current tunnel after the complex-transfer
+    fix); normalization is opt-out (``default_precision=False``
+    restores the traced precisions) because a throughput route never
+    wants 6-pass f32-emulation dots anyway.
 
     Traces ``fn`` ONCE at ``example_args`` (structure + shapes fixed —
     same contract as a jitted call signature) and returns a callable
