@@ -240,22 +240,11 @@ def _trace_module_times(dispatch, iters, match="bench_target"):
 
 
 def _min_traffic_bytes(fn, *args) -> int:
-    """TRUE lower bound on one iteration's HBM traffic: every jit
-    argument read once + every output written once. XLA cost-analysis
-    bytes-accessed counts each op's operands AND results, overcounting
-    fused programs by >10x (measured 2026-08-20: ~5.0 GB reported for a
-    w8a16 engine forward whose args+outs total ~70 MB) — an overcounted
-    'floor' rejected the round's first genuine drained model timing as
-    impossible. Validity gating uses THIS bound; the cost-model bytes
-    stay in the record for roofline context."""
-    import numpy as np
-    outs = jax.eval_shape(fn, *args)
-    total = 0
-    for leaf in jax.tree_util.tree_leaves((args, outs)):
-        if hasattr(leaf, "dtype") and hasattr(leaf, "shape"):
-            total += (int(np.prod(leaf.shape, dtype=np.int64))
-                      * jnp.dtype(leaf.dtype).itemsize)
-    return int(total)
+    """See profiling.min_traffic_bytes — the true lower bound that
+    gates timing validity (XLA bytes-accessed overcounts fused
+    programs; it rejected the round-4 engine timing as impossible)."""
+    from sparsernns_tpu.utils.profiling import min_traffic_bytes
+    return min_traffic_bytes(fn, *args)
 
 
 def _finalize(name, elapsed, synced, iters, frames_per_iter,

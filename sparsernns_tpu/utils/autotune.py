@@ -56,7 +56,8 @@ def _build_dispatch(mode: str, block_t: int, b: int, l: int, h: int,
     import jax
     import jax.numpy as jnp
 
-    from sparsernns_tpu.utils.profiling import compiled_cost
+    from sparsernns_tpu.utils.profiling import (compiled_cost,
+                                                min_traffic_bytes)
 
     rng = np.random.RandomState(seed)
     decay = rng.uniform(0.7, 0.999, p).astype(np.float32)
@@ -78,6 +79,8 @@ def _build_dispatch(mode: str, block_t: int, b: int, l: int, h: int,
         fwd = jax.jit(autotune_target)
         _, xla_bytes = compiled_cost(autotune_target, u, lam_re, lam_im,
                                      w_b, w_c, d)
+        min_bytes = min_traffic_bytes(autotune_target, u, lam_re, lam_im,
+                                     w_b, w_c, d)
 
         def dispatch(prev):
             ui = u if prev is None else u + 1e-20 * prev
@@ -94,6 +97,8 @@ def _build_dispatch(mode: str, block_t: int, b: int, l: int, h: int,
 
         fwd = jax.jit(autotune_target)
         _, xla_bytes = compiled_cost(autotune_target, bu_re, bu_im,
+                                     lam_re, lam_im)
+        min_bytes = min_traffic_bytes(autotune_target, bu_re, bu_im,
                                      lam_re, lam_im)
 
         def dispatch(prev):
@@ -126,6 +131,8 @@ def _build_dispatch(mode: str, block_t: int, b: int, l: int, h: int,
         fwd = jax.jit(autotune_target)
         _, xla_bytes = compiled_cost(autotune_target, r, lam_re, lam_im,
                                      w_b, w_c, d, nw, nb, o2k, o2b)
+        min_bytes = min_traffic_bytes(autotune_target, r, lam_re, lam_im,
+                                     w_b, w_c, d, nw, nb, o2k, o2b)
 
         def dispatch(prev):
             ri = (r if prev is None else
@@ -134,7 +141,7 @@ def _build_dispatch(mode: str, block_t: int, b: int, l: int, h: int,
 
     else:
         raise ValueError(f"unknown autotune mode {mode!r}")
-    return dispatch, xla_bytes
+    return dispatch, xla_bytes, min_bytes
 
 
 _WALLCLOCK_TRUSTED = None
@@ -189,8 +196,12 @@ def measure_candidate(mode: str, block_t: int, b: int, l: int, h: int,
             # shared tunnel device (observed 2026-08-19)
             use_profiler = False
     _, hbm_bw = chip_peaks()
-    dispatch, xla_bytes = _build_dispatch(mode, block_t, b, l, h, p)
-    sol_t = xla_bytes / hbm_bw
+    dispatch, xla_bytes, min_bytes = _build_dispatch(mode, block_t, b, l,
+                                                     h, p)
+    # validity floor from the TRUE minimum traffic — XLA bytes-accessed
+    # overcounts fused programs and would reject real fast candidates
+    # (bench.py round-4 fix; the sol in records keeps the honest bound)
+    sol_t = min_bytes / hbm_bw
 
     failure = {"mode": mode, "block_t": block_t, "t_iter_s": 0.0,
                "n_timings": 0, "source": "profiler-poisoned",

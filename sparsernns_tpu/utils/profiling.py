@@ -173,6 +173,23 @@ def timing_trust_canary(peak_flops: float, iters: int = 16,
     return t_iter >= 0.6 * floor, t_iter, floor
 
 
+def min_traffic_bytes(fn, *args) -> int:
+    """TRUE lower bound on one call's HBM traffic: every argument read
+    once + every output written once (via eval_shape — no device work).
+    XLA's bytes-accessed cost analysis counts each op's operands AND
+    results and overcounts fused programs >10x (measured 2026-08-20:
+    5.0 GB reported for a ~70 MB-boundary engine forward); gating
+    timing validity on it rejects genuine measurements. Gate on this."""
+    import numpy as np
+    outs = jax.eval_shape(fn, *args)
+    total = 0
+    for leaf in jax.tree_util.tree_leaves((args, outs)):
+        if hasattr(leaf, "dtype") and hasattr(leaf, "shape"):
+            total += (int(np.prod(leaf.shape, dtype=np.int64))
+                      * jnp.dtype(leaf.dtype).itemsize)
+    return int(total)
+
+
 def drain_readback(out, warm: bool = False):
     """Block the host on REAL device completion by reading back ONE
     element of ``out``'s first array leaf. On transports whose
