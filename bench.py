@@ -729,17 +729,23 @@ def run_all_modes(peaks, saturation_retry=True, only=None):
         except Exception as e:  # keep the bench robust per-mode
             _maybe_profiler_dead(e)
             _log(f"{mode} failed: {e}")
-    for name, mxu16, io16, route in (
-            ("w8a16-engine", False, False, "auto"),
-            ("w8a16-engine-mxu16", True, False, "auto"),
-            ("w8a16-engine-bf16io", True, True, "auto"),
-            ("w8a16-engine-xla", False, False, "xla")):
+    #: b32: the saturating-batch headline (measured 2026-08-20,
+    #: runs/hw_sweeps.json: B=8 is dispatch-chain dominated at 1.64 ms;
+    #: B=16/32/64 land 59.6/62.7/63.5M frames/s at 31-33% MFU — the
+    #: per-chip serving number the batch-free metric actually allows)
+    for name, mxu16, io16, route, batch in (
+            ("w8a16-engine-b32", False, False, "auto", 32),
+            ("w8a16-engine", False, False, "auto", 8),
+            ("w8a16-engine-mxu16", True, False, "auto", 8),
+            ("w8a16-engine-bf16io", True, True, "auto", 8),
+            ("w8a16-engine-xla", False, False, "xla", 8)):
         if only is not None and name not in only:
             continue
         try:
             with _alarm(BENCH_MODE_TIMEOUT_S):
-                rec = bench_w8a16_engine(peaks, mxu16=mxu16, io_bf16=io16,
-                                         name=name, route=route)
+                rec = bench_w8a16_engine(peaks, batch=batch, mxu16=mxu16,
+                                         io_bf16=io16, name=name,
+                                         route=route)
                 if (not rec["valid"] and saturation_retry
                         and _REGIME["saturation"]):
                     _log(f"{name}: retrying with the saturated-queue "
@@ -882,6 +888,7 @@ _MODE_PROBE_STAGE = {
     "w8a16-engine-xla": "engine_xla_tiny",
     "blocked": "model_fwd_tiny_blocked",
     "train-step-xla": "model_fwd_tiny_blocked",
+    "w8a16-engine-b32": "pallas_diag_scan",
     "w8a16-engine": "pallas_diag_scan",
     "w8a16-engine-mxu16": "s8_dot",
     "w8a16-engine-bf16io": "pallas_diag_scan",
@@ -959,18 +966,20 @@ def _jit_for_bench(fn, *example_args, pins=None):
     return jax.jit(fn, **pins)
 
 
-#: drain-regime measurement order: most valuable configs first (the
-#: quantized serving engines — the headline number), the observed
-#: wedge suspect LAST (2026-08-19 tunnel: dispatching the raw
-#: associative_scan program wedged the shared device for every later
-#: dispatch; everything measured before it survives in the merged recs).
-#: the xla-route engine and the blocked float mode lead: they are the
-#: only program classes the round-3 tunnel plausibly executes
-#: (runs/backend_probe.json — Pallas/associative_scan/int8 refused).
-DRAIN_MODE_ORDER = ("w8a16-engine-xla", "blocked", "train-step-xla",
-                    "w8a16-engine", "w8a16-engine-mxu16",
-                    "w8a16-engine-bf16io", "fused", "pallas", "train-step",
-                    "train-step-bf16s", "associative")
+#: drain-regime measurement order: most valuable configs first, keeping
+#: the round-3 wedge suspects toward the end. Historical note: the
+#: round-3 "refusals/wedges" of Pallas/associative/int8 model programs
+#: were all phantoms of one async complex64 transfer poisoning the
+#: process (PERF.md round-4 root cause); post-fix, the full order
+#: measures valid end-to-end (BENCH r04: 11/11 modes timed). The order
+#: still ranks by information value so a budget cut keeps the headline.
+#: Headline configs lead: the Pallas network-kernel engine family wins
+#: on hardware (18.3M frames/s vs 13.1M for the xla route, r04).
+DRAIN_MODE_ORDER = ("w8a16-engine-b32", "w8a16-engine",
+                    "w8a16-engine-bf16io", "w8a16-engine-mxu16",
+                    "w8a16-engine-xla", "blocked", "train-step",
+                    "train-step-bf16s", "fused", "pallas",
+                    "train-step-xla", "associative")
 
 
 def _probe_device_exec(timeout_s: float = 240) -> bool:

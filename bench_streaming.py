@@ -68,8 +68,10 @@ def measure_chunk(chunk_frames: int, batch: int = BATCH, d_io: int = 257,
     """Latency record for one chunk size. Carries chain the iterations.
     ``mxu16``: the exact int8-MXU serving mode (two-plane dots) — the
     compute-bound variant whose dots run ~4x the f32 rate. ``route``:
-    "xla" streams through the Pallas-free engine (the only program class
-    the round-3 tunnel executes — runs/backend_probe.json)."""
+    "xla" streams through the Pallas-free engine (kept as an A/B route;
+    the round-3 belief that it was the only executable program class
+    was a poisoning artifact — PERF.md round-4 root cause — and the
+    measured r04 table has the Pallas route fastest)."""
     from sparsernns_tpu.utils.profiling import chip_peaks
 
     if use_profiler is None:

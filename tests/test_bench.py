@@ -456,16 +456,20 @@ def test_drain_workers_merge_and_stop_on_wedge(monkeypatch, tmp_path):
                         lambda timeout_s=240: next(health))
     recs = bench._recs_from_drain_workers(probe_table={},
                                           budget_fn=lambda: 1e9)
-    # ordered: the conformance-safe configs first (xla engine, blocked),
-    # then the kernels, associative (the wedge suspect) last — and
-    # nothing after the wedge-confirming timeout ran at all
-    assert seen == ["w8a16-engine-xla", "blocked", "train-step-xla",
-                    "w8a16-engine", "w8a16-engine-mxu16",
-                    "w8a16-engine-bf16io", "fused", "pallas", "train-step"]
+    # ordered: the headline engine family first (r04 measured ranking),
+    # then floats; train-step's timeout leaves the device healthy (the
+    # loop continues), pallas's timeout confirms a wedge (the loop
+    # stops) — nothing after the wedge ran at all
+    assert seen == ["w8a16-engine-b32", "w8a16-engine",
+                    "w8a16-engine-bf16io", "w8a16-engine-mxu16",
+                    "w8a16-engine-xla", "blocked", "train-step",
+                    "train-step-bf16s", "fused", "pallas"]
     assert "associative" not in recs and "train-step" not in recs
-    assert set(recs) == {"w8a16-engine-xla", "blocked", "train-step-xla",
-                         "w8a16-engine", "w8a16-engine-mxu16",
-                         "w8a16-engine-bf16io", "fused"}
+    assert "pallas" not in recs
+    assert set(recs) == {"w8a16-engine-b32", "w8a16-engine",
+                         "w8a16-engine-bf16io", "w8a16-engine-mxu16",
+                         "w8a16-engine-xla", "blocked",
+                         "train-step-bf16s", "fused"}
     assert not recs["fused"]["valid"]  # invalid records still merged
 
 

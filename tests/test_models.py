@@ -240,3 +240,57 @@ def test_training_mode_with_dropout_and_bn():
         mutable=["batch_stats"])
     assert y.shape == (2, 12, 5)
     assert "batch_stats" in mutated
+
+
+def test_device_programs_are_complex_free():
+    """Round-4 root-cause regression pin (PERF.md): complex64 anywhere
+    on the device path — an eager transfer at model construction or a
+    complex op inside model.init/apply — is refused (transfer) or
+    wedges (execution) on conformance-limited TPU transports, and is
+    never MXU-native. The contract: eigendecomposition products stay
+    host numpy; init projects through real-pair matmuls; every traced
+    program is complex-free."""
+    # 1. construction performs NO device transfers at all (the old code
+    #    device_put complex64 V/Vinv here; jax.transfer_guard only
+    #    guards implicit transfers, which is exactly the class the old
+    #    jnp.asarray(numpy) calls were)
+    with jax.transfer_guard("disallow"):
+        init = blocked_dplr_init(16, 2, conj_sym=True)
+        mixer = make_ssm_init_fn(
+            h=8, p=init["P"], lambda_init=init["Lambda"], v=init["V"],
+            vinv=init["Vinv"], clip_eigs=True)
+        model = RegressionModel(
+            mixer_cls=mixer, n_layers=2, d_model=8, d_output=33,
+            dropout=0.0, prenorm=True, batchnorm=True,
+            glu_variant="half1", training=False)
+    assert isinstance(init["V"], np.ndarray)  # host, not device
+
+    # 2. neither the init program nor the apply program contains any
+    #    complex-dtype value
+    x = jnp.zeros((1, 16, 33), jnp.float32)
+
+    def _assert_complex_free(jpr, label):
+        def walk(jaxpr):
+            for eqn in jaxpr.eqns:
+                for v_ in list(eqn.invars) + list(eqn.outvars):
+                    aval = getattr(v_, "aval", None)
+                    if aval is not None and jnp.issubdtype(
+                            aval.dtype, jnp.complexfloating):
+                        raise AssertionError(
+                            f"{label}: complex {aval} in "
+                            f"{eqn.primitive.name}")
+                for pval in eqn.params.values():
+                    for sub in (pval if isinstance(pval, (tuple, list))
+                                else [pval]):
+                        inner = getattr(sub, "jaxpr", None)
+                        if inner is not None and hasattr(inner, "eqns"):
+                            walk(inner)
+                        elif hasattr(sub, "eqns"):
+                            walk(sub)
+        walk(jpr.jaxpr)
+
+    jpr_init = jax.make_jaxpr(model.init)(jax.random.PRNGKey(0), x)
+    _assert_complex_free(jpr_init, "model.init")
+    variables = model.init(jax.random.PRNGKey(0), x)
+    jpr_apply = jax.make_jaxpr(model.apply)(variables, x)
+    _assert_complex_free(jpr_apply, "model.apply")

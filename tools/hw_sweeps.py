@@ -1,0 +1,127 @@
+"""Hardware sweeps the round-4 timing channel unlocked: block_t
+autotune (in one warm process) and an engine batch-size sweep.
+
+Both answer "where is the 7.4x between the measured engine forward
+(1.64 ms @ B=8) and its padded-MXU floor (0.22 ms)?" — the two cheap
+levers are the kernels' time-block size and batch amortization of the
+sequential time-chain overhead.
+
+In-process is safe now: the per-candidate subprocess isolation in
+utils/autotune.py predates the round-4 root-cause fix (async complex64
+transfer poisoning, PERF.md) — the phantom refusals/wedges it guarded
+against don't occur with complex kept host-side, and one transport
+warm-up (~6-9 min) amortizes over the whole sweep.
+
+Usage:
+  python tools/hw_sweeps.py --autotune            # block_t sweep
+  python tools/hw_sweeps.py --batch-sweep         # engine batch sweep
+  python tools/hw_sweeps.py --autotune --batch-sweep
+
+Appends records to runs/hw_sweeps.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _load(path):
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def _save(path, obj):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+
+
+def run_autotune(out, candidates=(128, 256, 512, 1024)):
+    from sparsernns_tpu.utils.autotune import autotune_block_t
+    results = _load(out)
+    for mode in ("layer", "fused", "scan"):
+        t0 = time.time()
+        res = autotune_block_t(mode=mode, candidates=candidates,
+                               isolate=False)
+        res["elapsed_s"] = round(time.time() - t0, 1)
+        res["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
+        results.setdefault("autotune", {})[mode] = res
+        _save(out, results)
+        best = res.get("best") or {}
+        print(f"[hw] autotune {mode}: best block_t="
+              f"{best.get('block_t')} t={best.get('t_iter_s', 0) * 1e3:.3f}ms"
+              f" ({res['elapsed_s']}s)", file=sys.stderr, flush=True)
+    return results
+
+
+def run_batch_sweep(out, batches=(8, 16, 32, 64)):
+    import bench
+    from sparsernns_tpu.utils.profiling import chip_peaks
+    peaks = chip_peaks()
+    results = _load(out)
+    for b in batches:
+        t0 = time.time()
+        try:
+            rec = bench.bench_w8a16_engine(peaks, batch=b,
+                                           name=f"w8a16-engine-b{b}")
+        except Exception as e:  # noqa: BLE001 — record refusals/OOM too
+            rec = {"name": f"w8a16-engine-b{b}", "error": repr(e)[:200],
+                   "valid": False}
+        rec["elapsed_s"] = round(time.time() - t0, 1)
+        rec["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
+        results.setdefault("batch_sweep", {})[str(b)] = rec
+        _save(out, results)
+        print(f"[hw] batch {b}: {rec.get('frames_per_sec', 0):,.0f} "
+              f"frames/s t={rec.get('t_iter_ms', 0):.3f}ms "
+              f"valid={rec.get('valid')}", file=sys.stderr, flush=True)
+    return results
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--autotune", action="store_true")
+    ap.add_argument("--batch-sweep", action="store_true")
+    ap.add_argument("--candidates", default="128,256,512,1024")
+    ap.add_argument("--batches", default="8,16,32,64")
+    ap.add_argument("--out", default=os.path.join(REPO, "runs",
+                                                  "hw_sweeps.json"))
+    args = ap.parse_args(argv)
+
+    # enable the drain channel verdict for in-process timing
+    import bench
+    from sparsernns_tpu.utils.profiling import (chip_peaks,
+                                                probe_readback_channel)
+    if probe_readback_channel(chip_peaks()[0]):
+        bench._REGIME.update({"wallclock": False, "saturation": False,
+                              "readback": True})
+    results = {}
+    if args.autotune:
+        results = run_autotune(
+            args.out, tuple(int(c) for c in args.candidates.split(",")))
+    if args.batch_sweep:
+        results = run_batch_sweep(
+            args.out, tuple(int(b) for b in args.batches.split(",")))
+    summary = {"table": args.out,
+               "autotune_best": {m: (r.get("best") or {}).get("block_t")
+                                 for m, r in
+                                 results.get("autotune", {}).items()},
+               "batch_best": max(
+                   (r for r in results.get("batch_sweep", {}).values()
+                    if r.get("valid")),
+                   key=lambda r: r.get("frames_per_sec", 0),
+                   default={}).get("name")}
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
