@@ -558,7 +558,8 @@ def bench_mode(mode, peaks, batch=8, seq_len=3751, d_io=257,
                     padded_flops=pflops, min_bytes=min_bytes)
 
 
-def _build_engine(batch, seq_len, d_io, mxu16=False, route="auto"):
+def _build_engine(batch, seq_len, d_io, mxu16=False, route="auto",
+                  block_t=None):
     import numpy as np
 
     from __graft_entry__ import _flagship_model
@@ -586,8 +587,9 @@ def _build_engine(batch, seq_len, d_io, mxu16=False, route="auto"):
     model_cfg = FxpModelConfig.infer(
         variables["params"], glu_variant="half1", relufication=False,
         prenorm=True, clip_eigs=True)
+    kw = {} if block_t is None else {"block_t": block_t}
     engine = W8A16Engine(variables["params"], variables.get("batch_stats"),
-                         cfg, model_cfg, mxu16=mxu16, route=route)
+                         cfg, model_cfg, mxu16=mxu16, route=route, **kw)
     if mxu16:
         assert engine.mxu16["mixer"] and engine.mxu16["state"], engine.mxu16
     return engine, variables, x
@@ -596,7 +598,7 @@ def _build_engine(batch, seq_len, d_io, mxu16=False, route="auto"):
 def bench_w8a16_engine(peaks, batch=8, seq_len=3751, d_io=257,
                        iters=ITERS_FWD, n_fill=0, reserve_gb=None,
                        mxu16=False, io_bf16=False, name="w8a16-engine",
-                       route="auto"):
+                       route="auto", block_t=None):
     """The north-star config: w8a16 quantized serving engine
     (int8-stored weights, bf16 activations, fused Pallas mixer).
 
@@ -613,7 +615,7 @@ def bench_w8a16_engine(peaks, batch=8, seq_len=3751, d_io=257,
     from sparsernns_tpu.utils.profiling import (model_forward_flops,
                                                 model_padded_flops)
     engine, variables, x = _build_engine(batch, seq_len, d_io, mxu16=mxu16,
-                                         route=route)
+                                         route=route, block_t=block_t)
     if io_bf16:
         x = x.astype(jnp.bfloat16)
     n_layers, h, p, _ = _model_dims(variables["params"])

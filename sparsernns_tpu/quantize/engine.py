@@ -341,23 +341,32 @@ class W8A16Engine:
 
     def __init__(self, params: Dict[str, Any], batch_stats: Dict[str, Any],
                  q_config: QuantizationConfig, model_cfg: FxpModelConfig,
-                 act_dtype=jnp.bfloat16, block_t: int = 256,
+                 act_dtype=jnp.bfloat16, block_t: int = 512,
                  compact_state: bool = True,
                  block_sparse_dense: Optional[Tuple[int, int]] = (32, 128),
                  block_sparse_min_saving: float = 0.2,
                  mxu16: bool = False, route: str = "auto"):
         if route not in ("auto", "xla"):
             raise ValueError(f"unknown engine route {route!r}")
-        #: "auto": fused Pallas kernels when eligible (the fast path).
-        #: "xla": NO Pallas / int8-MXU / block-sparse ops anywhere in the
-        #: lowered program — the mixer runs the blocked matmul scan
+        #: "auto": fused Pallas kernels when eligible (the fast path —
+        #: measured fastest on hardware, PERF.md round-4 mode table).
+        #: "xla": NO Pallas / int8-MXU / block-sparse ops anywhere in
+        #: the lowered program — the mixer runs the blocked matmul scan
         #: (ops/scan.blocked_diag_scan) and every dense dequantizes to
-        #: float. For conformance-limited transports (PERF.md round-3:
-        #: the tunnel refuses Pallas custom-calls and WEDGES on int8
-        #: dot_general) and as the portability/debug serving path.
+        #: float. The portability/debug serving path (the round-3
+        #: belief that the tunnel refused Pallas/int8 programs was a
+        #: poisoning artifact — PERF.md round-4 root cause — but a
+        #: custom-call-free route remains the right escape hatch for
+        #: any backend).
         self.route = route
         self.cfg = model_cfg
         self.act_dtype = act_dtype
+        #: 512 is the measured optimum at the flagship geometry
+        #: (runs/hw_sweeps.json engine_blockt, 2026-08-20): 2.0x over
+        #: 256 at B=8 (0.819 vs 1.64 ms), +1.6% at B=32; 1024 regresses
+        #: 2.5x at B=32 (VMEM residency flips the layer kernel's tiles
+        #: out of double-buffering). Larger models hit the same wall
+        #: sooner — the VMEM-budget route demotion handles those.
         self.block_t = block_t
         #: per-layer (p_original, p_kept) after structured-channel
         #: compaction — the honest-accounting record for structured

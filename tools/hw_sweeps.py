@@ -63,6 +63,37 @@ def run_autotune(out, candidates=(128, 256, 512, 1024)):
     return results
 
 
+def run_engine_blockt(out, block_ts=(256, 512, 1024), batches=(8, 32)):
+    """Full-engine block_t A/B at serving batches — the per-kernel
+    autotune (layer best 512 vs the engine default 256) predicts ~25%;
+    measure it end-to-end before changing the default."""
+    import bench
+    from sparsernns_tpu.utils.profiling import chip_peaks
+    peaks = chip_peaks()
+    results = _load(out)
+    for b in batches:
+        for bt in block_ts:
+            if 3751 // bt < 1:
+                continue
+            t0 = time.time()
+            try:
+                rec = bench.bench_w8a16_engine(
+                    peaks, batch=b, block_t=bt,
+                    name=f"w8a16-engine-b{b}-bt{bt}")
+            except Exception as e:  # noqa: BLE001
+                rec = {"name": f"w8a16-engine-b{b}-bt{bt}",
+                       "error": repr(e)[:200], "valid": False}
+            rec["elapsed_s"] = round(time.time() - t0, 1)
+            rec["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
+            results.setdefault("engine_blockt", {})[f"b{b}-bt{bt}"] = rec
+            _save(out, results)
+            print(f"[hw] engine b={b} bt={bt}: "
+                  f"{rec.get('frames_per_sec', 0):,.0f} frames/s "
+                  f"t={rec.get('t_iter_ms', 0):.3f}ms "
+                  f"valid={rec.get('valid')}", file=sys.stderr, flush=True)
+    return results
+
+
 def run_batch_sweep(out, batches=(8, 16, 32, 64)):
     import bench
     from sparsernns_tpu.utils.profiling import chip_peaks
@@ -90,6 +121,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--autotune", action="store_true")
     ap.add_argument("--batch-sweep", action="store_true")
+    ap.add_argument("--engine-blockt", action="store_true")
     ap.add_argument("--candidates", default="128,256,512,1024")
     ap.add_argument("--batches", default="8,16,32,64")
     ap.add_argument("--out", default=os.path.join(REPO, "runs",
@@ -110,6 +142,8 @@ def main(argv=None) -> int:
     if args.batch_sweep:
         results = run_batch_sweep(
             args.out, tuple(int(b) for b in args.batches.split(",")))
+    if args.engine_blockt:
+        results = run_engine_blockt(args.out)
     summary = {"table": args.out,
                "autotune_best": {m: (r.get("best") or {}).get("block_t")
                                  for m, r in
