@@ -870,9 +870,10 @@ def _load_json(path) -> dict:
 
 
 def _save_recs_cache(recs: dict):
-    """Persist per-mode records across runs; only cost-only (valid=False)
-    entries are ever REUSED (their floors are deterministic compile-time
-    properties, safe to reheat — a stale measured timing is not)."""
+    """Persist per-mode records across runs. Cost-only (valid=False)
+    entries reheat freely; measured entries reheat only on the
+    budget-cut path, marked cached=True and never promoted to the
+    headline over a fresh measurement (see _reheat/summarize)."""
     try:
         os.makedirs(os.path.dirname(_RECS_CACHE_PATH), exist_ok=True)
         with open(_RECS_CACHE_PATH, "w") as f:
@@ -1037,9 +1038,17 @@ def _recs_from_drain_workers(emit=None, probe_table=None,
                    key=lambda m: rank.get(_probe_status(probe_table, m), 1))
     merged: dict = {}
 
-    def _reheat(name) -> bool:
+    def _reheat(name, allow_valid=False) -> bool:
+        """Reuse a cached record. Cost-only (valid=False) records are
+        always safe (their floors are deterministic compile-time
+        properties). ``allow_valid``: budget-cut path — a prior run's
+        MEASURED record re-enters marked cached=True; summarize()
+        never promotes a cached record to the headline over a fresh
+        one, but it can still serve as the associative baseline and
+        the train-step number (each labeled), so a short budget does
+        not silently drop them."""
         rec = cache.get(name)
-        if isinstance(rec, dict) and not rec.get("valid"):
+        if isinstance(rec, dict) and (allow_valid or not rec.get("valid")):
             merged[name] = dict(rec, cached=True)
             return True
         return False
@@ -1067,7 +1076,7 @@ def _recs_from_drain_workers(emit=None, probe_table=None,
                  "reheating remaining modes from cache")
             for rest in order[order.index(name):]:
                 if rest not in merged:
-                    _reheat(rest)
+                    _reheat(rest, allow_valid=True)
             if merged and emit is not None:
                 emit(merged)
             break
@@ -1335,12 +1344,16 @@ def summarize(recs, peaks, backend="tpu"):
     assoc = serving.get("associative")
 
     if valid:
-        best_name = max(valid, key=lambda k: valid[k]["frames_per_sec"])
-        best = valid[best_name]
+        fresh = {k: v for k, v in valid.items() if not v.get("cached")}
+        pool = fresh or valid   # cached records never outrank fresh ones
+        best_name = max(pool, key=lambda k: pool[k]["frames_per_sec"])
+        best = pool[best_name]
         value = best["frames_per_sec"]
         measurement = ("device-profiler" if best.get("profiled")
                        else "readback-drain" if best.get("drained")
                        else "wall-clock")
+        if best.get("cached"):
+            measurement += "(cached)" 
         # Baseline = the associative (reference-style) backend: its
         # measured rate when valid, else its own HBM-bound ceiling (an
         # upper bound on anything it could achieve => conservative ratio).
@@ -1399,6 +1412,11 @@ def summarize(recs, peaks, backend="tpu"):
             round(tstep["frames_per_sec"], 1) if tstep_valid else None),
         "train_step_config": tstep_name if tstep else None,
     }
+    if tstep_valid and tstep.get("cached"):
+        out["train_step_cached"] = True
+    if valid and "associative" in valid and valid["associative"].get(
+            "cached"):
+        out["baseline_cached"] = True
     if not tstep_valid and tstep.get("sol_frames_per_sec"):
         # labelled analytic floor, so the record still carries a
         # train-side number (never reported as a measurement)

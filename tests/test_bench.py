@@ -57,6 +57,37 @@ def test_summary_prefers_valid_wallclock():
     assert s["value"] <= recs["fused"]["sol_frames_per_sec"]
 
 
+def test_summary_cached_never_outranks_fresh():
+    """Budget-cut reheat: a cached measured record may provide the
+    baseline and the train-step number (labeled), but the headline
+    best_config must come from a FRESH measurement when one exists."""
+    recs = {
+        # fresh, slower
+        "fused": _rec("fused", 2.0e-3, 8.6e8),
+        # cached, faster — must NOT become best_config
+        "w8a16-engine": dict(_rec("w8a16-engine", 1.0e-3, 8.6e8),
+                             cached=True),
+        "associative": dict(_rec("associative", 5.0e-3, 3.5e9),
+                            cached=True),
+        "train-step": dict(_rec("train-step", 6.0e-3, 4.2e9),
+                           cached=True),
+    }
+    s = bench.summarize(recs, PEAKS)
+    assert s["best_config"] == "fused"
+    assert "(cached)" not in s["measurement"]
+    # cached associative still anchors the ratio, labeled
+    assert s["vs_baseline"] == pytest.approx(5.0 / 2.0, rel=0.01)
+    assert s["baseline_cached"] is True
+    # cached train-step still reported, labeled
+    assert s["train_step_frames_per_sec"] is not None
+    assert s["train_step_cached"] is True
+    # with NO fresh valid record, the cached one may lead — labeled
+    s2 = bench.summarize({k: v for k, v in recs.items() if k != "fused"},
+                         PEAKS)
+    assert s2["best_config"] == "w8a16-engine"
+    assert "(cached)" in s2["measurement"]
+
+
 def test_summary_falls_back_to_cost_model():
     # dispatch-only timings: everything invalid
     recs = {
@@ -524,7 +555,10 @@ def test_drain_workers_probe_conviction_and_budget(monkeypatch, tmp_path):
     # the convicted + budget-stopped modes: reheated where cache allows
     assert recs["w8a16-engine-mxu16"]["cached"]
     assert recs["associative"]["cached"]   # hang-marked: never launched
-    assert "pallas" not in recs            # stale VALID record not reused
+    # budget-cut path DOES reuse a measured record, labeled cached=True
+    # (summarize never promotes it over a fresh measurement; it keeps
+    # the baseline/train-step numbers a short budget would drop)
+    assert recs["pallas"]["cached"] and recs["pallas"]["valid"]
     assert emitted and emitted[-1] == set(recs)
 
 
