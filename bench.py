@@ -644,7 +644,8 @@ def bench_w8a16_engine(peaks, batch=8, seq_len=3751, d_io=257,
 
 def bench_train_step(peaks, batch=8, seq_len=3751, d_io=257,
                      iters=ITERS_TRAIN, scan_mode="fused",
-                     stream_dtype="float32", name="train-step"):
+                     stream_dtype="float32", name="train-step",
+                     block_t=256):
     """Training-step throughput (forward + backward through the custom-VJP
     fused kernel + optimizer update). The train state chains iterations
     naturally. ``stream_dtype="bfloat16"``: the opt-in bf16 residual
@@ -659,7 +660,7 @@ def bench_train_step(peaks, batch=8, seq_len=3751, d_io=257,
                                                 model_padded_flops)
 
     model = _flagship_model(training=True, scan_mode=scan_mode,
-                            stream_dtype=stream_dtype)
+                            stream_dtype=stream_dtype, block_t=block_t)
     x = jnp.zeros((batch, seq_len, d_io), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x)
     n_layers, h, p, _ = _model_dims(variables["params"])
