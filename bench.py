@@ -645,7 +645,7 @@ def bench_w8a16_engine(peaks, batch=8, seq_len=3751, d_io=257,
 def bench_train_step(peaks, batch=8, seq_len=3751, d_io=257,
                      iters=ITERS_TRAIN, scan_mode="fused",
                      stream_dtype="float32", name="train-step",
-                     block_t=256):
+                     block_t=256, microbatch=None):
     """Training-step throughput (forward + backward through the custom-VJP
     fused kernel + optimizer update). The train state chains iterations
     naturally. ``stream_dtype="bfloat16"``: the opt-in bf16 residual
@@ -674,7 +674,8 @@ def bench_train_step(peaks, batch=8, seq_len=3751, d_io=257,
     state = TrainState.create(
         apply_fn=model.apply, params=variables["params"], tx=tx,
         batch_stats=variables.get("batch_stats"))
-    step = make_ndns_train_step(model, batchnorm=True)
+    step = make_ndns_train_step(model, batchnorm=True,
+                                microbatch=microbatch)
 
     rng = np.random.RandomState(0)
     noisy_mag = jnp.asarray(np.abs(rng.randn(batch, d_io, seq_len)),
@@ -764,6 +765,10 @@ def run_all_modes(peaks, saturation_retry=True, only=None):
         except Exception as e:
             _maybe_profiler_dead(e)
             _log(f"{name} failed: {e}")
+    #: train modes measure the RECIPE protocol (recipes/ndns.json
+    #: bsz=32) with the measured-best microbatch=8 (PERF.md round-4:
+    #: 5.95M frames/s vs 4.36M full-batch — the fused bwd runs at
+    #: 679 GB/s at chunk 8 vs 402 GB/s at 32)
     for name, sd, sm in (("train-step", "float32", "fused"),
                          ("train-step-bf16s", "bfloat16", "fused"),
                          ("train-step-xla", "float32", "blocked")):
@@ -771,7 +776,9 @@ def run_all_modes(peaks, saturation_retry=True, only=None):
             continue
         try:
             with _alarm(BENCH_MODE_TIMEOUT_S):
-                recs[name] = bench_train_step(peaks, stream_dtype=sd,
+                recs[name] = bench_train_step(peaks, batch=32,
+                                              microbatch=8,
+                                              stream_dtype=sd,
                                               scan_mode=sm, name=name)
         except _ProfilerDead:
             raise

@@ -308,7 +308,8 @@ def train(cfg: RunConfig) -> Dict[str, Any]:
     static_q = quantization_recipes[cfg.quantization]().static_quant
     if is_ndns:
         step_fn = make_ndns_train_step(model, batchnorm=cfg.batchnorm,
-                                       pruner=pruner, static_quant=static_q)
+                                       pruner=pruner, static_quant=static_q,
+                                       microbatch=cfg.microbatch)
         eval_fn = make_ndns_eval_step(eval_model, batchnorm=cfg.batchnorm,
                                       pruner=pruner)
         epoch_fn, val_fn = run_ndns_epoch, validate_ndns

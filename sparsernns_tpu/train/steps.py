@@ -80,9 +80,26 @@ def make_ndns_train_step(
     batchnorm: bool = True,
     pruner: Optional[MagnitudePruner] = None,
     static_quant: bool = False,
+    microbatch: Optional[int] = None,
 ) -> Callable:
     """NDNS denoising train step. Inputs are the STFT-split batch:
-    noisy_mag/noisy_phase/clean_mag (B, F, L) + clean audio (B, T)."""
+    noisy_mag/noisy_phase/clean_mag (B, F, L) + clean audio (B, T).
+
+    ``microbatch``: gradient-accumulation microbatch SIZE. The step
+    splits the batch into B/microbatch sequential chunks via lax.scan,
+    accumulates gradients, and applies ONE optimizer update — the same
+    effective batch with the memory/bandwidth profile of the chunk.
+    Measured motivation (PERF.md round-4): the fused fwd+bwd achieves
+    679 GB/s at B=8 but only 402 GB/s at the recipe's B=32 — running
+    32 as 4x8 rides the efficient regime. Semantics: gradients are the
+    exact full-batch mean (equal-size chunks of a mean loss); BN
+    batch_stats EMA-update per microbatch sequentially (standard
+    accumulation semantics — per-chunk normalization statistics);
+    dropout draws fresh noise per microbatch."""
+
+    if microbatch is not None:
+        return _make_ndns_microbatch_step(model, batchnorm, pruner,
+                                          static_quant, microbatch)
 
     @jax.jit
     def step(state: TrainState, rng, noisy_mag, noisy_phase, clean_mag, clean):
@@ -122,6 +139,78 @@ def make_ndns_train_step(
             grads = zero_scale_gradients(grads)
         state = state.apply_gradients_with_stats(
             grads=grads, batch_stats=mod_vars.get("batch_stats"))
+        return state, metrics
+
+    return step
+
+
+def _make_ndns_microbatch_step(model, batchnorm, pruner, static_quant,
+                               microbatch):
+    """Gradient-accumulation variant of make_ndns_train_step (see its
+    docstring). One lax.scan over B/microbatch chunks -> one compiled
+    fwd+bwd body at the chunk size -> one optimizer update."""
+
+    @jax.jit
+    def step(state: TrainState, rng, noisy_mag, noisy_phase, clean_mag,
+             clean):
+        b = noisy_mag.shape[0]
+        if b % microbatch:
+            raise ValueError(
+                f"batch {b} not divisible by microbatch {microbatch}")
+        k = b // microbatch
+
+        def split(a):
+            return a.reshape((k, microbatch) + a.shape[1:])
+
+        xs = (split(noisy_mag), split(noisy_phase), split(clean_mag),
+              split(clean), jnp.arange(k))
+        stats0 = state.batch_stats if (batchnorm or state.batch_stats) \
+            else None
+
+        def loss_fn(params, stats, drop_rng, nm, nph, cm, cl):
+            nm_tm = jnp.transpose(nm, (0, 2, 1))
+            nph_tm = jnp.transpose(nph, (0, 2, 1))
+            cm_tm = jnp.transpose(cm, (0, 2, 1))
+            fwd = _forward_params(state, params, pruner)
+            variables = {"params": fwd}
+            mutable = []
+            if stats is not None:
+                variables["batch_stats"] = stats
+                mutable = ["batch_stats"]
+            out, mod_vars = model.apply(variables, nm_tm - STFT_MAG_MEAN,
+                                        rngs={"dropout": drop_rng},
+                                        mutable=mutable)
+            loss, snr, _ = ndns_loss_from_mask_tm(out, nm_tm, nph_tm,
+                                                  cm_tm, cl)
+            return loss, (mod_vars, snr)
+
+        def body(carry, chunk):
+            gsum, stats = carry
+            nm, nph, cm, cl, idx = chunk
+            drop_rng = jax.random.fold_in(
+                jax.random.fold_in(rng, state.step), idx)
+            (loss, (mod_vars, snr)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, stats, drop_rng,
+                                       nm, nph, cm, cl)
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+            new_stats = mod_vars.get("batch_stats", stats) \
+                if stats is not None else None
+            return (gsum, new_stats), (loss, snr)
+
+        gzero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (gsum, stats), (losses, snrs) = jax.lax.scan(
+            body, (gzero, stats0), xs)
+        # equal-size chunks of a batch-mean loss: sum/k IS the exact
+        # full-batch mean gradient
+        grads = jax.tree_util.tree_map(lambda g: g / k, gsum)
+        metrics = {"loss": jnp.mean(losses), "si_snr": jnp.mean(snrs)}
+        metrics.update(_grad_norm_metrics(grads))
+        if static_quant:
+            from sparsernns_tpu.train.optim import scale_gradient_leak_norm
+            metrics["scale_grad_leak"] = scale_gradient_leak_norm(grads)
+            grads = zero_scale_gradients(grads)
+        state = state.apply_gradients_with_stats(grads=grads,
+                                                 batch_stats=stats)
         return state, metrics
 
     return step

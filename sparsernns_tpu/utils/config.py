@@ -32,6 +32,11 @@ class RunConfig:
     dataset: str = "ndns"
     dir_name: Optional[str] = None
     bsz: int = 32
+    #: gradient-accumulation microbatch SIZE (None = full-batch step).
+    #: Measured on v5e (PERF.md round-4): bsz=32 with microbatch=8 runs
+    #: the train step 37% faster than the full-batch step at identical
+    #: gradients (exact mean; BN stats EMA per-chunk).
+    microbatch: Optional[int] = None
     synthetic_data: bool = False
     synthetic_size: int = 64
     synthetic_seconds: float = 30.0

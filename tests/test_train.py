@@ -4,6 +4,7 @@ iterations; classification step runs; optimizer groups; LR extraction."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sparsernns_tpu.data.ndns import SyntheticNDNS, NDNSLoader
 from sparsernns_tpu.models.seq_model import ClassificationModel, RegressionModel
@@ -139,3 +140,65 @@ def test_zero_scale_gradients():
 
 def test_count_params():
     assert count_params({"a": jnp.ones((2, 3)), "b": jnp.ones(5)}) == 11
+
+
+def test_microbatch_step_matches_full_batch():
+    """Gradient accumulation (microbatch=) must reproduce the full-batch
+    update exactly when the only cross-sample coupling (BN stats,
+    dropout noise) is disabled: equal-size chunks of a batch-mean loss
+    give sum/k == the full-batch mean gradient."""
+    ds = SyntheticNDNS(size=4, length=4096, seed=0)
+    loader = NDNSLoader(ds, batch_size=4)
+    noisy, clean = next(iter(loader))
+    noisy_mag, noisy_phase = stft_splitter(jnp.asarray(noisy))
+    clean_mag, _ = stft_splitter(jnp.asarray(clean))
+    clean = jnp.asarray(clean)
+
+    init = blocked_dplr_init(8, 1, conj_sym=True)
+    mixer = make_ssm_init_fn(
+        h=8, p=init["P"], lambda_init=init["Lambda"], v=init["V"],
+        vinv=init["Vinv"], clip_eigs=True)
+    model = RegressionModel(
+        mixer_cls=mixer, n_layers=1, d_model=8, d_output=257,
+        dropout=0.0, prenorm=True, batchnorm=False, glu_variant="half1",
+        training=True)
+    x = jnp.transpose(noisy_mag, (0, 2, 1))
+    state = make_state(model, x)
+
+    full = make_ndns_train_step(model, batchnorm=False)
+    micro = make_ndns_train_step(model, batchnorm=False, microbatch=2)
+    rng = jax.random.PRNGKey(1)
+    s_full, m_full = full(state, rng, noisy_mag, noisy_phase, clean_mag,
+                          clean)
+    s_micro, m_micro = micro(state, rng, noisy_mag, noisy_phase,
+                             clean_mag, clean)
+    assert float(m_full["loss"]) == pytest.approx(
+        float(m_micro["loss"]), rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_full.params),
+                    jax.tree_util.tree_leaves(s_micro.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_microbatch_step_with_batchnorm_runs_and_learns():
+    ds = SyntheticNDNS(size=4, length=4096, seed=0)
+    loader = NDNSLoader(ds, batch_size=4)
+    noisy, clean = next(iter(loader))
+    noisy_mag, noisy_phase = stft_splitter(jnp.asarray(noisy))
+    clean_mag, _ = stft_splitter(jnp.asarray(clean))
+    clean = jnp.asarray(clean)
+
+    model = tiny_ndns_model()
+    x = jnp.transpose(noisy_mag, (0, 2, 1))
+    state = make_state(model, x)
+    step = make_ndns_train_step(model, batchnorm=True, microbatch=2)
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, rng, noisy_mag, noisy_phase,
+                              clean_mag, clean)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+    # BN stats advanced (EMA moved off the init values)
+    leaves = jax.tree_util.tree_leaves(state.batch_stats)
+    assert any(float(np.abs(np.asarray(l)).sum()) > 0 for l in leaves)
