@@ -134,6 +134,24 @@ def measure_chunk(chunk_frames: int, batch: int = BATCH, d_io: int = 257,
                   f"(sol={rec['sol_ms']:.3f}ms)", file=sys.stderr)
             return rec
         t_mean = elapsed / n_eff if n_eff else 0.0
+        # END-TO-END request-latency percentiles: N individually-drained
+        # single chunks. Each sample = chunk compute + the transport's
+        # ~34 ms readback RTT, so the ABSOLUTE numbers characterize this
+        # tunnel deployment, not the chip — but the p99-p50 spread is
+        # the genuine scheduling-tail signal the mean-drain channel
+        # cannot see. Labeled separately from the drained p50.
+        e2e = []
+        try:
+            from sparsernns_tpu.utils.profiling import drain_readback
+            prev = None
+            for _ in range(50):
+                t0 = time.perf_counter()
+                prev = dispatch(prev)
+                drain_readback(prev)
+                e2e.append(time.perf_counter() - t0)
+        except Exception:  # noqa: BLE001 - percentiles are best-effort
+            e2e = []
+        e2e.sort()
         chunk_s = chunk_frames * FRAME_MS / 1e3
         rec = {
             "chunk_frames": chunk_frames, "mxu16": mxu16,
@@ -141,6 +159,12 @@ def measure_chunk(chunk_frames: int, batch: int = BATCH, d_io: int = 257,
             "chunk_ms": chunk_frames * FRAME_MS, "batch": batch,
             "p50_ms": t_mean * 1e3, "p99_ms": None,
             "percentiles": "unavailable(readback-drain mean)",
+            "e2e_p50_ms": (e2e[len(e2e) // 2] * 1e3 if e2e else None),
+            "e2e_p99_ms": (e2e[min(len(e2e) - 1, int(len(e2e) * 0.99))]
+                           * 1e3 if e2e else None),
+            "e2e_note": ("per-request drained samples incl. transport "
+                         "readback RTT; tail spread is the scheduler "
+                         "signal" if e2e else None),
             "n_timings": n_eff,
             "sol_ms": sol_t * 1e3,
             "hbm_util": xla_bytes / t_mean / peaks[1] if t_mean > 0 else 0.0,
