@@ -334,6 +334,28 @@ def _run_chained(dispatch, iters, n_fill=0):
 _REGIME = {"wallclock": True, "saturation": True, "readback": False}
 
 
+def ensure_regime(peaks) -> dict:
+    """Establish the timing-regime verdict for out-of-process tools
+    (tools/hw_sweeps.py, tools/ablate_net.py): inherit an exported
+    BENCH_REGIME if present, otherwise run the canary once. Without
+    this, a tool calling bench_* directly inherits the optimistic
+    defaults and wall-clocks a backlog artifact on the drain-only
+    backend (observed: 149 ms/iter for a 1.9 ms engine forward)."""
+    env_regime = os.environ.get("BENCH_REGIME")
+    if env_regime:
+        try:
+            _REGIME.update(json.loads(env_regime))
+            return _REGIME
+        except json.JSONDecodeError:
+            pass
+    if jax.default_backend() == "tpu":
+        try:
+            _REGIME.update(_canary_check(peaks))
+        except Exception as e:  # noqa: BLE001 - canary must not kill tools
+            _log(f"canary failed ({e}); keeping wall-clock enabled")
+    return _REGIME
+
+
 def _canary_check(peaks) -> dict:
     """Empirically classify whether this backend can time execution AT ALL.
 

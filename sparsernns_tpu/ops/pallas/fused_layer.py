@@ -75,6 +75,30 @@ def _qdq(x, spec):
     return jnp.clip(jnp.round(x / s), -(qmax + 1.0), qmax) * s
 
 
+def _ablate_dot(x, n_out):
+    """Shape-matching stand-in for a float dot under ABLATION
+    "nodots" — cheap VPU work only, so a timing run isolates the MXU
+    share. Timing-only: numerics are intentionally wrong."""
+    h = x.shape[-1]
+    if n_out <= h:
+        return x[:, :n_out] * 1.0
+    reps = -(-n_out // h)
+    return jnp.tile(x, (1, reps))[:, :n_out]
+
+
+def _float_dot(x, w):
+    """The kernels' float matmul, honoring the timing-attribution
+    ABLATION flag (scan_kernel.ABLATION; None in production)."""
+    from sparsernns_tpu.ops.pallas.scan_kernel import ABLATION
+    flag = ABLATION[0] or ""
+    if "nodots" in flag:
+        return _ablate_dot(x, w.shape[-1])
+    if "bf16dots" in flag:
+        return jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
 def _glu_dense(x, w_ref, w_scale, in_spec, colsum_ref=None):
     """In-kernel dense dot for the GLU gates. ``in_spec`` set — a
     (scale, bits) frozen activation grid: quantize the activation onto it
@@ -87,8 +111,7 @@ def _glu_dense(x, w_ref, w_scale, in_spec, colsum_ref=None):
     pow2 weight scale applied to the result."""
     from sparsernns_tpu.ops.intdot import int16_dot
     if in_spec is None:
-        r = jnp.dot(x, _dequant_weight(w_ref, w_scale),
-                    preferred_element_type=jnp.float32)
+        r = _float_dot(x, _dequant_weight(w_ref, w_scale))
         if w_scale is not None:
             r = r * w_scale
         return r
@@ -146,7 +169,7 @@ def _fused_layer_body(
         z_d = q_ut * s_ut
     else:
         wb = _dequant_weight(refs["wb"], wb_scales)
-        bu = jnp.dot(z, wb, preferred_element_type=jnp.float32)
+        bu = _float_dot(z, wb)
         p = bu.shape[-1] // 2
         bu_re, bu_im = bu[:, :p], bu[:, p:]
         if wb_scales is not None:
@@ -183,7 +206,7 @@ def _fused_layer_body(
         else:
             xs_cat = jnp.concatenate([x_re, x_im], axis=-1)
         wc = _dequant_weight(refs["wc"], wc_scales)
-        y = jnp.dot(xs_cat, wc, preferred_element_type=jnp.float32)
+        y = _float_dot(xs_cat, wc)
     y = y + refs["d"][...] * z_d
     y = _qdq(y, yt_requant)
 

@@ -38,6 +38,15 @@ from sparsernns_tpu.ops.scan import Pair, lambda_powers
 
 DEFAULT_BLOCK_T = 256
 
+#: Timing-attribution instrument (tools/ablate_net.py): a one-element
+#: list read at TRACE time by the kernel bodies. ``"noscan"`` skips the
+#: doubling passes; ``"bf16dots"`` / ``"nodots"`` alter the float dots
+#: (fused_layer._glu_dense). Production paths never set it — it exists
+#: so hardware runs can attribute the gap between the measured engine
+#: forward and its padded-MXU floor to scan/MXU/grid machinery. Results
+#: under any non-None setting are timing-only (wrong numerics).
+ABLATION = [None]
+
 
 def dyn_fake_quant(x, bits, absmax=None):
     """Per-tensor dynamic symmetric quant-dequant (no STE — used inside
@@ -86,6 +95,83 @@ def lambda_power_tables(lam_re, lam_im, t: int, num_passes: int,
     return jnp.stack(pows_re), jnp.stack(pows_im), ctab
 
 
+def _fold_tables(lr, li, m: int):
+    """Cumulative powers of a (1, P) diagonal operator: forward table
+    rows [λ, λ², …, λ^m] and the reversed order — built by m-1 tiny
+    row multiplies at trace time (no runtime flip)."""
+    rows_r, rows_i = [lr], [li]
+    for _ in range(m - 1):
+        pr, pi = rows_r[-1], rows_i[-1]
+        rows_r.append(pr * lr - pi * li)
+        rows_i.append(pr * li + pi * lr)
+    fwd = (jnp.concatenate(rows_r, axis=0), jnp.concatenate(rows_i, axis=0))
+    rev = (jnp.concatenate(rows_r[::-1], axis=0),
+           jnp.concatenate(rows_i[::-1], axis=0))
+    return fwd, rev
+
+
+def _block_scan(x_re, x_im, pow_re_ref, pow_im_ref, t: int, base: int = 0):
+    """Work-efficient inclusive scan of (t, P) rows under the diagonal
+    operator with per-pass powers λ^(2^(base+k)) from the pow tables.
+
+    Plain Hillis-Steele doubling costs log2(t) full-array multiply-add
+    passes — measured as 33% of the whole saturated engine forward at
+    t=512 (tools/ablate_net.py, runs/ablate_net.json). This
+    decomposition reshapes to (n, 8, P), runs 3 intra-sub doubling
+    passes, recurses on the (n, P) sub-block carries (8x less data per
+    level), and folds the exclusive carries back with one broadcast
+    multiply-add — ~4.6 full-pass equivalents at t=512 instead of 9.
+    The combine tree is a reassociation of the same λ-power products,
+    so results match plain doubling to fp32 rounding (parity pinned in
+    tests/test_scan.py).
+
+    Measured (v5e, flagship engine, runs/ablate_net.json *-wescan):
+    B=8 forward 0.819 -> 0.711 ms (+15%); B=32 neutral (1.88 -> 1.92 ms)
+    — at saturation the cost is concentrated in the d in {1, 2, 4}
+    sub-tile sublane shifts, which both trees perform identically; the
+    d >= 8 tile-aligned passes this tree eliminates are nearly free."""
+    m = 8
+    if t <= m or t % m:
+        # plain doubling — small blocks and non-8-multiple tails
+        for k in range(max(1, (t - 1).bit_length())):
+            d = 1 << k
+            if d >= t:
+                break
+            lr = pow_re_ref[base + k:base + k + 1, :]
+            li = pow_im_ref[base + k:base + k + 1, :]
+            pad = jnp.zeros((d, x_re.shape[-1]), dtype=x_re.dtype)
+            sh_re = jnp.concatenate([pad, x_re[: t - d]], axis=0)
+            sh_im = jnp.concatenate([pad, x_im[: t - d]], axis=0)
+            x_re = x_re + (lr * sh_re - li * sh_im)
+            x_im = x_im + (lr * sh_im + li * sh_re)
+        return x_re, x_im
+    n, p = t // m, x_re.shape[-1]
+    x3r = x_re.reshape(n, m, p)
+    x3i = x_im.reshape(n, m, p)
+    for k in range(3):  # log2(m) intra-sub doubling passes
+        d = 1 << k
+        lr = pow_re_ref[base + k:base + k + 1, :]   # (1, P) -> broadcast
+        li = pow_im_ref[base + k:base + k + 1, :]
+        pad = jnp.zeros((n, d, p), dtype=x_re.dtype)
+        sh_r = jnp.concatenate([pad, x3r[:, : m - d]], axis=1)
+        sh_i = jnp.concatenate([pad, x3i[:, : m - d]], axis=1)
+        x3r = x3r + (lr * sh_r - li * sh_i)
+        x3i = x3i + (lr * sh_i + li * sh_r)
+    # cross-sub carries: inclusive scan of sub totals under λ^(8·2^base)
+    cr, ci = _block_scan(x3r[:, m - 1, :], x3i[:, m - 1, :],
+                         pow_re_ref, pow_im_ref, n, base + 3)
+    zp = jnp.zeros((1, p), dtype=x_re.dtype)
+    cer = jnp.concatenate([zp, cr[: n - 1]], axis=0)[:, None, :]
+    cei = jnp.concatenate([zp, ci[: n - 1]], axis=0)[:, None, :]
+    # fold: x[sub, j] += λ^((j+1)·2^base) ⊙ carry_excl[sub]
+    (f_r, f_i), _ = _fold_tables(pow_re_ref[base:base + 1, :],
+                                 pow_im_ref[base:base + 1, :], m)
+    f_r, f_i = f_r[None], f_i[None]                 # (1, m, P)
+    x3r = x3r + (f_r * cer - f_i * cei)
+    x3i = x3i + (f_r * cei + f_i * cer)
+    return x3r.reshape(t, p), x3i.reshape(t, p)
+
+
 def scan_block_body(
     x_re, x_im,                    # (T, P) block values (bu)
     pow_re_ref, pow_im_ref,        # (K, P) per-pass offset operators λ^(2^k)
@@ -117,19 +203,29 @@ def scan_block_body(
     (two-pass global-scale QAT, ssm.qat_global_scales).
     """
     act_bits = qat_bits[1] if qat_bits is not None else None
-    # Intra-block inclusive scan: x += λ^d ⊙ shift(x, d), d = 1,2,4,...
-    for k in range(num_passes):
-        d = 1 << k
-        lr = pow_re_ref[k:k + 1, :]  # (1, P) — keep 2D for the VPU
-        li = pow_im_ref[k:k + 1, :]
-        pad = jnp.zeros((d, x_re.shape[-1]), dtype=x_re.dtype)
-        sh_re = jnp.concatenate([pad, x_re[: block_t - d]], axis=0)
-        sh_im = jnp.concatenate([pad, x_im[: block_t - d]], axis=0)
-        if act_bits is not None:
+    # Intra-block inclusive scan. Non-QAT: work-efficient decomposition
+    # (~half the full-array passes of plain doubling — see _block_scan).
+    # QAT keeps the plain doubling form: its per-pass operand fake-quant
+    # mirrors the associative combine's level-by-level quantization
+    # (reference ssm.py:54-77), which the reassociated tree would alter.
+    if "noscan" in (ABLATION[0] or ""):
+        pass                           # timing-attribution instrument
+    elif act_bits is None:
+        x_re, x_im = _block_scan(x_re, x_im, pow_re_ref, pow_im_ref,
+                                 block_t)
+    else:
+        # x += λ^d ⊙ shift(x, d), d = 1, 2, 4, ...
+        for k in range(num_passes):
+            d = 1 << k
+            lr = pow_re_ref[k:k + 1, :]  # (1, P) — keep 2D for the VPU
+            li = pow_im_ref[k:k + 1, :]
+            pad = jnp.zeros((d, x_re.shape[-1]), dtype=x_re.dtype)
+            sh_re = jnp.concatenate([pad, x_re[: block_t - d]], axis=0)
+            sh_im = jnp.concatenate([pad, x_im[: block_t - d]], axis=0)
             sh_re = dyn_fake_quant(sh_re, act_bits, qat_scale)
             sh_im = dyn_fake_quant(sh_im, act_bits, qat_scale)
-        x_re = x_re + (lr * sh_re - li * sh_im)
-        x_im = x_im + (lr * sh_im + li * sh_re)
+            x_re = x_re + (lr * sh_re - li * sh_im)
+            x_im = x_im + (lr * sh_im + li * sh_re)
 
     # Reset (or load) the carry at the first block of each batch row.
     @pl.when(j == 0)
@@ -177,6 +273,52 @@ def scan_block_body(
     return x_re, x_im
 
 
+def _block_scan_rev(g_re, g_im, pow_re_ref, pow_im_ref, t: int,
+                    base: int = 0):
+    """Reverse-direction work-efficient scan: v_j = Σ_{s≥j} λ^{s-j} g_s
+    over (t, P) rows — the mirror of _block_scan (shift from below,
+    carries at row 0, reversed fold table λ^{m-j})."""
+    m = 8
+    if t <= m or t % m:
+        for k in range(max(1, (t - 1).bit_length())):
+            d = 1 << k
+            if d >= t:
+                break
+            lr = pow_re_ref[base + k:base + k + 1, :]
+            li = pow_im_ref[base + k:base + k + 1, :]
+            pad = jnp.zeros((d, g_re.shape[-1]), dtype=g_re.dtype)
+            sh_re = jnp.concatenate([g_re[d:], pad], axis=0)
+            sh_im = jnp.concatenate([g_im[d:], pad], axis=0)
+            g_re = g_re + (lr * sh_re - li * sh_im)
+            g_im = g_im + (lr * sh_im + li * sh_re)
+        return g_re, g_im
+    n, p = t // m, g_re.shape[-1]
+    g3r = g_re.reshape(n, m, p)
+    g3i = g_im.reshape(n, m, p)
+    for k in range(3):
+        d = 1 << k
+        lr = pow_re_ref[base + k:base + k + 1, :]
+        li = pow_im_ref[base + k:base + k + 1, :]
+        pad = jnp.zeros((n, d, p), dtype=g_re.dtype)
+        sh_r = jnp.concatenate([g3r[:, d:], pad], axis=1)
+        sh_i = jnp.concatenate([g3i[:, d:], pad], axis=1)
+        g3r = g3r + (lr * sh_r - li * sh_i)
+        g3i = g3i + (lr * sh_i + li * sh_r)
+    # cross-sub: reverse scan of the sub totals (row 0) under λ^(8·2^base)
+    cr, ci = _block_scan_rev(g3r[:, 0, :], g3i[:, 0, :],
+                             pow_re_ref, pow_im_ref, n, base + 3)
+    zp = jnp.zeros((1, p), dtype=g_re.dtype)
+    cer = jnp.concatenate([cr[1:], zp], axis=0)[:, None, :]
+    cei = jnp.concatenate([ci[1:], zp], axis=0)[:, None, :]
+    # fold: v[sub, j] += λ^((m-j)·2^base) ⊙ carry_excl[sub]
+    _, (f_r, f_i) = _fold_tables(pow_re_ref[base:base + 1, :],
+                                 pow_im_ref[base:base + 1, :], m)
+    f_r, f_i = f_r[None], f_i[None]
+    g3r = g3r + (f_r * cer - f_i * cei)
+    g3i = g3i + (f_r * cei + f_i * cer)
+    return g3r.reshape(t, p), g3i.reshape(t, p)
+
+
 def scan_block_body_rev(
     g_re, g_im,                    # (T, P) block cotangents
     pow_re_ref, pow_im_ref,        # (K, P) λ^(2^k) offset operators
@@ -192,15 +334,9 @@ def scan_block_body_rev(
     coming from the (later-in-time) previous grid step, and the carry
     out is v at row 0 (feeding the next-earlier block). The backward
     grid must iterate time blocks reversed (j == 0 <-> last block)."""
-    for k in range(num_passes):
-        d = 1 << k
-        lr = pow_re_ref[k:k + 1, :]
-        li = pow_im_ref[k:k + 1, :]
-        pad = jnp.zeros((d, g_re.shape[-1]), dtype=g_re.dtype)
-        sh_re = jnp.concatenate([g_re[d:], pad], axis=0)
-        sh_im = jnp.concatenate([g_im[d:], pad], axis=0)
-        g_re = g_re + (lr * sh_re - li * sh_im)
-        g_im = g_im + (lr * sh_im + li * sh_re)
+    del num_passes  # pass structure derives from block_t (work-efficient)
+    g_re, g_im = _block_scan_rev(g_re, g_im, pow_re_ref, pow_im_ref,
+                                 block_t)
 
     @pl.when(j == 0)
     def _():

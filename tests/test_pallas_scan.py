@@ -159,3 +159,52 @@ def test_qat_bits_scan_quantizes(rng):
     q4 = pallas_diag_scan(lam_p, bu_p, qat_bits=(4, 4))
     np.testing.assert_allclose(q16[0], base[0], atol=2e-3)
     assert np.abs(np.asarray(q4[0]) - np.asarray(base[0])).max() > 1e-3
+
+
+@pytest.mark.parametrize("t", [8, 24, 40, 64, 311, 512])
+def test_work_efficient_tree_matches_plain_doubling(rng, t):
+    """_block_scan / _block_scan_rev (the ~half-pass work-efficient
+    trees, round 4) reassociate the same λ-power products as plain
+    Hillis-Steele doubling — outputs must agree to fp32 rounding at
+    every branch of the recursion (t=512 exercises two levels, 311 the
+    non-8-multiple plain fallback, 24/40 short recursions)."""
+    from sparsernns_tpu.ops.pallas.scan_kernel import (
+        _block_scan, _block_scan_rev, lambda_power_tables)
+    p = 16
+    lam = 0.95 * np.exp(1j * rng.uniform(0, np.pi, p)) * rng.uniform(
+        0.3, 1, p)
+    lam_re = jnp.asarray(lam.real, jnp.float32)
+    lam_im = jnp.asarray(lam.imag, jnp.float32)
+    num_passes = max(1, (t - 1).bit_length())
+    pow_re, pow_im, _ = lambda_power_tables(lam_re, lam_im, t, num_passes)
+    x = rng.randn(t, p) + 1j * rng.randn(t, p)
+    xr = jnp.asarray(x.real, jnp.float32)
+    xi = jnp.asarray(x.imag, jnp.float32)
+
+    def plain(fr, fi, reverse):
+        for k in range(num_passes):
+            d = 1 << k
+            if d >= t:
+                break
+            lr = pow_re[k:k + 1, :]
+            li = pow_im[k:k + 1, :]
+            pad = jnp.zeros((d, p), jnp.float32)
+            if reverse:
+                sr = jnp.concatenate([fr[d:], pad], axis=0)
+                si = jnp.concatenate([fi[d:], pad], axis=0)
+            else:
+                sr = jnp.concatenate([pad, fr[:t - d]], axis=0)
+                si = jnp.concatenate([pad, fi[:t - d]], axis=0)
+            fr = fr + (lr * sr - li * si)
+            fi = fi + (lr * si + li * sr)
+        return fr, fi
+
+    got = _block_scan(xr, xi, pow_re, pow_im, t)
+    ref = plain(xr, xi, reverse=False)
+    np.testing.assert_allclose(got[0], ref[0], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(got[1], ref[1], rtol=2e-4, atol=2e-4)
+
+    got_r = _block_scan_rev(xr, xi, pow_re, pow_im, t)
+    ref_r = plain(xr, xi, reverse=True)
+    np.testing.assert_allclose(got_r[0], ref_r[0], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(got_r[1], ref_r[1], rtol=2e-4, atol=2e-4)

@@ -70,6 +70,7 @@ def run_engine_blockt(out, block_ts=(256, 512, 1024), batches=(8, 32)):
     import bench
     from sparsernns_tpu.utils.profiling import chip_peaks
     peaks = chip_peaks()
+    bench.ensure_regime(peaks)
     results = _load(out)
     for b in batches:
         for bt in block_ts:
@@ -98,6 +99,7 @@ def run_batch_sweep(out, batches=(8, 16, 32, 64)):
     import bench
     from sparsernns_tpu.utils.profiling import chip_peaks
     peaks = chip_peaks()
+    bench.ensure_regime(peaks)
     results = _load(out)
     for b in batches:
         t0 = time.time()
