@@ -75,6 +75,21 @@ def _qdq(x, spec):
     return jnp.clip(jnp.round(x / s), -(qmax + 1.0), qmax) * s
 
 
+#: Half-block MXU/VPU interleave in the float mixer path: compute the
+#: B-projection of the block's SECOND half between the two half-block
+#: scans, hoping the scheduler overlaps the second dot (MXU) with the
+#: first half's doubling passes (VPU). MEASURED NEGATIVE on the v5e
+#: (runs/ablate_net.json *-ilv, 2026-08-20): B=32 2.173 vs 1.934 ms,
+#: B=8 0.795 vs 0.711 ms — Mosaic does not overlap the adjacent
+#: independent MXU/VPU stages, and the split B-proj costs. Default
+#: stays False; kept as a re-measurable experiment (a backend/compiler
+#: that schedules across units would flip the verdict), correctness
+#: pinned by test_interleave_flag_matches_default. Hiding the scan
+#: needs cross-grid-step pipelining (manual DMA double-buffering of
+#: the NEXT time block's B-proj), not intra-step reordering.
+INTERLEAVE = [False]
+
+
 def _ablate_dot(x, n_out):
     """Shape-matching stand-in for a float dot under ABLATION
     "nodots" — cheap VPU work only, so a timing run isolates the MXU
@@ -167,24 +182,63 @@ def _fused_layer_body(
         # the D-term multiplies the quantized u, like the static path
         # (ssm.py:469 d_q * u_q)
         z_d = q_ut * s_ut
+        if but_requant is not None:
+            s_br, s_bi, b_bits = but_requant
+            bu_re = _qdq(bu_re, (s_br, b_bits))
+            bu_im = _qdq(bu_im, (s_bi, b_bits))
+        x_re, x_im = scan_block_body(
+            bu_re, bu_im, refs["pow_re"], refs["pow_im"],
+            refs["ctab_re"], refs["ctab_im"], carry_re, carry_im, j,
+            num_passes=num_passes, block_t=block_t,
+            block_requant=block_requant, carry_init=carry_init)
     else:
         wb = _dequant_weight(refs["wb"], wb_scales)
-        bu = _float_dot(z, wb)
-        p = bu.shape[-1] // 2
-        bu_re, bu_im = bu[:, :p], bu[:, p:]
-        if wb_scales is not None:
-            bu_re = bu_re * wb_scales[0]
-            bu_im = bu_im * wb_scales[1]
+        p = wb.shape[-1] // 2
+
+        def bproj(zh):
+            bu = _float_dot(zh, wb)
+            br, bi = bu[:, :p], bu[:, p:]
+            if wb_scales is not None:
+                br = br * wb_scales[0]
+                bi = bi * wb_scales[1]
+            if but_requant is not None:
+                s_br, s_bi, b_bits = but_requant
+                br = _qdq(br, (s_br, b_bits))
+                bi = _qdq(bi, (s_bi, b_bits))
+            return br, bi
+
         z_d = z
-    if but_requant is not None:
-        s_br, s_bi, b_bits = but_requant
-        bu_re = _qdq(bu_re, (s_br, b_bits))
-        bu_im = _qdq(bu_im, (s_bi, b_bits))
-    x_re, x_im = scan_block_body(
-        bu_re, bu_im, refs["pow_re"], refs["pow_im"],
-        refs["ctab_re"], refs["ctab_im"], carry_re, carry_im, j,
-        num_passes=num_passes, block_t=block_t,
-        block_requant=block_requant, carry_init=carry_init)
+        if INTERLEAVE[0] and block_t % 16 == 0 and block_t >= 32:
+            # half-block stagger (module flag above): scan_a's VPU
+            # passes sit adjacent to bproj_b's independent MXU dot; the
+            # half-b states then fold half-a's exit row with the λ^{j+1}
+            # table (= ctab rows [:half]) — the same reassociation
+            # class as the block tree.
+            from sparsernns_tpu.ops.pallas.scan_kernel import _block_scan
+            half = block_t // 2
+            ar, ai = bproj(z[:half])
+            sar, sai = _block_scan(ar, ai, refs["pow_re"],
+                                   refs["pow_im"], half)
+            br_, bi_ = bproj(z[half:])
+            sbr, sbi = _block_scan(br_, bi_, refs["pow_re"],
+                                   refs["pow_im"], half)
+            tr = refs["ctab_re"][:half]
+            ti = refs["ctab_im"][:half]
+            car, cai = sar[half - 1:half], sai[half - 1:half]
+            sbr = sbr + (tr * car - ti * cai)
+            sbi = sbi + (tr * cai + ti * car)
+            bu_re = jnp.concatenate([sar, sbr], axis=0)
+            bu_im = jnp.concatenate([sai, sbi], axis=0)
+            prescanned = True
+        else:
+            bu_re, bu_im = bproj(z)
+            prescanned = False
+        x_re, x_im = scan_block_body(
+            bu_re, bu_im, refs["pow_re"], refs["pow_im"],
+            refs["ctab_re"], refs["ctab_im"], carry_re, carry_im, j,
+            num_passes=num_passes, block_t=block_t,
+            block_requant=block_requant, carry_init=carry_init,
+            prescanned=prescanned)
     if relu_state:
         x_re = jnp.maximum(x_re, 0.0)
         x_im = jnp.maximum(x_im, 0.0)

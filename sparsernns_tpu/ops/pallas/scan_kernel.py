@@ -182,6 +182,7 @@ def scan_block_body(
     carry_init=None,               # optional (re, im) (1, P) VALUES
     qat_bits=None,                 # (a_bits, act_bits): in-scan QAT
     qat_scale=None,                # traced global state absmax (scalar)
+    prescanned: bool = False,      # x is already the intra-block scan
 ):
     """Shared in-kernel scan block: doubling passes + carry reset/fold +
     optional block requant + carry store. Used by both the standalone scan
@@ -208,8 +209,9 @@ def scan_block_body(
     # QAT keeps the plain doubling form: its per-pass operand fake-quant
     # mirrors the associative combine's level-by-level quantization
     # (reference ssm.py:54-77), which the reassociated tree would alter.
-    if "noscan" in (ABLATION[0] or ""):
-        pass                           # timing-attribution instrument
+    if prescanned or "noscan" in (ABLATION[0] or ""):
+        pass  # caller ran the intra-block scan (fused_layer interleave)
+        # / timing-attribution instrument
     elif act_bits is None:
         x_re, x_im = _block_scan(x_re, x_im, pow_re_ref, pow_im_ref,
                                  block_t)

@@ -178,3 +178,28 @@ def test_fused_layer_carry_chunks_match_whole():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(carry[1]), np.asarray(ci),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_interleave_flag_matches_default():
+    """fused_layer.INTERLEAVE (half-block MXU/VPU stagger) must serve
+    the same engine outputs as the default whole-block scan — the
+    per-block state requant snaps both reassociation trees onto the
+    same grid, so the routes agree exactly on the quantized engine."""
+    import bench
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sparsernns_tpu.ops.pallas.fused_layer import INTERLEAVE
+
+    engine, _, _ = bench._build_engine(2, 96, 17)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 96, 17),
+                    jnp.float32)
+    base = engine._apply(engine.weights, x, block_t=32)
+    INTERLEAVE[0] = True
+    try:
+        ilv = jax.jit(lambda w, xi: engine._apply(w, xi, block_t=32))(
+            engine.weights, x)
+    finally:
+        INTERLEAVE[0] = False
+    np.testing.assert_allclose(np.asarray(base), np.asarray(ilv),
+                               rtol=2e-3, atol=2e-4)

@@ -70,13 +70,22 @@ def main():
         key += f"-{args.tag}"
     recs = results.setdefault(key, {})
 
-    variants = [None, "noscan", "nodots", "bf16dots", "noscan+nodots"]
+    from sparsernns_tpu.ops.pallas.fused_layer import INTERLEAVE
+
+    # "interleave" is a real CANDIDATE (valid numerics — half-block
+    # MXU/VPU stagger, fused_layer.INTERLEAVE), not a wrong-numerics
+    # ablation; it rides the same A/B machinery.
+    variants = [None, "noscan", "nodots", "bf16dots", "noscan+nodots",
+                "interleave"]
     if args.variants:
         keep = set(args.variants.split(","))
         variants = [v for v in variants if (v or "baseline") in keep]
     for flag in variants:
         name = flag or "baseline"
-        ABLATION[0] = flag
+        if flag == "interleave":
+            INTERLEAVE[0] = True
+        else:
+            ABLATION[0] = flag
         t0 = time.time()
         try:
             rec = bench.bench_w8a16_engine(
@@ -87,9 +96,10 @@ def main():
                    "valid": False}
         finally:
             ABLATION[0] = None
+            INTERLEAVE[0] = False
         rec["elapsed_s"] = round(time.time() - t0, 1)
         rec["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
-        if flag is not None:
+        if flag is not None and flag != "interleave":
             rec["timing_only"] = True  # numerics intentionally wrong
         recs[name] = rec
         _save(OUT, results)
