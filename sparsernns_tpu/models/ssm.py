@@ -513,11 +513,20 @@ def make_ssm_init_fn(
     q_config: QuantizationConfig = QuantizationConfig.none(),
     scan_mode: str = "associative",
     sp_mesh=None,
-    block_t: int = 256,
+    block_t: Optional[int] = None,
     qat_global_scales: bool = False,
 ) -> Callable:
     """Factory mirroring reference init_qS5SSM (ssm.py:625-663): returns a
-    partial taking the per-layer knobs (step_rescale, topk, approx_topk)."""
+    partial taking the per-layer knobs (step_rescale, topk, approx_topk).
+
+    ``block_t=None`` consults the persisted autotune cache keyed by this
+    model's (h, p) geometry (VERDICT r4 #5): the "scan" entry for the
+    standalone-kernel mode, the "layer" entry (the whole-layer training
+    kernel's tile) otherwise; hand-set 256 stays the fallback."""
+    if block_t is None:
+        from sparsernns_tpu.utils.autotune_cache import resolve_block_t
+        mode_key = "scan" if scan_mode == "pallas" else "layer"
+        block_t = resolve_block_t(mode_key, h=h, p=p, default=256)
     return partial(
         S5SSM,
         h=h, p=p, lambda_init=lambda_init, v=v, vinv=vinv,

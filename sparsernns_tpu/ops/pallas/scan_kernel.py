@@ -45,6 +45,15 @@ DEFAULT_BLOCK_T = 256
 #: so hardware runs can attribute the gap between the measured engine
 #: forward and its padded-MXU floor to scan/MXU/grid machinery. Results
 #: under any non-None setting are timing-only (wrong numerics).
+#:
+#: RETRACE REQUIREMENT (ADVICE r4): because the flag is read at trace
+#: time, any persistently-jitted wrapper (the module-level
+#: ``pallas_diag_scan`` jit cache, a long-lived ``engine._forward``)
+#: bakes in the value seen at FIRST trace; flipping it later reuses the
+#: stale executable. Same for ``fused_layer.INTERLEAVE``. Every
+#: consumer must build a fresh engine/jit per flag setting —
+#: tools/ablate_net.py does (and asserts it); nothing else may touch
+#: these flags.
 ABLATION = [None]
 
 
@@ -123,7 +132,8 @@ def _block_scan(x_re, x_im, pow_re_ref, pow_im_ref, t: int, base: int = 0):
     multiply-add — ~4.6 full-pass equivalents at t=512 instead of 9.
     The combine tree is a reassociation of the same λ-power products,
     so results match plain doubling to fp32 rounding (parity pinned in
-    tests/test_scan.py).
+    tests/test_pallas_scan.py::
+    test_work_efficient_tree_matches_plain_doubling).
 
     Measured (v5e, flagship engine, runs/ablate_net.json *-wescan):
     B=8 forward 0.819 -> 0.711 ms (+15%); B=32 neutral (1.88 -> 1.92 ms)
@@ -379,11 +389,48 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def resolve_scan_block_t(bu_shape) -> int:
+    """Measured-best block_t for this scan shape from the persisted
+    autotune cache (runs/autotune.json — utils/autotune_cache), falling
+    back to DEFAULT_BLOCK_T. Runs at trace time (shape is static)."""
+    from sparsernns_tpu.utils.autotune_cache import resolve_block_t
+    lead = 1
+    for d in bu_shape[:-2]:
+        lead *= int(d)
+    return resolve_block_t(
+        "scan", b=lead if len(bu_shape) > 2 else None,
+        l=int(bu_shape[-2]), p=int(bu_shape[-1]),
+        default=DEFAULT_BLOCK_T)
+
+
+def pallas_diag_scan(
+    lam: Pair,
+    bu: Pair,
+    reverse: bool = False,
+    carry_init: Optional[Pair] = None,
+    block_t: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    block_requant: Optional[Tuple[float, float, int]] = None,
+    qat_bits: Optional[Tuple[Optional[int], Optional[int]]] = None,
+) -> Pair:
+    """All-prefix states of x_t = λ x_{t-1} + bu_t. bu: (..., L, P) pair.
+
+    ``block_t=None`` consults the persisted autotune cache for this
+    shape (VERDICT r4 #5) before falling back to DEFAULT_BLOCK_T."""
+    if block_t is None:
+        block_t = resolve_scan_block_t(bu[0].shape)
+    return _pallas_diag_scan(lam, bu, reverse=reverse,
+                             carry_init=carry_init, block_t=block_t,
+                             interpret=interpret,
+                             block_requant=block_requant,
+                             qat_bits=qat_bits)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_t", "reverse", "interpret", "block_requant",
                      "qat_bits"))
-def pallas_diag_scan(
+def _pallas_diag_scan(
     lam: Pair,
     bu: Pair,
     reverse: bool = False,
@@ -393,7 +440,6 @@ def pallas_diag_scan(
     block_requant: Optional[Tuple[float, float, int]] = None,
     qat_bits: Optional[Tuple[Optional[int], Optional[int]]] = None,
 ) -> Pair:
-    """All-prefix states of x_t = λ x_{t-1} + bu_t. bu: (..., L, P) pair."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if reverse and carry_init is not None:

@@ -327,7 +327,14 @@ def diag_ssm_scan(
         return xs
     if mode == "pallas":
         from sparsernns_tpu.ops.pallas.scan_kernel import DEFAULT_BLOCK_T
-        bt = DEFAULT_BLOCK_T if block_t is None else block_t
+        if block_t is None:
+            # persisted autotune cache (runs/autotune.json) before the
+            # hand-set default — VERDICT r4 #5
+            from sparsernns_tpu.ops.pallas.scan_kernel import (
+                resolve_scan_block_t)
+            bt = resolve_scan_block_t(bu[0].shape)
+        else:
+            bt = block_t
         if carry_init is None:
             from sparsernns_tpu.ops.pallas.scan_vjp import (
                 pallas_diag_scan_diff, pallas_diag_scan_diff_rev)

@@ -341,7 +341,7 @@ class W8A16Engine:
 
     def __init__(self, params: Dict[str, Any], batch_stats: Dict[str, Any],
                  q_config: QuantizationConfig, model_cfg: FxpModelConfig,
-                 act_dtype=jnp.bfloat16, block_t: int = 512,
+                 act_dtype=jnp.bfloat16, block_t: Optional[int] = None,
                  compact_state: bool = True,
                  block_sparse_dense: Optional[Tuple[int, int]] = (32, 128),
                  block_sparse_min_saving: float = 0.2,
@@ -361,12 +361,20 @@ class W8A16Engine:
         self.route = route
         self.cfg = model_cfg
         self.act_dtype = act_dtype
-        #: 512 is the measured optimum at the flagship geometry
+        #: block_t=None consults the persisted autotune cache
+        #: (runs/autotune.json, utils/autotune_cache — VERDICT r4 #5)
+        #: keyed by this model's (h, p) geometry, falling back to 512:
+        #: the measured optimum at the flagship geometry
         #: (runs/hw_sweeps.json engine_blockt, 2026-08-20): 2.0x over
         #: 256 at B=8 (0.819 vs 1.64 ms), +1.6% at B=32; 1024 regresses
         #: 2.5x at B=32 (VMEM residency flips the layer kernel's tiles
         #: out of double-buffering). Larger models hit the same wall
         #: sooner — the VMEM-budget route demotion handles those.
+        if block_t is None:
+            from sparsernns_tpu.utils.autotune_cache import resolve_block_t
+            block_t = resolve_block_t(
+                "engine", h=model_cfg.d_model, p=model_cfg.ssm_size,
+                default=512)
         self.block_t = block_t
         #: per-layer (p_original, p_kept) after structured-channel
         #: compaction — the honest-accounting record for structured

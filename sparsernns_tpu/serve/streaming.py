@@ -261,12 +261,17 @@ class ContinuousBatcher:
         """No more input; the stream finishes once its buffer drains."""
         self._ended.add(stream_id)
 
-    def step(self, chunk_samples: int):
+    def step(self, chunk_samples: int) -> int:
         """Advance the global clock by ``chunk_samples``: every occupied
         slot consumes that many samples from its stream's buffer
         (zero-padded if starved), idle slots feed silence; finished
-        streams release their slots to the waiting queue."""
+        streams release their slots to the waiting queue.
+
+        Returns the number of REAL samples consumed across slots this
+        step (excluding starvation zero-padding) — the honest payload
+        measure for throughput accounting (ADVICE r4)."""
         start = self.denoiser._in_pos
+        real_samples = 0
         batch = np.zeros((self.denoiser.batch, chunk_samples), np.float32)
         for i, sid in enumerate(self.slots):
             if sid is None:
@@ -275,6 +280,7 @@ class ContinuousBatcher:
             take = min(chunk_samples, buf.shape[0])
             batch[i, :take] = buf[:take]
             self._inputs[sid] = buf[take:]
+            real_samples += take
             if take:
                 self._content_end[sid] = start + take
         emit0 = self.denoiser._emit_pos
@@ -304,6 +310,7 @@ class ContinuousBatcher:
                     self.slots[i] = nxt
                     self.denoiser.reset(slot=i)
                     self._content_start[nxt] = self.denoiser._in_pos
+        return real_samples
 
     def collect(self, stream_id: str) -> np.ndarray:
         """Denoised samples produced so far for a stream."""

@@ -95,6 +95,16 @@ def build_dataset(cfg: RunConfig, num_shards: int = 1, shard_index: int = 0):
         return create_classification_dataset(
             cfg.bsz, seed=cfg.jax_seed, size=cfg.synthetic_size,
             num_shards=num_shards, shard_index=shard_index)
+    if cfg.dataset in ("smnist", "psmnist"):
+        # torch-free sequential MNIST (reference basic.py:14-60); needs
+        # the IDX files on disk (SMNIST_DATA_DIR) — FileNotFoundError
+        # otherwise, matching the NDNS env-var gating style
+        from sparsernns_tpu.data.classification import \
+            create_smnist_dataset
+        return create_smnist_dataset(
+            cfg.bsz, permute=(cfg.dataset == "psmnist"),
+            seed=cfg.jax_seed, num_shards=num_shards,
+            shard_index=shard_index)
     raise NotImplementedError(f"dataset {cfg.dataset!r} not registered")
 
 

@@ -366,6 +366,10 @@ def main(argv=None) -> int:
                     help="scanned complex state count")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--out", default=None, help="write results JSON here")
+    ap.add_argument("--persist", action="store_true",
+                    help="record the best block_t into the autotune cache "
+                         "(runs/autotune.json) consulted at kernel-build "
+                         "time — VERDICT r4 #5")
     ap.add_argument("--worker", action="store_true",
                     help="internal: measure in-process and emit one record")
     ap.add_argument("--no-isolate", action="store_true",
@@ -388,6 +392,16 @@ def main(argv=None) -> int:
     if args.out:
         with open(args.out, "w") as f:
             json.dump(res, f, indent=2)
+    if args.persist and res["best"] is not None:
+        from sparsernns_tpu.utils.autotune_cache import record_best
+        b = res["best"]
+        key = record_best(
+            args.mode, b["block_t"], b=args.batch, l=args.seq_len,
+            h=args.d_model, p=args.p,
+            meta={"t_iter_s": b["t_iter_s"], "source": b["source"]},
+            batch_free=True)
+        print(f"[autotune] persisted {key} -> block_t={b['block_t']}",
+              file=sys.stderr)
     return 0 if res["best"] is not None else 1
 
 

@@ -64,8 +64,12 @@ class RunConfig:
     fuse_batchnorm_linear: bool = False
     dim_scale: float = 1.0
     scan_mode: str = "associative"      # associative|sequential|pallas|fused|blocked
-    block_t: int = 256                  # Pallas kernels' time-block size
-                                        # (tune: python -m sparsernns_tpu.utils.autotune)
+    # Pallas kernels' time-block size. None (default) consults the
+    # persisted autotune cache (runs/autotune.json, seeded with the
+    # round-4 v5e measurements; re-measure with
+    # `python -m sparsernns_tpu.utils.autotune --persist`) and falls
+    # back to each kernel's hand-set default — VERDICT r4 #5.
+    block_t: Optional[int] = None
     # residual-stream storage dtype on the padded-stream training fast
     # path ("bfloat16" halves the whole-layer kernels' stream HBM;
     # params/grads/BN stats stay f32) — opt-in, see PERF.md

@@ -95,3 +95,99 @@ def test_autotune_inprocess_sweep():
     assert len(res["records"]) == 2
     assert res["best"] is not None
     assert res["best"]["block_t"] in (16, 32)
+
+
+class TestAutotuneCache:
+    """Persisted autotune cache consulted at kernel-build time
+    (VERDICT r4 #5)."""
+
+    def _write(self, tmp_path, monkeypatch, table):
+        import json
+        path = tmp_path / "autotune.json"
+        path.write_text(json.dumps(table))
+        monkeypatch.setenv("SPARSERNNS_AUTOTUNE_CACHE", str(path))
+        return str(path)
+
+    def test_lookup_priority(self, tmp_path, monkeypatch):
+        from sparsernns_tpu.utils.autotune_cache import resolve_block_t
+        self._write(tmp_path, monkeypatch, {
+            "scan:b8:l3751:p128": {"block_t": 1024},
+            "scan:l3751:p128": {"block_t": 768},
+            "scan:any": {"block_t": 64},
+        })
+        assert resolve_block_t("scan", b=8, l=3751, p=128,
+                               default=256) == 1024
+        assert resolve_block_t("scan", b=32, l=3751, p=128,
+                               default=256) == 768   # batch-free fallback
+        assert resolve_block_t("scan", b=1, l=99, p=4,
+                               default=256) == 64    # mode-wide fallback
+        assert resolve_block_t("layer", l=99, p=4,
+                               default=512) == 512   # hand-set default
+
+    def test_record_best_merges(self, tmp_path, monkeypatch):
+        from sparsernns_tpu.utils.autotune_cache import (record_best,
+                                                         resolve_block_t)
+        self._write(tmp_path, monkeypatch, {"engine:any": {"block_t": 512}})
+        record_best("scan", 1024, b=8, l=3751, p=128, batch_free=True)
+        assert resolve_block_t("scan", b=32, l=3751, p=128,
+                               default=256) == 1024
+        assert resolve_block_t("engine", default=256) == 512  # preserved
+
+    def test_pallas_scan_consults_cache(self, tmp_path, monkeypatch):
+        """block_t=None resolves through the cache — and the resolved
+        tile produces the same values as any explicit one (the knob is
+        performance-only)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from sparsernns_tpu.ops.pallas import scan_kernel
+
+        b, l, p = 2, 48, 4
+        self._write(tmp_path, monkeypatch,
+                    {f"scan:b{b}:l{l}:p{p}": {"block_t": 16}})
+        assert scan_kernel.resolve_scan_block_t((b, l, p)) == 16
+
+        rng = np.random.RandomState(0)
+        lam = (jnp.asarray(rng.uniform(0.7, 0.99, p), jnp.float32),
+               jnp.asarray(rng.uniform(0.0, 0.2, p), jnp.float32))
+        bu = (jnp.asarray(rng.randn(b, l, p), jnp.float32),
+              jnp.asarray(rng.randn(b, l, p), jnp.float32))
+        seen = {}
+        orig = scan_kernel._pallas_diag_scan
+
+        def spy(lam, bu, **kw):
+            seen["block_t"] = kw.get("block_t")
+            return orig(lam, bu, **kw)
+
+        monkeypatch.setattr(scan_kernel, "_pallas_diag_scan", spy)
+        x_cached = scan_kernel.pallas_diag_scan(lam, bu)   # block_t=None
+        assert seen["block_t"] == 16
+        x_explicit = scan_kernel.pallas_diag_scan(lam, bu, block_t=48)
+        np.testing.assert_allclose(np.asarray(x_cached[0]),
+                                   np.asarray(x_explicit[0]),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_engine_resolves_block_t_from_cache(self, tmp_path,
+                                                monkeypatch):
+        """W8A16Engine(block_t=None) consults the 'engine' cache entry
+        keyed by (h, p)."""
+        from sparsernns_tpu.utils.autotune_cache import resolve_block_t
+        self._write(tmp_path, monkeypatch,
+                    {"engine:h192:p128": {"block_t": 512},
+                     "engine:any": {"block_t": 384}})
+        assert resolve_block_t("engine", h=192, p=128, default=999) == 512
+        assert resolve_block_t("engine", h=64, p=32, default=999) == 384
+
+    def test_shipped_cache_pins_measured_scan_optimum(self):
+        """The committed runs/autotune.json carries the round-4 measured
+        scan optimum (1024 at the flagship shape) — the standalone scan
+        must pick it up by default (VERDICT r4 #5 'Done' criterion)."""
+        import os
+
+        from sparsernns_tpu.ops.pallas import scan_kernel
+        if not os.path.exists(
+                os.path.join(os.path.dirname(__file__), "..", "runs",
+                             "autotune.json")):
+            import pytest
+            pytest.skip("no shipped cache in this tree")
+        assert scan_kernel.resolve_scan_block_t((8, 3751, 128)) == 1024

@@ -82,6 +82,13 @@ def main():
         variants = [v for v in variants if (v or "baseline") in keep]
     for flag in variants:
         name = flag or "baseline"
+        # ABLATION/INTERLEAVE are read at TRACE time (scan_kernel.py):
+        # a stale jit cache would silently reuse the previous variant's
+        # executable. bench_w8a16_engine builds a fresh engine (fresh
+        # outer jit) per call, and clearing the global jit caches also
+        # invalidates module-level jitted helpers (ADVICE r4).
+        import jax
+        jax.clear_caches()
         if flag == "interleave":
             INTERLEAVE[0] = True
         else:
@@ -122,12 +129,22 @@ def main():
         print(f"[ablate] mxu16: t={rec.get('t_iter_ms', 0):.3f}ms "
               f"valid={rec.get('valid')}", file=sys.stderr, flush=True)
 
+    # share_* = fraction of the baseline removed by ablating a piece —
+    # only meaningful for the wrong-numerics timing ablations. The
+    # valid-numerics CANDIDATES (interleave, mxu16) are A/B speedups,
+    # reported under speedup_* (= base/t, >1 means faster) so later
+    # roadmap reads can't mistake a slowdown for an attribution share
+    # (ADVICE r4).
     base = recs.get("baseline", {}).get("t_iter_ms")
     summary = {"tool": "ablate_net", "key": key, "base_t_ms": base}
+    candidates = {"interleave", "mxu16"}
     for name, rec in recs.items():
         t = rec.get("t_iter_ms")
         if base and t and name != "baseline":
-            summary[f"share_{name}"] = round(1.0 - t / base, 4)
+            if name in candidates:
+                summary[f"speedup_{name}"] = round(base / t, 4)
+            else:
+                summary[f"share_{name}"] = round(1.0 - t / base, 4)
     print(json.dumps(summary), flush=True)
 
 

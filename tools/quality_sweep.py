@@ -40,15 +40,19 @@ import numpy as np
 
 
 def flagship_cfg(seed: int, epochs: int, ckpt_dir: str, mxu16: bool,
-                 quant: str = "w8a16", pruning: str = "no_prune"):
+                 quant: str = "w8a16", pruning: str = "no_prune",
+                 block_t: int = 512):
     from sparsernns_tpu.utils.config import RunConfig
+    # block_t defaults to 512 — the round-4 measured engine/kernel
+    # default (PERF.md engine_blockt A/B) — so quality evidence tracks
+    # the shipped configuration (VERDICT r4 weak #7).
     return RunConfig(
         checkpoint_dir=ckpt_dir,
         dataset="ndns", synthetic_data=True, synthetic_size=32,
         synthetic_seconds=30.0, bsz=8,
         n_layers=3, d_model=192, ssm_size_base=256, blocks=16,
         glu_variant="half1", clip_eigs=True, prenorm=True, batchnorm=True,
-        relufication=True, scan_mode="fused", block_t=256,
+        relufication=True, scan_mode="fused", block_t=block_t,
         p_dropout=0.05, jax_seed=seed, epochs=epochs,
         warmup_end=1, opt_config="noBCdecay", logger="none",
         validate_baseline=True, calibrate_quant=True,
@@ -58,7 +62,8 @@ def flagship_cfg(seed: int, epochs: int, ckpt_dir: str, mxu16: bool,
 
 
 def run_seed(seed: int, epochs: int, out_dir: str,
-             quant: str = "w8a16", pruning: str = "no_prune"):
+             quant: str = "w8a16", pruning: str = "no_prune",
+             block_t: int = 512):
     from sparsernns_tpu.fxp import runner as fxp_runner
     from sparsernns_tpu.quantize.convert import convert
     from sparsernns_tpu.train.loop import train
@@ -69,7 +74,7 @@ def run_seed(seed: int, epochs: int, out_dir: str,
     ckpt = os.path.join(out_dir, sub)
     os.makedirs(ckpt, exist_ok=True)
     cfg = flagship_cfg(seed, epochs, ckpt, mxu16=False, quant=quant,
-                       pruning=pruning)
+                       pruning=pruning, block_t=block_t)
 
     print(f"[quality] seed {seed}: training {epochs} epochs...",
           flush=True)
@@ -116,7 +121,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     ap.add_argument("--epochs", type=int, default=25)
-    ap.add_argument("--out", default="runs/quality_r3")
+    ap.add_argument("--out", default="runs/quality_r5")
+    ap.add_argument("--block_t", type=int, default=512)
     ap.add_argument("--quant", default="w8a16",
                     help="conversion recipe (reuses trained checkpoints)")
     ap.add_argument("--pruning", default="no_prune")
@@ -139,7 +145,8 @@ def main():
         if args.summarize_only:
             continue
         rows.append(run_seed(seed, args.epochs, args.out,
-                             quant=args.quant, pruning=args.pruning))
+                             quant=args.quant, pruning=args.pruning,
+                             block_t=args.block_t))
 
     if not rows:
         print("[quality] no rows", flush=True)

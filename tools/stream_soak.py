@@ -59,6 +59,9 @@ def main():
     ap.add_argument("--arrival-rate", type=float, default=0.8,
                     help="mean new streams per step")
     args = ap.parse_args()
+    if args.steps < 1:
+        sys.exit("stream_soak: need --steps >= 1 (no steps means no "
+                 "latency percentiles to report)")
 
     import bench
     from sparsernns_tpu.ops.stft import HOP_LENGTH
@@ -116,9 +119,12 @@ def main():
             feed_pos[sid] = pos + chunk_samples
         n_before = sum(s is not None for s in bat.slots)
         t0 = time.perf_counter()
-        bat.step(chunk_samples)
+        real_samples = bat.step(chunk_samples)
         durs.append(time.perf_counter() - t0)
-        payload_frames += n_before * args.chunk_frames
+        # honest payload: only REAL samples consumed (starved /
+        # drained-awaiting-emission slots advance on zero-padding and
+        # must not inflate rtf_aggregate — ADVICE r4)
+        payload_frames += real_samples // HOP_LENGTH
         n_after = sum(s is not None for s in bat.slots)
         completed += max(0, n_before - n_after)
         # churn: admit a random number of new arrivals (bounded queue)
