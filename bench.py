@@ -581,7 +581,7 @@ def bench_mode(mode, peaks, batch=8, seq_len=3751, d_io=257,
 
 
 def _build_engine(batch, seq_len, d_io, mxu16=False, route="auto",
-                  block_t=None):
+                  block_t=None, row_pair=False):
     import numpy as np
 
     from __graft_entry__ import _flagship_model
@@ -611,7 +611,8 @@ def _build_engine(batch, seq_len, d_io, mxu16=False, route="auto",
         prenorm=True, clip_eigs=True)
     kw = {} if block_t is None else {"block_t": block_t}
     engine = W8A16Engine(variables["params"], variables.get("batch_stats"),
-                         cfg, model_cfg, mxu16=mxu16, route=route, **kw)
+                         cfg, model_cfg, mxu16=mxu16, route=route,
+                         row_pair=row_pair, **kw)
     if mxu16:
         assert engine.mxu16["mixer"] and engine.mxu16["state"], engine.mxu16
     return engine, variables, x
@@ -620,7 +621,7 @@ def _build_engine(batch, seq_len, d_io, mxu16=False, route="auto",
 def bench_w8a16_engine(peaks, batch=8, seq_len=3751, d_io=257,
                        iters=ITERS_FWD, n_fill=0, reserve_gb=None,
                        mxu16=False, io_bf16=False, name="w8a16-engine",
-                       route="auto", block_t=None):
+                       route="auto", block_t=None, row_pair=False):
     """The north-star config: w8a16 quantized serving engine
     (int8-stored weights, bf16 activations, fused Pallas mixer).
 
@@ -637,7 +638,8 @@ def bench_w8a16_engine(peaks, batch=8, seq_len=3751, d_io=257,
     from sparsernns_tpu.utils.profiling import (model_forward_flops,
                                                 model_padded_flops)
     engine, variables, x = _build_engine(batch, seq_len, d_io, mxu16=mxu16,
-                                         route=route, block_t=block_t)
+                                         route=route, block_t=block_t,
+                                         row_pair=row_pair)
     if io_bf16:
         x = x.astype(jnp.bfloat16)
     n_layers, h, p, _ = _model_dims(variables["params"])

@@ -50,6 +50,11 @@ CHUNK_FRAMES = (16, 64, 256)
 # (same proof rule as bench.summarize).
 CANARY_FRAMES = 2048
 BATCH = 8
+#: saturated continuous-batching point (VERDICT r4 #6): >= 64 concurrent
+#: streams, one engine time block per dispatch — the chip-rate record
+#: that should approach the offline saturated engine (~63M frames/s)
+SAT_STREAMS = 64
+SAT_FRAMES = 512
 SOL_MARGIN = bench.SOL_MARGIN
 _REC_TAG = "STREAM_RECS "
 
@@ -153,15 +158,27 @@ def measure_chunk(chunk_frames: int, batch: int = BATCH, d_io: int = 257,
             e2e = []
         e2e.sort()
         chunk_s = chunk_frames * FRAME_MS / 1e3
+        e2e_p50 = e2e[len(e2e) // 2] * 1e3 if e2e else None
+        e2e_p99 = (e2e[min(len(e2e) - 1, int(len(e2e) * 0.99))] * 1e3
+                   if e2e else None)
         rec = {
             "chunk_frames": chunk_frames, "mxu16": mxu16,
             "route": route,
             "chunk_ms": chunk_frames * FRAME_MS, "batch": batch,
             "p50_ms": t_mean * 1e3, "p99_ms": None,
             "percentiles": "unavailable(readback-drain mean)",
-            "e2e_p50_ms": (e2e[len(e2e) // 2] * 1e3 if e2e else None),
-            "e2e_p99_ms": (e2e[min(len(e2e) - 1, int(len(e2e) * 0.99))]
-                           * 1e3 if e2e else None),
+            "e2e_p50_ms": e2e_p50,
+            "e2e_p99_ms": e2e_p99,
+            # the honest tail-latency number this channel CAN measure
+            # (VERDICT r4 #6): p99 - p50 over per-request drained
+            # samples — the fixed transport RTT cancels in the
+            # difference, leaving the genuine scheduling-tail spread
+            "tail_spread_ms": (round(e2e_p99 - e2e_p50, 3)
+                               if e2e else None),
+            "tail_provenance": ("e2e_p99 - e2e_p50 over 50 per-request "
+                                "drained dispatches; transport RTT "
+                                "cancels in the difference"
+                                if e2e else None),
             "e2e_note": ("per-request drained samples incl. transport "
                          "readback RTT; tail spread is the scheduler "
                          "signal" if e2e else None),
@@ -170,6 +187,8 @@ def measure_chunk(chunk_frames: int, batch: int = BATCH, d_io: int = 257,
             "hbm_util": xla_bytes / t_mean / peaks[1] if t_mean > 0 else 0.0,
             "rtf_per_stream": chunk_s / t_mean if t_mean > 0 else 0.0,
             "rtf_batch": batch * chunk_s / t_mean if t_mean > 0 else 0.0,
+            "frames_per_sec": (batch * chunk_frames / t_mean
+                               if t_mean > 0 else 0.0),
             "source": "readback-drain",
             "valid": t_mean >= SOL_MARGIN * sol_t,
         }
@@ -224,6 +243,7 @@ def measure_chunk(chunk_frames: int, batch: int = BATCH, d_io: int = 257,
         # real-time factor: seconds of audio per second of compute
         "rtf_per_stream": chunk_s / p50 if p50 > 0 else 0.0,
         "rtf_batch": batch * chunk_s / p50 if p50 > 0 else 0.0,
+        "frames_per_sec": batch * chunk_frames / p50 if p50 > 0 else 0.0,
         "source": source,
         "valid": (source != "wall-clock-unsynced"
                   and p50 >= SOL_MARGIN * sol_t),
@@ -237,24 +257,28 @@ def measure_chunk(chunk_frames: int, batch: int = BATCH, d_io: int = 257,
 
 
 def _todo(chunks=CHUNK_FRAMES, canary=True) -> list:
-    todo = [(cf, False, "auto") for cf in chunks]
+    todo = [(cf, False, "auto", BATCH) for cf in chunks]
     # one mxu16 latency point at the middle chunk size (the int-dot
     # serving mode; full sweep would double the run for little signal),
     # and one xla-route point (the conformance-fallback streaming path)
     if len(chunks) >= 2:
-        todo.append((chunks[1], True, "auto"))
-        todo.append((chunks[1], False, "xla"))
+        todo.append((chunks[1], True, "auto", BATCH))
+        todo.append((chunks[1], False, "xla", BATCH))
+    # saturated continuous batching: SAT_STREAMS concurrent streams at
+    # one engine time block per dispatch (VERDICT r4 #6 'Done' point)
+    todo.append((SAT_FRAMES, False, "auto", SAT_STREAMS))
     if canary:
-        todo.append((CANARY_FRAMES, False, "auto"))
+        todo.append((CANARY_FRAMES, False, "auto", BATCH))
     return todo
 
 
 def run_all(chunks=CHUNK_FRAMES, canary=True) -> list:
     recs = []
-    for cf, mxu16, route in _todo(chunks, canary):
+    for cf, mxu16, route, batch in _todo(chunks, canary):
         try:
             with bench._alarm(bench.BENCH_MODE_TIMEOUT_S):
-                rec = measure_chunk(cf, mxu16=mxu16, route=route)
+                rec = measure_chunk(cf, batch=batch, mxu16=mxu16,
+                                    route=route)
                 rec["canary"] = cf == CANARY_FRAMES and cf not in chunks
                 recs.append(rec)
         except Exception as e:  # noqa: BLE001 - keep per-chunk robustness
@@ -295,9 +319,9 @@ def _recs_from_drain_workers(emit=None, probe_table=None,
     env = dict(os.environ)
     env["BENCH_REGIME"] = json.dumps(bench._REGIME)
     recs: list = []
-    for cf, mxu16, route in todo:
-        if status((cf, mxu16, route)) == "hang" and not os.environ.get(
-                "BENCH_RUN_WEDGERS"):
+    for cf, mxu16, route, batch in todo:
+        if status((cf, mxu16, route, batch)) == "hang" \
+                and not os.environ.get("BENCH_RUN_WEDGERS"):
             print(f"[stream] chunk={cf} mxu16={mxu16} route={route}: "
                   "SKIPPED — probe recorded a device wedge for its "
                   "program class", file=sys.stderr)
@@ -309,7 +333,7 @@ def _recs_from_drain_workers(emit=None, probe_table=None,
             break
         timeout = min(bench.BENCH_MODE_TIMEOUT_S,
                       max(bench.BENCH_MIN_MODE_S, left - 20))
-        env["STREAM_DRAIN_ONLY"] = json.dumps([cf, mxu16, route])
+        env["STREAM_DRAIN_ONLY"] = json.dumps([cf, mxu16, route, batch])
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
@@ -392,6 +416,26 @@ def summarize_stream(recs: list, backend: str) -> dict:
         best = min(valid, key=lambda r: r["p50_ms"])
         summary["best_p50_ms"] = round(best["p50_ms"], 3)
         summary["best_chunk_frames"] = best["chunk_frames"]
+        # saturated continuous-batching chip rate (VERDICT r4 #6): best
+        # streaming frames/s across valid records, with its config
+        rates = [(r.get("frames_per_sec") or
+                  (r["batch"] * r["chunk_frames"] / (r["p50_ms"] / 1e3)
+                   if r.get("p50_ms") else 0.0), r) for r in valid]
+        fr, rbest = max(rates, key=lambda t: t[0])
+        if fr > 0:
+            summary["max_stream_frames_per_sec"] = round(fr, 0)
+            summary["max_stream_config"] = {
+                "streams": rbest["batch"],
+                "chunk_frames": rbest["chunk_frames"],
+                "mxu16": rbest.get("mxu16", False),
+                "route": rbest.get("route", "auto")}
+        tails = [r["tail_spread_ms"] for r in valid
+                 if r.get("tail_spread_ms") is not None]
+        if tails:
+            summary["tail_spread_ms"] = max(tails)
+            summary["tail_provenance"] = next(
+                r["tail_provenance"] for r in valid
+                if r.get("tail_spread_ms") is not None)
     elif latency:
         # cost-model floor for the smallest chunk, clearly labelled
         r0 = min(latency, key=lambda r: r["chunk_frames"])
@@ -440,8 +484,10 @@ def main() -> int:
                   file=sys.stderr)
     drain_only = os.environ.get("STREAM_DRAIN_ONLY")
     if drain_only:
-        cf, mxu16, route = json.loads(drain_only)
-        rec = measure_chunk(cf, mxu16=mxu16, route=route)
+        parsed = json.loads(drain_only)
+        cf, mxu16, route = parsed[:3]
+        batch = parsed[3] if len(parsed) > 3 else BATCH
+        rec = measure_chunk(cf, batch=batch, mxu16=mxu16, route=route)
         rec["canary"] = cf == CANARY_FRAMES and cf not in CHUNK_FRAMES
         print(_REC_TAG + json.dumps([rec]))
         return 0

@@ -136,40 +136,20 @@ def _glu_dense(x, w_ref, w_scale, in_spec, colsum_ref=None):
     return acc * (in_scale * w_scale)
 
 
-def _fused_layer_body(
-    r, refs, carry_re, carry_im, j, *,
-    num_passes, block_t, prenorm, relufication, glu,
-    relu_state, block_requant, wb_scales, wc_scales,
-    out2_scale, out1_scale, out2_in=None, out1_in=None, carry_init=None,
-    mixer_in16=None, state16=False, but_requant=None, yt_requant=None,
-    out2_out=None, out1_out=None,
-):
-    """Shared layer math on an in-VMEM f32 residual block ``r`` (T, Hp).
-    ``refs`` is the dict of operand refs. Returns the new residual block
-    (T, Hp) f32, pre-(output-requant).
-
-    ``mixer_in16`` — a (scale, bits) grid: fake-quantize the mixer input
-    onto it (the static path's quant_ut, models/ssm.py:429) and run the
-    B-projection on the MXU int8 path via the exact two-plane
-    decomposition (ops/intdot.py). ``state16`` — quantize the scan
-    states onto the ``block_requant`` grid (the static path's quant_xt)
-    and run the C-projection the same way.
-
-    The bit-faithful requants (engine mxu16 mode — all frozen grids the
-    static-quant emulation applies and the float engine skips):
-    ``but_requant`` (s_re, s_im, bits) = quant_but after the B-projection
-    (ssm.py:436); ``yt_requant`` (s, bits) = quant_yt on the mixer output
-    incl. the D-term (ssm.py:469); ``out2_out``/``out1_out`` (s, bits) =
-    the GLU denses' quant_output after the bias add (static.py
-    QuantizedDense)."""
+def _mixer_pre(r, refs, *, prenorm, wb_scales, mixer_in16, but_requant):
+    """Stage 1 of the layer body: norm affine + B-projection (+ the
+    mixer_in16 int-dot path's input quantization and the but_requant).
+    Returns (z_d, bu_re, bu_im) — the D-term operand and the scan input.
+    Split out of _fused_layer_body so the paired-row network kernel can
+    interleave one row's MXU stage with the other row's VPU scan
+    (co-issue measured on the v5e: runs/kernel_probe.json
+    dot_then_scan = 0.79x of the serial sum)."""
     from sparsernns_tpu.ops.intdot import int16_dot, quantize_codes
-    from sparsernns_tpu.ops.pallas.scan_kernel import scan_block_body
 
     nw = refs["nw"][...]          # (1, Hp)
     nb = refs["nb"][...]
     z = r * nw + nb if prenorm else r
 
-    # ---- mixer: B-proj -> diagonal scan -> C-proj + D (fused_s5) ----
     if mixer_in16 is not None:
         s_ut, a_bits = mixer_in16
         q_ut = quantize_codes(z, s_ut, a_bits)
@@ -186,72 +166,50 @@ def _fused_layer_body(
             s_br, s_bi, b_bits = but_requant
             bu_re = _qdq(bu_re, (s_br, b_bits))
             bu_im = _qdq(bu_im, (s_bi, b_bits))
-        x_re, x_im = scan_block_body(
-            bu_re, bu_im, refs["pow_re"], refs["pow_im"],
-            refs["ctab_re"], refs["ctab_im"], carry_re, carry_im, j,
-            num_passes=num_passes, block_t=block_t,
-            block_requant=block_requant, carry_init=carry_init)
-    else:
-        wb = _dequant_weight(refs["wb"], wb_scales)
-        p = wb.shape[-1] // 2
+        return z_d, bu_re, bu_im
 
-        def bproj(zh):
-            bu = _float_dot(zh, wb)
-            br, bi = bu[:, :p], bu[:, p:]
-            if wb_scales is not None:
-                br = br * wb_scales[0]
-                bi = bi * wb_scales[1]
-            if but_requant is not None:
-                s_br, s_bi, b_bits = but_requant
-                br = _qdq(br, (s_br, b_bits))
-                bi = _qdq(bi, (s_bi, b_bits))
-            return br, bi
+    wb = _dequant_weight(refs["wb"], wb_scales)
+    p = wb.shape[-1] // 2
+    bu = _float_dot(z, wb)
+    bu_re, bu_im = bu[:, :p], bu[:, p:]
+    if wb_scales is not None:
+        bu_re = bu_re * wb_scales[0]
+        bu_im = bu_im * wb_scales[1]
+    if but_requant is not None:
+        s_br, s_bi, b_bits = but_requant
+        bu_re = _qdq(bu_re, (s_br, b_bits))
+        bu_im = _qdq(bu_im, (s_bi, b_bits))
+    return z, bu_re, bu_im
 
-        z_d = z
-        if INTERLEAVE[0] and block_t % 16 == 0 and block_t >= 32:
-            # half-block stagger (module flag above): scan_a's VPU
-            # passes sit adjacent to bproj_b's independent MXU dot; the
-            # half-b states then fold half-a's exit row with the λ^{j+1}
-            # table (= ctab rows [:half]) — the same reassociation
-            # class as the block tree.
-            from sparsernns_tpu.ops.pallas.scan_kernel import _block_scan
-            half = block_t // 2
-            ar, ai = bproj(z[:half])
-            sar, sai = _block_scan(ar, ai, refs["pow_re"],
-                                   refs["pow_im"], half)
-            br_, bi_ = bproj(z[half:])
-            sbr, sbi = _block_scan(br_, bi_, refs["pow_re"],
-                                   refs["pow_im"], half)
-            tr = refs["ctab_re"][:half]
-            ti = refs["ctab_im"][:half]
-            car, cai = sar[half - 1:half], sai[half - 1:half]
-            sbr = sbr + (tr * car - ti * cai)
-            sbi = sbi + (tr * cai + ti * car)
-            bu_re = jnp.concatenate([sar, sbr], axis=0)
-            bu_im = jnp.concatenate([sai, sbi], axis=0)
-            prescanned = True
-        else:
-            bu_re, bu_im = bproj(z)
-            prescanned = False
-        x_re, x_im = scan_block_body(
-            bu_re, bu_im, refs["pow_re"], refs["pow_im"],
-            refs["ctab_re"], refs["ctab_im"], carry_re, carry_im, j,
-            num_passes=num_passes, block_t=block_t,
-            block_requant=block_requant, carry_init=carry_init,
-            prescanned=prescanned)
+
+def _mixer_post(x_re, x_im, z_d, r, refs, *, prenorm, relufication, glu,
+                relu_state, block_requant, wc_scales, out2_scale,
+                out1_scale, out2_in, out1_in, state16, yt_requant,
+                out2_out, out1_out):
+    """Stage 3: states -> C-projection + D -> activation + GLU +
+    residual (engine_layer_forward order). Returns the new residual
+    block pre-(output-requant)."""
+    from sparsernns_tpu.ops.intdot import int16_dot
+
     if relu_state:
         x_re = jnp.maximum(x_re, 0.0)
         x_im = jnp.maximum(x_im, 0.0)
     if state16:
         # quant_xt on the states feeding C (exact: relu commutes with the
-        # symmetric-grid quantization), then per-half int8-MXU dots
+        # symmetric-grid quantization), then per-half int8-MXU dots.
+        # The states ALREADY sit on the block_requant grid (the scan
+        # requantized them; relu keeps grid values or 0), so their codes
+        # are one exact pow2 multiply — no round/clip re-quantization
+        # (bit-identical accumulators, fewer VPU passes).
         s_re, s_im, s_bits = block_requant
         wc = refs["wc"][...]
         pp = wc.shape[0] // 2
         cs_re = refs["cs_wc_re"][...] if "cs_wc_re" in refs else None
         cs_im = refs["cs_wc_im"][...] if "cs_wc_im" in refs else None
-        acc_re = int16_dot(x_re, wc[:pp], cs_re, s_re, s_bits)
-        acc_im = int16_dot(x_im, wc[pp:], cs_im, s_im, s_bits)
+        acc_re = int16_dot(x_re, wc[:pp], cs_re, s_re, s_bits,
+                           codes=x_re * (1.0 / s_re))
+        acc_im = int16_dot(x_im, wc[pp:], cs_im, s_im, s_bits,
+                           codes=x_im * (1.0 / s_im))
         y = acc_re * (s_re * wc_scales[0]) + acc_im * (s_im * wc_scales[1])
     else:
         if wc_scales is not None:
@@ -264,7 +222,6 @@ def _fused_layer_body(
     y = y + refs["d"][...] * z_d
     y = _qdq(y, yt_requant)
 
-    # ---- activation + GLU + residual (engine_layer_forward order) ----
     x1 = jnp.maximum(y, 0.0) if relufication else jax.nn.gelu(y)
     if glu in ("half1", "half2", "full"):
         g = _glu_dense(x1, refs["out2_k"], out2_scale, out2_in,
@@ -283,10 +240,138 @@ def _fused_layer_body(
         h = x1
     h = h + r
     if not prenorm:
+        nw = refs["nw"][...]
+        nb = refs["nb"][...]
         h = h * nw + nb
     if relufication:
         h = jnp.maximum(h, 0.0)
     return h
+
+
+def _fused_layer_body(
+    r, refs, carry_re, carry_im, j, *,
+    num_passes, block_t, prenorm, relufication, glu,
+    relu_state, block_requant, wb_scales, wc_scales,
+    out2_scale, out1_scale, out2_in=None, out1_in=None, carry_init=None,
+    mixer_in16=None, state16=False, but_requant=None, yt_requant=None,
+    out2_out=None, out1_out=None,
+):
+    """Shared layer math on an in-VMEM f32 residual block ``r`` (T, Hp).
+    ``refs`` is the dict of operand refs. Returns the new residual block
+    (T, Hp) f32, pre-(output-requant). Composed of _mixer_pre ->
+    scan_block_body -> _mixer_post (stages shared with the paired-row
+    interleaved body below).
+
+    ``mixer_in16`` — a (scale, bits) grid: fake-quantize the mixer input
+    onto it (the static path's quant_ut, models/ssm.py:429) and run the
+    B-projection on the MXU int8 path via the exact two-plane
+    decomposition (ops/intdot.py). ``state16`` — quantize the scan
+    states onto the ``block_requant`` grid (the static path's quant_xt)
+    and run the C-projection the same way.
+
+    The bit-faithful requants (engine mxu16 mode — all frozen grids the
+    static-quant emulation applies and the float engine skips):
+    ``but_requant`` (s_re, s_im, bits) = quant_but after the B-projection
+    (ssm.py:436); ``yt_requant`` (s, bits) = quant_yt on the mixer output
+    incl. the D-term (ssm.py:469); ``out2_out``/``out1_out`` (s, bits) =
+    the GLU denses' quant_output after the bias add (static.py
+    QuantizedDense)."""
+    from sparsernns_tpu.ops.pallas.scan_kernel import scan_block_body
+
+    prescanned = False
+    if (mixer_in16 is None and INTERLEAVE[0] and block_t % 16 == 0
+            and block_t >= 32):
+        # half-block stagger (module flag above): scan_a's VPU passes
+        # sit adjacent to bproj_b's independent MXU dot; the half-b
+        # states then fold half-a's exit row with the λ^{j+1} table
+        # (= ctab rows [:half]) — the same reassociation class as the
+        # block tree. Measured NEGATIVE on the v5e (module docstring).
+        from sparsernns_tpu.ops.pallas.scan_kernel import _block_scan
+        half = block_t // 2
+        z_d_a, ar, ai = _mixer_pre(
+            r[:half], refs, prenorm=prenorm, wb_scales=wb_scales,
+            mixer_in16=None, but_requant=but_requant)
+        sar, sai = _block_scan(ar, ai, refs["pow_re"],
+                               refs["pow_im"], half)
+        z_d_b, br_, bi_ = _mixer_pre(
+            r[half:], refs, prenorm=prenorm, wb_scales=wb_scales,
+            mixer_in16=None, but_requant=but_requant)
+        sbr, sbi = _block_scan(br_, bi_, refs["pow_re"],
+                               refs["pow_im"], half)
+        tr = refs["ctab_re"][:half]
+        ti = refs["ctab_im"][:half]
+        car, cai = sar[half - 1:half], sai[half - 1:half]
+        sbr = sbr + (tr * car - ti * cai)
+        sbi = sbi + (tr * cai + ti * car)
+        bu_re = jnp.concatenate([sar, sbr], axis=0)
+        bu_im = jnp.concatenate([sai, sbi], axis=0)
+        z_d = jnp.concatenate([z_d_a, z_d_b], axis=0)
+        prescanned = True
+    else:
+        z_d, bu_re, bu_im = _mixer_pre(
+            r, refs, prenorm=prenorm, wb_scales=wb_scales,
+            mixer_in16=mixer_in16, but_requant=but_requant)
+    x_re, x_im = scan_block_body(
+        bu_re, bu_im, refs["pow_re"], refs["pow_im"],
+        refs["ctab_re"], refs["ctab_im"], carry_re, carry_im, j,
+        num_passes=num_passes, block_t=block_t,
+        block_requant=block_requant, carry_init=carry_init,
+        prescanned=prescanned)
+    return _mixer_post(
+        x_re, x_im, z_d, r, refs, prenorm=prenorm,
+        relufication=relufication, glu=glu, relu_state=relu_state,
+        block_requant=block_requant, wc_scales=wc_scales,
+        out2_scale=out2_scale, out1_scale=out1_scale, out2_in=out2_in,
+        out1_in=out1_in, state16=state16, yt_requant=yt_requant,
+        out2_out=out2_out, out1_out=out1_out)
+
+
+def _fused_layer_body_pair(
+    r0, r1, refs, carry0, carry1, j, *,
+    num_passes, block_t, prenorm, relufication, glu,
+    relu_state, block_requant, wb_scales, wc_scales,
+    out2_scale, out1_scale, out2_in=None, out1_in=None,
+    carry_init0=None, carry_init1=None,
+    mixer_in16=None, state16=False, but_requant=None, yt_requant=None,
+    out2_out=None, out1_out=None,
+):
+    """Two-batch-row layer body with a SKEWED emission order: row 1's
+    MXU stages (_mixer_pre / _mixer_post dots) sit adjacent to row 0's
+    VPU scan in program order, so the scheduler co-issues them — the
+    measured v5e overlap (runs/kernel_probe.json: dot+scan combined =
+    0.79x of the serial sum; the single-row body is one dependency
+    chain with zero overlap). Per row the op sequence is IDENTICAL to
+    _fused_layer_body, so outputs are bit-exact vs the unpaired route
+    (pinned in tests/test_engine.py). ``carry0``/``carry1`` are (re, im)
+    scratch-ref pairs."""
+    from sparsernns_tpu.ops.pallas.scan_kernel import scan_block_body
+    common = dict(prenorm=prenorm, wb_scales=wb_scales,
+                  mixer_in16=mixer_in16, but_requant=but_requant)
+    scan_kw = dict(num_passes=num_passes, block_t=block_t,
+                   block_requant=block_requant)
+    post_kw = dict(prenorm=prenorm, relufication=relufication, glu=glu,
+                   relu_state=relu_state, block_requant=block_requant,
+                   wc_scales=wc_scales, out2_scale=out2_scale,
+                   out1_scale=out1_scale, out2_in=out2_in,
+                   out1_in=out1_in, state16=state16,
+                   yt_requant=yt_requant, out2_out=out2_out,
+                   out1_out=out1_out)
+
+    z0, b0_re, b0_im = _mixer_pre(r0, refs, **common)          # MXU
+    z1, b1_re, b1_im = _mixer_pre(r1, refs, **common)          # MXU
+    x0 = scan_block_body(b0_re, b0_im, refs["pow_re"], refs["pow_im"],
+                         refs["ctab_re"], refs["ctab_im"],
+                         carry0[0], carry0[1], j,
+                         carry_init=carry_init0, **scan_kw)     # VPU
+    # row 0's post (C-proj + GLU dots, MXU) emitted adjacent to row 1's
+    # scan (VPU) — the co-issue pair
+    h0 = _mixer_post(x0[0], x0[1], z0, r0, refs, **post_kw)     # MXU
+    x1 = scan_block_body(b1_re, b1_im, refs["pow_re"], refs["pow_im"],
+                         refs["ctab_re"], refs["ctab_im"],
+                         carry1[0], carry1[1], j,
+                         carry_init=carry_init1, **scan_kw)     # VPU
+    h1 = _mixer_post(x1[0], x1[1], z1, r1, refs, **post_kw)     # MXU
+    return h0, h1
 
 
 def _store_out(out_ref, h, *, out_requant, out_dtype):

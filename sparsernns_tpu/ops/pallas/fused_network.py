@@ -70,8 +70,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sparsernns_tpu.ops.pallas.fused_layer import (_fused_layer_body, _qdq,
-                                                   _round_up, pad_layer_ops)
+from sparsernns_tpu.ops.pallas.fused_layer import (_fused_layer_body,
+                                                   _fused_layer_body_pair,
+                                                   _qdq, _round_up,
+                                                   pad_layer_ops)
 
 #: operand names per layer, in kernel order (matches _fused_layer_body)
 _LAYER_BASE = ("nw", "nb", "wb", "wc", "d",
@@ -134,19 +136,47 @@ def _net_call(x, enc_k, enc_b, dec_k, dec_b, layer_flat, layer_names,
               t, carry_out, enc_scale, dec_scale, enc_in, dec_in,
               prenorm, relufication, glu, relu_state, act_dtype,
               interpret, cs_enc=None, cs_dec=None, enc_out=None,
-              dec_out=None, out_dtype=jnp.float32):
+              dec_out=None, out_dtype=jnp.float32, rows: int = 1):
     """One pallas_call running the full depth over ``t``-row time blocks
-    of ``x`` (grid (B, L // t); L % t rows are left untouched — the tail
-    call handles them). ``carries_in``: per-layer ((B,1,P), (B,1,P))
+    of ``x`` (grid (B/rows, L // t); L % t rows are left untouched — the
+    tail call handles them). ``carries_in``: per-layer ((B,1,P), (B,1,P))
     initial scan states or None; ``carry_out``: also return the final
     per-layer states (the main->tail handoff). ``cs_enc``/``cs_dec``:
-    int32 colsum correction rows for 9..16-bit boundary dots."""
+    int32 colsum correction rows for 9..16-bit boundary dots.
+
+    ``rows=2``: paired-row interleaved mode — each grid step processes
+    TWO batch rows with row 1's MXU stages emitted adjacent to row 0's
+    VPU scan (fused_layer._fused_layer_body_pair), exploiting the
+    measured MXU/VPU co-issue (runs/kernel_probe.json). Per row the op
+    sequence is identical, so outputs are bit-exact vs rows=1. Requires
+    B % 2 == 0."""
     b, l, d_in = x.shape
     n_t = l // t
     d_out = dec_k.shape[1]
     n_layers = len(p_pads)
     n_per_layer = len(layer_names)
     with_cin = carries_in is not None
+    assert rows in (1, 2) and b % rows == 0, (b, rows)
+
+    def _encode(xrow, enc_k_ref, enc_b_ref, cs_enc_ref):
+        hb = _boundary_dense(xrow.astype(jnp.float32), enc_k_ref,
+                             enc_scale, enc_in, cs_enc_ref)
+        hb = _qdq(hb + enc_b_ref[...], enc_out)
+        if relufication:
+            hb = jnp.maximum(hb, 0.0)
+        return _value_roundtrip(hb, None, act_dtype)
+
+    def _layer_kw(st):
+        return dict(
+            num_passes=num_passes, block_t=t, prenorm=prenorm,
+            relufication=relufication, glu=glu, relu_state=relu_state,
+            block_requant=st.block_requant,
+            wb_scales=st.wb_scales, wc_scales=st.wc_scales,
+            out2_scale=st.out2_scale, out1_scale=st.out1_scale,
+            out2_in=st.out2_in_scale, out1_in=st.out1_in_scale,
+            mixer_in16=st.mixer_in16, state16=st.state16,
+            but_requant=st.but_requant, yt_requant=st.yt_requant,
+            out2_out=st.out2_out_requant, out1_out=st.out1_out_requant)
 
     def kernel(*refs):
         x_ref, enc_k_ref, enc_b_ref = refs[:3]
@@ -174,55 +204,70 @@ def _net_call(x, enc_k, enc_b, dec_k, dec_b, layer_flat, layer_names,
         base += 1
         cout = None
         if carry_out:
+            # one (rows, 1, P) re/im output block per layer — covers
+            # every row of the pair
             cout = refs[base:base + 2 * n_layers]
             base += 2 * n_layers
         scratch = refs[base:]
         j = pl.program_id(1)
 
-        # encoder (engine_encode): dense + relu, cast to the stream dtype
-        hb = _boundary_dense(x_ref[0].astype(jnp.float32), enc_k_ref,
-                             enc_scale, enc_in, cs_enc_ref)
-        hb = _qdq(hb + enc_b_ref[...], enc_out)
-        if relufication:
-            hb = jnp.maximum(hb, 0.0)
-        hb = _value_roundtrip(hb, None, act_dtype)
+        if rows == 1:
+            # encoder (engine_encode): dense + relu, cast to stream dtype
+            hb = _encode(x_ref[0], enc_k_ref, enc_b_ref, cs_enc_ref)
+            for i in range(n_layers):
+                st = statics[i]
+                carry_init = ((cin[2 * i][0], cin[2 * i + 1][0])
+                              if with_cin else None)
+                # _fused_layer_body mutates this layer's carry scratch
+                # and returns the block pre-(output-requant); the
+                # store+load the per-layer path does through HBM happens
+                # here in VMEM value form (bit-identical — module doc).
+                hb = _fused_layer_body(
+                    hb, layer_refs[i], scratch[2 * i], scratch[2 * i + 1],
+                    j, carry_init=carry_init, **_layer_kw(st))
+                hb = _value_roundtrip(hb, st.out_requant, act_dtype)
+                if carry_out:
+                    cout[2 * i][0] = scratch[2 * i][...]
+                    cout[2 * i + 1][0] = scratch[2 * i + 1][...]
+            # decoder: pad-lane rows of dec_k are zero → no lane slicing
+            y = _boundary_dense(hb, dec_k_ref, dec_scale, dec_in,
+                                cs_dec_ref)
+            out_ref[0] = _qdq(y + dec_b_ref[...], dec_out).astype(out_dtype)
+            return
 
+        # ---- rows == 2: paired-row interleaved schedule ----
+        h0 = _encode(x_ref[0], enc_k_ref, enc_b_ref, cs_enc_ref)
+        h1 = _encode(x_ref[1], enc_k_ref, enc_b_ref, cs_enc_ref)
         for i in range(n_layers):
             st = statics[i]
-            carry_init = ((cin[2 * i][0], cin[2 * i + 1][0])
-                          if with_cin else None)
-            # _fused_layer_body mutates this layer's carry scratch and
-            # returns the block pre-(output-requant); the store+load the
-            # per-layer path does through HBM happens here in VMEM value
-            # form (bit-identical — see module docstring).
-            hb = _fused_layer_body(
-                hb, layer_refs[i], scratch[2 * i], scratch[2 * i + 1], j,
-                num_passes=num_passes, block_t=t, prenorm=prenorm,
-                relufication=relufication, glu=glu, relu_state=relu_state,
-                block_requant=st.block_requant,
-                wb_scales=st.wb_scales, wc_scales=st.wc_scales,
-                out2_scale=st.out2_scale, out1_scale=st.out1_scale,
-                out2_in=st.out2_in_scale, out1_in=st.out1_in_scale,
-                mixer_in16=st.mixer_in16, state16=st.state16,
-                but_requant=st.but_requant, yt_requant=st.yt_requant,
-                out2_out=st.out2_out_requant, out1_out=st.out1_out_requant,
-                carry_init=carry_init)
-            hb = _value_roundtrip(hb, st.out_requant, act_dtype)
+            ci0 = ci1 = None
+            if with_cin:
+                ci0 = (cin[2 * i][0], cin[2 * i + 1][0])
+                ci1 = (cin[2 * i][1], cin[2 * i + 1][1])
+            h0, h1 = _fused_layer_body_pair(
+                h0, h1, layer_refs[i],
+                (scratch[4 * i], scratch[4 * i + 1]),
+                (scratch[4 * i + 2], scratch[4 * i + 3]), j,
+                carry_init0=ci0, carry_init1=ci1, **_layer_kw(st))
+            h0 = _value_roundtrip(h0, st.out_requant, act_dtype)
+            h1 = _value_roundtrip(h1, st.out_requant, act_dtype)
             if carry_out:
-                cout[2 * i][0] = scratch[2 * i][...]
-                cout[2 * i + 1][0] = scratch[2 * i + 1][...]
+                cout[2 * i][0] = scratch[4 * i][...]
+                cout[2 * i][1] = scratch[4 * i + 2][...]
+                cout[2 * i + 1][0] = scratch[4 * i + 1][...]
+                cout[2 * i + 1][1] = scratch[4 * i + 3][...]
+        y0 = _boundary_dense(h0, dec_k_ref, dec_scale, dec_in, cs_dec_ref)
+        out_ref[0] = _qdq(y0 + dec_b_ref[...], dec_out).astype(out_dtype)
+        y1 = _boundary_dense(h1, dec_k_ref, dec_scale, dec_in, cs_dec_ref)
+        out_ref[1] = _qdq(y1 + dec_b_ref[...], dec_out).astype(out_dtype)
 
-        # decoder: pad-lane rows of dec_k are zero, so no lane slicing
-        y = _boundary_dense(hb, dec_k_ref, dec_scale, dec_in, cs_dec_ref)
-        out_ref[0] = _qdq(y + dec_b_ref[...], dec_out).astype(out_dtype)
-
-    io_in = pl.BlockSpec((1, t, d_in), lambda i, j: (i, j, 0),
+    io_in = pl.BlockSpec((rows, t, d_in), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM)
-    io_out = pl.BlockSpec((1, t, d_out), lambda i, j: (i, j, 0),
+    io_out = pl.BlockSpec((rows, t, d_out), lambda i, j: (i, j, 0),
                           memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
-    carry_specs = [pl.BlockSpec((1, 1, p_pad), lambda i, j: (i, 0, 0),
+    carry_specs = [pl.BlockSpec((rows, 1, p_pad), lambda i, j: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
                    for p_pad in p_pads for _ in range(2)]
 
@@ -249,12 +294,11 @@ def _net_call(x, enc_k, enc_b, dec_k, dec_b, layer_flat, layer_names,
 
     scratch = []
     for p_pad in p_pads:
-        scratch += [pltpu.VMEM((1, p_pad), jnp.float32),
-                    pltpu.VMEM((1, p_pad), jnp.float32)]
+        scratch += [pltpu.VMEM((1, p_pad), jnp.float32)] * 2 * rows
 
     res = pl.pallas_call(
         kernel,
-        grid=(b, n_t),
+        grid=(b // rows, n_t),
         in_specs=in_specs,
         out_specs=out_specs if carry_out else out_specs[0],
         out_shape=out_shape if carry_out else out_shape[0],
@@ -292,6 +336,7 @@ def fused_network_apply(
     act_dtype: Any = jnp.bfloat16,
     out_dtype: Any = jnp.float32,
     interpret: Optional[bool] = None,
+    row_pair: bool = False,
 ) -> jax.Array:
     """Full serving forward as one main (+ one tail) Pallas call. Each
     ``layers[i]`` dict holds: lam (pair), w_b (H, 2P), w_c (2P, H),
@@ -301,10 +346,16 @@ def fused_network_apply(
     8-aligned; L % t rows go through the tail call). Returns the
     (B, L, D_out) output in ``out_dtype`` (bf16 halves the output HBM
     write; the cast is the single store-time rounding, identical to
-    casting the f32 result). Call inside jit."""
+    casting the f32 result). Call inside jit.
+
+    ``row_pair``: process two batch rows per grid step with interleaved
+    MXU/VPU stages (the measured co-issue — _net_call docstring);
+    bit-exact vs the unpaired schedule, needs B even (silently ignored
+    otherwise)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, l, d_in = x.shape
+    rows = 2 if (row_pair and b % 2 == 0) else 1
     if not interpret:
         # Pin the default row-major layout at both boundaries: XLA's
         # layout assignment otherwise picks a time-minor entry/exit
@@ -374,7 +425,7 @@ def fused_network_apply(
               relufication=relufication, glu=glu, relu_state=relu_state,
               act_dtype=act_dtype, out_dtype=out_dtype,
               interpret=interpret,
-              cs_enc=cs_enc, cs_dec=cs_dec)
+              cs_enc=cs_enc, cs_dec=cs_dec, rows=rows)
 
     main_rows = (l // t) * t
     tail = l - main_rows

@@ -345,9 +345,16 @@ class W8A16Engine:
                  compact_state: bool = True,
                  block_sparse_dense: Optional[Tuple[int, int]] = (32, 128),
                  block_sparse_min_saving: float = 0.2,
-                 mxu16: bool = False, route: str = "auto"):
+                 mxu16: bool = False, route: str = "auto",
+                 row_pair: bool = False):
         if route not in ("auto", "xla"):
             raise ValueError(f"unknown engine route {route!r}")
+        #: paired-row interleaved network kernel (fused_network rows=2):
+        #: overlap one batch row's VPU scan with the other's MXU dots —
+        #: the measured v5e co-issue (runs/kernel_probe.json). Bit-exact
+        #: vs the unpaired schedule; applies to the offline network
+        #: route with even B (ignored elsewhere).
+        self.row_pair = row_pair
         #: "auto": fused Pallas kernels when eligible (the fast path —
         #: measured fastest on hardware, PERF.md round-4 mode table).
         #: "xla": NO Pallas / int8-MXU / block-sparse ops anywhere in
@@ -974,7 +981,7 @@ class W8A16Engine:
             block_t=block_t, prenorm=cfg.prenorm,
             relufication=cfg.relufication, glu=cfg.glu_variant,
             relu_state=cfg.relufication, act_dtype=self.act_dtype,
-            out_dtype=_io_dtype(x))
+            out_dtype=_io_dtype(x), row_pair=self.row_pair)
 
     def _apply(self, weights, x, block_t: int):
         """x: (B, L, d_input) f32 or bf16 -> mask (B, L, d_output).

@@ -312,6 +312,30 @@ class ContinuousBatcher:
                     self._content_start[nxt] = self.denoiser._in_pos
         return real_samples
 
+    def backlog_samples(self) -> int:
+        """Largest per-slot buffered sample count — how far behind the
+        batch clock the most-backlogged live stream is."""
+        return max((self._inputs[sid].shape[0]
+                    for sid in self.slots if sid is not None), default=0)
+
+    def step_auto(self, chunk_samples: int, max_chunks: int = 8) -> int:
+        """Backlog-adaptive step (VERDICT r4 #6): per-chunk latency is
+        dispatch-dominated (~0.5 ms fixed vs ~0.002 ms compute at serving
+        chunk sizes — PERF.md round-4 streaming table), so under load the
+        right move is to consume SEVERAL buffered chunks in one dispatch
+        rather than dispatching per chunk. Advances the global clock by
+        n * chunk_samples where n = clamp(backlog // chunk, 1,
+        max_chunks); one dispatch amortizes its fixed cost over n chunks.
+        Per-stream output semantics are identical to n sequential step()
+        calls with no feeds in between (the denoiser consumes all
+        buffered frames of a process() call in one dispatch already);
+        the only difference is that slot release / queue admission runs
+        once at the end instead of between chunks. Returns real samples
+        consumed, like step()."""
+        n = max(1, min(max_chunks,
+                       self.backlog_samples() // max(1, chunk_samples)))
+        return self.step(n * chunk_samples)
+
     def collect(self, stream_id: str) -> np.ndarray:
         """Denoised samples produced so far for a stream."""
         chunks = self._outputs.get(stream_id, [])

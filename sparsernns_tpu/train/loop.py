@@ -82,9 +82,10 @@ def build_dataset(cfg: RunConfig, num_shards: int = 1, shard_index: int = 0):
     """Dataset registry (reference `Datasets` map, dataloading.py:149-151,
     which likewise only wires ndns; classification tasks here use the
     synthetic registry entry)."""
+    data_seed = cfg.jax_seed if cfg.data_seed is None else cfg.data_seed
     if cfg.dataset == "ndns":
         return create_ndns_dataset(
-            cfg.bsz, seed=cfg.jax_seed,
+            cfg.bsz, seed=data_seed,
             synthetic=True if cfg.synthetic_data else None,
             synthetic_size=cfg.synthetic_size,
             synthetic_length=int(cfg.synthetic_seconds * 16000),
@@ -93,7 +94,7 @@ def build_dataset(cfg: RunConfig, num_shards: int = 1, shard_index: int = 0):
         from sparsernns_tpu.data.classification import \
             create_classification_dataset
         return create_classification_dataset(
-            cfg.bsz, seed=cfg.jax_seed, size=cfg.synthetic_size,
+            cfg.bsz, seed=data_seed, size=cfg.synthetic_size,
             num_shards=num_shards, shard_index=shard_index)
     if cfg.dataset in ("smnist", "psmnist"):
         # torch-free sequential MNIST (reference basic.py:14-60); needs
@@ -103,7 +104,7 @@ def build_dataset(cfg: RunConfig, num_shards: int = 1, shard_index: int = 0):
             create_smnist_dataset
         return create_smnist_dataset(
             cfg.bsz, permute=(cfg.dataset == "psmnist"),
-            seed=cfg.jax_seed, num_shards=num_shards,
+            seed=data_seed, num_shards=num_shards,
             shard_index=shard_index)
     raise NotImplementedError(f"dataset {cfg.dataset!r} not registered")
 

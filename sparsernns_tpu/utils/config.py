@@ -78,6 +78,11 @@ class RunConfig:
     # --- regularization / optimization ---
     p_dropout: float = 0.1
     jax_seed: int = 1919
+    # dataset seed override (None = jax_seed). Separates the DATA draw
+    # from model-init/dropout randomness — without it, multi-seed
+    # quality sweeps confound "hard synthetic val draw" with "bad
+    # training trajectory" (the seed-2 investigation, tools/seed2_diag)
+    data_seed: Optional[int] = None
     epochs: int = 50
     warmup_end: int = 1
     early_stop_patience: int = 1000

@@ -6,6 +6,10 @@ hosts, plus the DP serving forward. A future pod slice runs the same
 code path with zero edits: `python bench_scaling.py --dryrun-2host`."""
 
 import sys
+import pytest
+# end-to-end / multi-process / compile-heavy module: excluded from the
+# fast local path (`pytest -m "not slow"`) — VERDICT r4 #9
+pytestmark = pytest.mark.slow
 
 
 def test_flagship_2host_dryrun():

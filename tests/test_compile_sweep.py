@@ -6,6 +6,10 @@ programs in interpret mode (fast)."""
 import sys
 
 import jax
+import pytest
+# end-to-end / multi-process / compile-heavy module: excluded from the
+# fast local path (`pytest -m "not slow"`) — VERDICT r4 #9
+pytestmark = pytest.mark.slow
 
 
 def test_quick_entries_compile_on_cpu():

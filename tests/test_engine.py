@@ -421,6 +421,7 @@ def test_engine_block_sparse_dense(pipeline):  # noqa: F811
     np.testing.assert_allclose(y_b, y_d, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_engine_fused_network_matches_stack(pipeline):  # noqa: F811
     """The whole-NETWORK kernel (encoder + every layer + decoder in one
     Pallas call, inter-layer stream never leaving VMEM) is BIT-EXACT
@@ -727,6 +728,7 @@ def pipeline_p256():
     return x, y_q, frozen_params, frozen_stats
 
 
+@pytest.mark.slow
 def test_engine_mxu16_w8a16_p256(pipeline_p256):
     """VERDICT r2 #5: lift the K<=511 int32 cap. At P=256 the state
     (C-projection) reduction dim is 2P=512 — beyond the single int32
@@ -801,6 +803,7 @@ def test_engine_bf16_io(pipeline):  # noqa: F811
                                       np.asarray(y16s, np.float32))
 
 
+@pytest.mark.slow
 def test_pipeline_parallel_engine(pipeline):  # noqa: F811
     """Engine forward with the LAYERS partitioned over 2 pipeline stages
     (time chunks flow stage-to-stage, carries stay stage-local) ==
@@ -932,3 +935,35 @@ def test_engine_xla_route_chunked_matches_whole(pipeline):  # noqa: F811
         chunks.append(np.asarray(y_c))
     y_chunked = np.concatenate(chunks, axis=1)
     np.testing.assert_allclose(y_chunked, y_whole, atol=2e-3)
+
+
+def test_engine_row_pair_matches_unpaired(pipeline):  # noqa: F811
+    """The paired-row interleaved network schedule (fused_network
+    rows=2 — one row's VPU scan emitted adjacent to the other row's MXU
+    dots for the measured co-issue, runs/kernel_probe.json) is BIT-EXACT
+    against the unpaired schedule: per row the op sequence is identical.
+    Covers even batch (paired), odd-tail geometry, mxu16 int dots, and
+    the odd-batch silent fallback."""
+    x, variables, y_fp, frozen_params, frozen_stats = pipeline
+    inf_cfg = quantization_recipes["w8a16"](static_quant=True,
+                                            calibrating=False)
+    model_cfg = FxpModelConfig.infer(
+        frozen_params, glu_variant="half1", relufication=True,
+        prenorm=True, clip_eigs=True)
+
+    def eng(row_pair, mxu16=False, bt=16):
+        return W8A16Engine(frozen_params, frozen_stats, inf_cfg,
+                           model_cfg, block_t=bt, mxu16=mxu16,
+                           row_pair=row_pair)
+
+    for mxu16 in (False, True):
+        for xi in (x, x[:, :23]):          # aligned and odd-tail
+            d = np.abs(np.asarray(eng(True, mxu16)(xi))
+                       - np.asarray(eng(False, mxu16)(xi)))
+            assert d.max() == 0.0, (mxu16, xi.shape, d.max())
+
+    # odd batch: row_pair silently ignored, still exact
+    x_odd = x[:3]
+    d = np.abs(np.asarray(eng(True)(x_odd))
+               - np.asarray(eng(False)(x_odd)))
+    assert d.max() == 0.0

@@ -176,6 +176,7 @@ def test_layer_fast_path_engages_and_matches(rng):
                                atol=5e-3)
 
 
+@pytest.mark.slow
 def test_layer_fast_path_grads_match(rng):
     x = jnp.asarray(rng.randn(2, 24, 17), jnp.float32)
     m_fused = _layer_model("fused", training=True)
@@ -247,6 +248,7 @@ def test_layer_fallbacks_preserved(rng):
         m3.apply(v3, x, mutable=["intermediates"])
 
 
+@pytest.mark.slow
 def test_train_step_through_fused_tail(rng):
     """A full NDNS train step with the whole-layer kernel engaged."""
     import sparsernns_tpu.ops.pallas.fused_layer_train as flt
@@ -334,6 +336,7 @@ def test_kernel_bwd_affine_matches_xla(rng, monkeypatch):
                 atol=2e-4, err_msg=f"affine grad mismatch: {name}")
 
 
+@pytest.mark.slow
 def test_padded_stream_stack_matches_unfused(rng):
     """The stack's padded-stream path (one pad, layers on the padded
     stream, one slice) must match the unfused pallas path exactly-ish:
@@ -387,6 +390,7 @@ def test_padded_stream_stack_matches_unfused(rng):
             err_msg=f"grad mismatch at {jax.tree_util.keystr(ka)}")
 
 
+@pytest.mark.slow
 def test_bf16_stream_training_matches_f32(rng, monkeypatch):
     """Opt-in bf16 residual stream (stream_dtype="bfloat16" on the
     padded-stream fast path): losses/gradients track the f32 stream

@@ -7,6 +7,7 @@ import numpy as np
 
 from sparsernns_tpu.ops.pallas.fused_s5 import fused_s5_apply
 from sparsernns_tpu.ops.scan import associative_diag_scan
+import pytest
 
 
 def test_fused_matches_composed(rng):
@@ -88,6 +89,7 @@ def test_fused_vjp_matches_composed_grads(rng):
                                    rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_fused_vjp_relu_state_grads(rng):
     from sparsernns_tpu.ops.pallas.fused_vjp import fused_s5_apply_diff
     b, l, h, p = 1, 32, 8, 8

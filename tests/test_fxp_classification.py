@@ -5,6 +5,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# end-to-end / multi-process / compile-heavy module: excluded from the
+# fast local path (`pytest -m "not slow"`) — VERDICT r4 #9
+pytestmark = pytest.mark.slow
+
+
 from sparsernns_tpu.fxp.derive import FxpModelConfig, build_fxp_model
 from sparsernns_tpu.models.seq_model import ClassificationModel
 from sparsernns_tpu.models.ssm import make_ssm_init_fn

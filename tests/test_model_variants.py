@@ -123,6 +123,7 @@ def test_dt_global_optimizer_grouping():
             np.asarray(updates["mixer"]["log_step"])).all()
 
 
+@pytest.mark.slow
 def test_bidirectional_fused_grads_match_associative(rng):
     """Bidirectional at kernel speed (VERDICT round-1 item 6): with
     scan_mode='fused' the mixer routes both scan directions through the

@@ -12,6 +12,11 @@ import sys
 
 import pytest
 
+# end-to-end / multi-process / compile-heavy module: excluded from the
+# fast local path (`pytest -m "not slow"`) — VERDICT r4 #9
+pytestmark = pytest.mark.slow
+
+
 _WORKER = r"""
 import os, sys
 proc_id = int(sys.argv[1]); port = sys.argv[2]

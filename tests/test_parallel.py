@@ -6,6 +6,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# end-to-end / multi-process / compile-heavy module: excluded from the
+# fast local path (`pytest -m "not slow"`) — VERDICT r4 #9
+pytestmark = pytest.mark.slow
+
+
 from sparsernns_tpu.ops.scan import associative_diag_scan
 from sparsernns_tpu.parallel.mesh import (DATA_AXIS, MODEL_AXIS, SEQ_AXIS,
                                           MeshConfig, make_mesh)

@@ -12,6 +12,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# end-to-end / multi-process / compile-heavy module: excluded from the
+# fast local path (`pytest -m "not slow"`) — VERDICT r4 #9
+pytestmark = pytest.mark.slow
+
+
 from sparsernns_tpu.utils.config import RunConfig
 
 

@@ -7,6 +7,11 @@ handbuilt_model_fwd ok vs layer_tiny_blocked UNIMPLEMENTED)."""
 import numpy as np
 import pytest
 
+# end-to-end / multi-process / compile-heavy module: excluded from the
+# fast local path (`pytest -m "not slow"`) — VERDICT r4 #9
+pytestmark = pytest.mark.slow
+
+
 import jax
 import jax.numpy as jnp
 

@@ -33,6 +33,7 @@ def _metrics_rows(tmp_path):
         return [json.loads(line) for line in f]
 
 
+@pytest.mark.slow
 def test_act_sparsity_and_grad_norms_logged(tmp_path):
     cfg = _tiny_cfg(tmp_path, log_act_sparsity="both", epochs=2)
     train(cfg)

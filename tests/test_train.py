@@ -142,6 +142,7 @@ def test_count_params():
     assert count_params({"a": jnp.ones((2, 3)), "b": jnp.ones(5)}) == 11
 
 
+@pytest.mark.slow
 def test_microbatch_step_matches_full_batch():
     """Gradient accumulation (microbatch=) must reproduce the full-batch
     update exactly when the only cross-sample coupling (BN stats,

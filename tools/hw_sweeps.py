@@ -63,15 +63,23 @@ def run_autotune(out, candidates=(128, 256, 512, 1024)):
     return results
 
 
-def run_engine_blockt(out, block_ts=(256, 512, 1024), batches=(8, 32)):
+def run_engine_blockt(out, block_ts=(256, 512, 1024), batches=(8, 32),
+                      mxu16=False):
     """Full-engine block_t A/B at serving batches — the per-kernel
     autotune (layer best 512 vs the engine default 256) predicts ~25%;
-    measure it end-to-end before changing the default."""
+    measure it end-to-end before changing the default.
+
+    ``mxu16=True`` sweeps the int-dot engine instead (VERDICT r4 #2):
+    the kernel-unit probe (runs/kernel_probe.json) measured the full
+    int16 two-plane dot FASTER than one f32 dot in a clean kernel, so
+    the engine-level 2.5x regression at B=32/bt=512 is suspected to be
+    a VMEM cliff from the extra mxu16 operands — a bt sweep decides."""
     import bench
     from sparsernns_tpu.utils.profiling import chip_peaks
     peaks = chip_peaks()
     bench.ensure_regime(peaks)
     results = _load(out)
+    tag = "mxu16-" if mxu16 else ""
     for b in batches:
         for bt in block_ts:
             if 3751 // bt < 1:
@@ -79,16 +87,17 @@ def run_engine_blockt(out, block_ts=(256, 512, 1024), batches=(8, 32)):
             t0 = time.time()
             try:
                 rec = bench.bench_w8a16_engine(
-                    peaks, batch=b, block_t=bt,
-                    name=f"w8a16-engine-b{b}-bt{bt}")
+                    peaks, batch=b, block_t=bt, mxu16=mxu16,
+                    name=f"w8a16-engine-{tag}b{b}-bt{bt}")
             except Exception as e:  # noqa: BLE001
-                rec = {"name": f"w8a16-engine-b{b}-bt{bt}",
+                rec = {"name": f"w8a16-engine-{tag}b{b}-bt{bt}",
                        "error": repr(e)[:200], "valid": False}
             rec["elapsed_s"] = round(time.time() - t0, 1)
             rec["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
-            results.setdefault("engine_blockt", {})[f"b{b}-bt{bt}"] = rec
+            results.setdefault("engine_blockt", {})[
+                f"{tag}b{b}-bt{bt}"] = rec
             _save(out, results)
-            print(f"[hw] engine b={b} bt={bt}: "
+            print(f"[hw] engine {tag}b={b} bt={bt}: "
                   f"{rec.get('frames_per_sec', 0):,.0f} frames/s "
                   f"t={rec.get('t_iter_ms', 0):.3f}ms "
                   f"valid={rec.get('valid')}", file=sys.stderr, flush=True)
@@ -124,6 +133,9 @@ def main(argv=None) -> int:
     ap.add_argument("--autotune", action="store_true")
     ap.add_argument("--batch-sweep", action="store_true")
     ap.add_argument("--engine-blockt", action="store_true")
+    ap.add_argument("--mxu16-blockt", action="store_true",
+                    help="int-dot engine block_t sweep (VERDICT r4 #2 "
+                         "VMEM-cliff hypothesis)")
     ap.add_argument("--candidates", default="128,256,512,1024")
     ap.add_argument("--batches", default="8,16,32,64")
     ap.add_argument("--out", default=os.path.join(REPO, "runs",
@@ -146,6 +158,11 @@ def main(argv=None) -> int:
             args.out, tuple(int(b) for b in args.batches.split(",")))
     if args.engine_blockt:
         results = run_engine_blockt(args.out)
+    if args.mxu16_blockt:
+        results = run_engine_blockt(
+            args.out, block_ts=(128, 256, 512),
+            batches=tuple(int(b) for b in args.batches.split(",")),
+            mxu16=True)
     summary = {"table": args.out,
                "autotune_best": {m: (r.get("best") or {}).get("block_t")
                                  for m, r in

@@ -41,7 +41,7 @@ import numpy as np
 
 def flagship_cfg(seed: int, epochs: int, ckpt_dir: str, mxu16: bool,
                  quant: str = "w8a16", pruning: str = "no_prune",
-                 block_t: int = 512):
+                 block_t: int = 512, data_seed=None):
     from sparsernns_tpu.utils.config import RunConfig
     # block_t defaults to 512 — the round-4 measured engine/kernel
     # default (PERF.md engine_blockt A/B) — so quality evidence tracks
@@ -53,7 +53,7 @@ def flagship_cfg(seed: int, epochs: int, ckpt_dir: str, mxu16: bool,
         n_layers=3, d_model=192, ssm_size_base=256, blocks=16,
         glu_variant="half1", clip_eigs=True, prenorm=True, batchnorm=True,
         relufication=True, scan_mode="fused", block_t=block_t,
-        p_dropout=0.05, jax_seed=seed, epochs=epochs,
+        p_dropout=0.05, jax_seed=seed, data_seed=data_seed, epochs=epochs,
         warmup_end=1, opt_config="noBCdecay", logger="none",
         validate_baseline=True, calibrate_quant=True,
         validate_static_quant=True, validate_engine=True,
@@ -63,18 +63,20 @@ def flagship_cfg(seed: int, epochs: int, ckpt_dir: str, mxu16: bool,
 
 def run_seed(seed: int, epochs: int, out_dir: str,
              quant: str = "w8a16", pruning: str = "no_prune",
-             block_t: int = 512):
+             block_t: int = 512, data_seed=None):
     from sparsernns_tpu.fxp import runner as fxp_runner
     from sparsernns_tpu.quantize.convert import convert
     from sparsernns_tpu.train.loop import train
 
     # pruned training is a different run; quant-only changes reuse the
     # dense checkpoint (conversion recalibrates per recipe)
-    sub = f"seed{seed}" + ("" if pruning == "no_prune" else f"_{pruning}")
+    sub = f"seed{seed}" + ("" if pruning == "no_prune" else f"_{pruning}") \
+        + ("" if data_seed is None else f"_data{data_seed}")
     ckpt = os.path.join(out_dir, sub)
     os.makedirs(ckpt, exist_ok=True)
     cfg = flagship_cfg(seed, epochs, ckpt, mxu16=False, quant=quant,
-                       pruning=pruning, block_t=block_t)
+                       pruning=pruning, block_t=block_t,
+                       data_seed=data_seed)
 
     print(f"[quality] seed {seed}: training {epochs} epochs...",
           flush=True)
@@ -123,6 +125,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=25)
     ap.add_argument("--out", default="runs/quality_r5")
     ap.add_argument("--block_t", type=int, default=512)
+    ap.add_argument("--data-seed", type=int, default=None,
+                    help="dataset seed override (decouples data draw "
+                         "from init/dropout — seed-2 investigation)")
     ap.add_argument("--quant", default="w8a16",
                     help="conversion recipe (reuses trained checkpoints)")
     ap.add_argument("--pruning", default="no_prune")
@@ -133,8 +138,10 @@ def main():
 
     rows = []
     for seed in args.seeds:
-        sub = f"seed{seed}" + ("" if args.pruning == "no_prune"
-                               else f"_{args.pruning}")
+        sub = (f"seed{seed}"
+               + ("" if args.pruning == "no_prune" else f"_{args.pruning}")
+               + ("" if args.data_seed is None
+                  else f"_data{args.data_seed}"))
         row_path = os.path.join(args.out, sub,
                                 _row_name(args.quant, args.pruning))
         if os.path.exists(row_path):
@@ -146,7 +153,8 @@ def main():
             continue
         rows.append(run_seed(seed, args.epochs, args.out,
                              quant=args.quant, pruning=args.pruning,
-                             block_t=args.block_t))
+                             block_t=args.block_t,
+                             data_seed=args.data_seed))
 
     if not rows:
         print("[quality] no rows", flush=True)
