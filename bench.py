@@ -1463,6 +1463,22 @@ def summarize(recs, peaks, backend="tpu"):
     # deltas even when no wall-clock is admissible
     out["sol_frames_per_sec_by_config"] = {
         k: round(v["sol_frames_per_sec"], 1) for k, v in serving.items()}
+    # one-headline-one-method cross-check (VERDICT r4 #7): compare the
+    # headline against the hw_sweeps record for the same config and
+    # annotate the delta INSIDE the record — agreement within ~3% means
+    # the fresh bench number and the sweep number tell one story.
+    if valid and best_name == "w8a16-engine-b32":
+        sweep = _load_json(os.path.join(_REPO_DIR, "runs",
+                                        "hw_sweeps.json"))
+        srec = (sweep.get("engine_blockt") or {}).get("b32-bt512") or {}
+        sfps = srec.get("frames_per_sec")
+        if sfps:
+            out["sweep_crosscheck"] = {
+                "sweep_frames_per_sec": round(sfps, 1),
+                "delta_pct": round(100.0 * (value - sfps) / sfps, 2),
+                "source": "runs/hw_sweeps.json engine_blockt b32-bt512",
+                "agree_3pct": abs(value - sfps) / sfps <= 0.03,
+            }
     return out
 
 

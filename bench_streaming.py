@@ -96,10 +96,17 @@ def measure_chunk(chunk_frames: int, batch: int = BATCH, d_io: int = 257,
     _, xla_bytes = bench._xla_cost(fwd, engine.weights, x, carries0)
     # validity floor from the TRUE minimum traffic (args read + outputs
     # written once): XLA's bytes-accessed overcounts fused programs >10x
-    # and would reject genuine drained timings (bench.py round-4 fix)
+    # and would reject genuine drained timings (bench.py round-4 fix).
+    # The floor is max(HBM, padded-MXU): at large chunk x batch the
+    # compute bound dominates, and an HBM-only floor let a dispatch-only
+    # wall-clock (0.26 ms for a 0.5 ms-compute b64 x 512f forward, an
+    # impossible 124M frames/s) pass as "valid" (round-5 fix)
+    from sparsernns_tpu.utils.profiling import model_padded_flops
     min_bytes = bench._min_traffic_bytes(bench_target, engine.weights, x,
                                          carries0)
-    sol_t = min_bytes / peaks[1]
+    n_layers, h, p, _ = bench._model_dims(variables["params"])
+    pflops = model_padded_flops(batch, chunk_frames, d_io, h, p, n_layers)
+    sol_t = max(min_bytes / peaks[1], pflops / peaks[0])
 
     def dispatch(prev):
         carries = carries0 if prev is None else prev
@@ -268,7 +275,11 @@ def _todo(chunks=CHUNK_FRAMES, canary=True) -> list:
     # one engine time block per dispatch (VERDICT r4 #6 'Done' point)
     todo.append((SAT_FRAMES, False, "auto", SAT_STREAMS))
     if canary:
-        todo.append((CANARY_FRAMES, False, "auto", BATCH))
+        # canary at SAT_STREAMS so its padded-MXU floor (~1 ms) clearly
+        # exceeds the ~0.25 ms dispatch overhead — a dispatch-only
+        # wall-clock then PROVES broken sync instead of slipping under a
+        # small-chunk floor (round-5 fix)
+        todo.append((CANARY_FRAMES, False, "auto", SAT_STREAMS))
     return todo
 
 

@@ -337,10 +337,14 @@ def _fused_layer_body_pair(
 ):
     """Two-batch-row layer body with a SKEWED emission order: row 1's
     MXU stages (_mixer_pre / _mixer_post dots) sit adjacent to row 0's
-    VPU scan in program order, so the scheduler co-issues them — the
-    measured v5e overlap (runs/kernel_probe.json: dot+scan combined =
-    0.79x of the serial sum; the single-row body is one dependency
-    chain with zero overlap). Per row the op sequence is IDENTICAL to
+    VPU scan in program order, targeting the co-issue the kernel-unit
+    probe measured (runs/kernel_probe.json: dot+scan combined = 0.79x
+    of the serial sum; the single-row body is one dependency chain with
+    zero overlap). MEASURED NEGATIVE end to end on the v5e
+    (runs/rowpair_ab.json: 2.16 vs 1.94 ms at B=32/bt512) — the
+    micro-scale overlap does not engage across a full layer chain;
+    kept as a re-measurable experiment. Per row the op sequence is
+    IDENTICAL to
     _fused_layer_body, so outputs are bit-exact vs the unpaired route
     (pinned in tests/test_engine.py). ``carry0``/``carry1`` are (re, im)
     scratch-ref pairs."""

@@ -433,6 +433,14 @@ def fused_tail_bwd(z, skip, lam: Pair, w_b, w_c, d,
             lam_re_p, -lam_im_p, t, num_passes)
         rtab = (rtab[0][::-1], rtab[1][::-1])
 
+        if not interpret:   # resolved to a bool at entry
+            # row-major pins on the stream operands (fused_layer_train's
+            # rule — measured 16% of the adjoint at B=32,
+            # tools/bwd_probe.py tail_bwd vs tail_bwd_pin)
+            from jax.experimental.layout import (Layout,
+                                                 with_layout_constraint)
+            zp = with_layout_constraint(zp, Layout((0, 1, 2)))
+            gp = with_layout_constraint(gp, Layout((0, 1, 2)))
         operands = {"z": zp, "g": gp}
         if not affine:
             operands["skip"] = (jnp.pad(a["skip"], pad3)

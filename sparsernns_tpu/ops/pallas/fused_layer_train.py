@@ -233,6 +233,17 @@ def fused_layer_tail(
                 z = jnp.pad(z, pad)
                 if skip is not None:
                     skip = jnp.pad(skip, pad)
+        if not interpret:
+            # pin the kernel operands row-major (fused_network's rule):
+            # at B=32 XLA otherwise picks a time-minor layout for the
+            # big (B, L, H) streams and brackets the Pallas call with
+            # relayout copies — measured 17% of the tail forward at the
+            # recipe batch (tools/bwd_probe.py tail_fwd vs tail_fwd_pin)
+            from jax.experimental.layout import (Layout,
+                                                 with_layout_constraint)
+            z = with_layout_constraint(z, Layout((0, 1, 2)))
+            if skip is not None:
+                skip = with_layout_constraint(skip, Layout((0, 1, 2)))
         # pad_layer_ops packs weights/λ tables to the kernel geometry; its
         # norm slots carry the affine (identity placeholders when unused).
         ops, p_pad, num_passes = pad_layer_ops(

@@ -350,10 +350,14 @@ class W8A16Engine:
         if route not in ("auto", "xla"):
             raise ValueError(f"unknown engine route {route!r}")
         #: paired-row interleaved network kernel (fused_network rows=2):
-        #: overlap one batch row's VPU scan with the other's MXU dots —
-        #: the measured v5e co-issue (runs/kernel_probe.json). Bit-exact
-        #: vs the unpaired schedule; applies to the offline network
-        #: route with even B (ignored elsewhere).
+        #: one batch row's VPU scan emitted adjacent to the other's MXU
+        #: dots, targeting the co-issue the kernel-unit probe measured
+        #: (runs/kernel_probe.json). Bit-exact vs the unpaired schedule
+        #: (even B, offline network route). MEASURED NEGATIVE end to
+        #: end on the v5e (2.16 vs 1.94 ms at B=32/bt512,
+        #: runs/rowpair_ab.json) — the micro-scale overlap does not
+        #: engage across a full layer chain; default stays False, kept
+        #: re-measurable for a backend whose scheduler overlaps units.
         self.row_pair = row_pair
         #: "auto": fused Pallas kernels when eligible (the fast path —
         #: measured fastest on hardware, PERF.md round-4 mode table).

@@ -610,3 +610,30 @@ def test_train_step_xla_fallback_reported():
     assert s["train_step_config"] == "train-step-xla"
     assert s["train_step_frames_per_sec"] == pytest.approx(
         8 * 3751 / 30e-3, rel=0.01)
+
+
+def test_summary_crosschecks_headline_against_sweep(tmp_path, monkeypatch):
+    """One headline, one method (VERDICT r4 #7): when the best config is
+    the saturating-batch engine, the summary annotates the delta vs the
+    hw_sweeps record for the same config inside the JSON record."""
+    import json as _json
+    import bench as b
+
+    sweeps = {"engine_blockt": {"b32-bt512": {"frames_per_sec": 6.0e7}}}
+    monkeypatch.setattr(b, "_REPO_DIR", str(tmp_path))
+    (tmp_path / "runs").mkdir()
+    (tmp_path / "runs" / "hw_sweeps.json").write_text(_json.dumps(sweeps))
+
+    rec = {"valid": True, "synced": True, "frames_per_sec": 6.1e7,
+           "mfu": 0.3, "hbm_util": 0.2, "sol_frames_per_sec": 1.4e8,
+           "drained": True}
+    out = b.summarize({"w8a16-engine-b32": rec}, (197e12, 819e9), "tpu")
+    cc = out.get("sweep_crosscheck")
+    assert cc is not None
+    assert cc["sweep_frames_per_sec"] == 6.0e7
+    assert abs(cc["delta_pct"] - 100 * (6.1e7 - 6.0e7) / 6.0e7) < 0.01
+    assert cc["agree_3pct"] is True
+
+    rec2 = dict(rec, frames_per_sec=7.0e7)
+    out2 = b.summarize({"w8a16-engine-b32": rec2}, (197e12, 819e9), "tpu")
+    assert out2["sweep_crosscheck"]["agree_3pct"] is False

@@ -79,13 +79,16 @@ def _build(component: str, b: int):
     kw = dict(block_t=BLOCK_T, act="relu", glu="half1", relu_state=True,
               layer_relu=True)
 
-    if component in ("tail_fwd", "tail_bwd", "hist"):
+    if component in ("tail_fwd", "tail_bwd", "hist",
+                     "tail_fwd_pin", "tail_bwd_pin"):
+        pinned = component.endswith("_pin")
+        component = component[:-4] if pinned else component
         o = _layer_operands(b, rng)
         if component == "tail_fwd":
             from sparsernns_tpu.ops.pallas.fused_layer_train import \
                 fused_layer_tail
 
-            def target(x, g):
+            def bwd_probe_target(x, g):
                 return fused_layer_tail(
                     x, None, o["lam"], o["w_b"], o["w_c"], o["d"],
                     o["o2k"], o["o2b"], None, None, None, None,
@@ -94,7 +97,7 @@ def _build(component: str, b: int):
             from sparsernns_tpu.ops.pallas.fused_layer_bwd import \
                 fused_tail_bwd
 
-            def target(x, g):
+            def bwd_probe_target(x, g):
                 return fused_tail_bwd(
                     x, None, o["lam"], o["w_b"], o["w_c"], o["d"],
                     o["o2k"], o["o2b"], None, None, None, None,
@@ -106,16 +109,42 @@ def _build(component: str, b: int):
             # separable, so approximate with the forward mixer only
             from sparsernns_tpu.ops.pallas.fused_s5 import fused_s5_apply
 
-            def target(x, g):
+            def bwd_probe_target(x, g):
                 return fused_s5_apply(x, o["lam"], o["w_b"], o["w_c"],
                                       o["d"], block_t=BLOCK_T)
-        fn = jax.jit(target)
-        mb = min_traffic_bytes(target, o["x"], o["g"])
+        if pinned and jax.default_backend() == "tpu":
+            # row-major entry pins (the serving engine's
+            # _io_format_pins rule): if the batch-dependent GB/s
+            # collapse is XLA flipping to a time-minor layout for the
+            # big (B, L, H) operands and bracketing the Pallas calls
+            # with relayout copies, pinning removes it
+            from jax.experimental.layout import Format, Layout
+            from jax.sharding import SingleDeviceSharding
+            fmt = Format(Layout((0, 1, 2)),
+                         SingleDeviceSharding(jax.devices()[0]))
+            fn = jax.jit(bwd_probe_target, in_shardings=(fmt, fmt))
+            o["x"] = jax.device_put(o["x"], fmt)
+            o["g"] = jax.device_put(o["g"], fmt)
+        else:
+            fn = jax.jit(bwd_probe_target)
+        mb = min_traffic_bytes(bwd_probe_target, o["x"], o["g"])
+
+        # precompiled perturbation (bench._chained_dispatch's rule): a
+        # per-iteration EAGER op chain throttles the host dispatch rate
+        # below the device completion rate on a contended machine, and
+        # the drain then measures the host (first run of this tool:
+        # B=8 and B=32 timing identically at ~7 ms — host-bound)
+        def _perturb(leaf, x):
+            return x + (1e-20 * jnp.reshape(leaf, (-1,))[0]).astype(
+                x.dtype)
+        if pinned and jax.default_backend() == "tpu":
+            perturb = jax.jit(_perturb, out_shardings=fmt)
+        else:
+            perturb = jax.jit(_perturb)
 
         def dispatch(prev):
-            xi = o["x"] if prev is None else (
-                o["x"] + 1e-20 * jax.tree_util.tree_leaves(prev)[0][
-                    ..., :1, :1].reshape(-1)[0])
+            xi = o["x"] if prev is None else perturb(
+                jax.tree_util.tree_leaves(prev)[0], o["x"])
             return fn(xi, o["g"])
         return dispatch, mb
 
@@ -130,17 +159,22 @@ def _build(component: str, b: int):
             rng.randn(b, (L - 1) * 128).astype(np.float32))
         mask = jnp.asarray(rng.randn(b, L, D_IO).astype(np.float32) * 0.1)
 
-        def target(mask):
+        def bwd_probe_target(mask):
             def f(m):
                 loss, _, _ = ndns_loss_from_mask_tm(
                     m, noisy_mag, noisy_phase, clean_mag, clean)
                 return loss
             return jax.value_and_grad(f)(mask)
-        fn = jax.jit(target)
-        mb = min_traffic_bytes(target, mask)
+        fn = jax.jit(bwd_probe_target)
+        mb = min_traffic_bytes(bwd_probe_target, mask)
+
+        @jax.jit
+        def perturb(leaf, x):
+            return x + (1e-20 * jnp.reshape(leaf, (-1,))[0]).astype(
+                x.dtype)
 
         def dispatch(prev):
-            mi = mask if prev is None else mask + 1e-20 * prev[1]
+            mi = mask if prev is None else perturb(prev[1], mask)
             return fn(mi)
         return dispatch, mb
 
@@ -170,11 +204,11 @@ def _build(component: str, b: int):
         opt_state = tx.init(params)
         grads = jax.tree_util.tree_map(lambda a: a + 1e-3, params)
 
-        def target(grads, opt_state, params):
+        def bwd_probe_target(grads, opt_state, params):
             updates, new_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), new_state
-        fn = jax.jit(target)
-        mb = min_traffic_bytes(target, grads, opt_state, params)
+        fn = jax.jit(bwd_probe_target)
+        mb = min_traffic_bytes(bwd_probe_target, grads, opt_state, params)
         holder = {"s": (params, opt_state)}
 
         def dispatch(prev):
@@ -204,14 +238,24 @@ def main():
     import jax
 
     from sparsernns_tpu.utils.profiling import (chip_peaks,
+                                                device_module_times,
                                                 probe_readback_channel,
                                                 readback_drain_time)
     peaks = chip_peaks()
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and not probe_readback_channel(peaks[0]):
-        print(json.dumps({"tool": "bwd_probe",
-                          "error": "no readback channel"}))
-        return 1
+    # DEVICE-PROFILER first (the channel that delivered the round-5
+    # streaming percentiles): real on-device module durations, immune
+    # to host sync AND to host dispatch-rate throttling (the first run
+    # of this tool was host-bound). Fall back to the drain channel.
+    use_profiler = on_tpu and os.environ.get(
+        "BWD_PROBE_NO_PROFILER") != "1"
+    drain_ok = False
+    if on_tpu and not use_profiler:
+        drain_ok = probe_readback_channel(peaks[0])
+        if not drain_ok:
+            print(json.dumps({"tool": "bwd_probe",
+                              "error": "no readback channel"}))
+            return 1
 
     results = {}
     if os.path.exists(args.out):
@@ -225,8 +269,19 @@ def main():
             try:
                 disp, mb = _build(comp, b)
                 sol = mb / peaks[1]
-                if on_tpu:
+                source = "wall-clock"
+                if use_profiler:
+                    durs = device_module_times(disp, 12,
+                                               "bwd_probe_target")
+                    if len(durs) < 3:
+                        raise RuntimeError(
+                            f"profiler matched {len(durs)} modules")
+                    durs.sort()
+                    elapsed, n_eff = durs[len(durs) // 2], 1
+                    source = "device-profiler"
+                elif on_tpu:
                     elapsed, n_eff = readback_drain_time(disp, 16, sol)
+                    source = "readback-drain"
                 else:
                     out = disp(None)
                     jax.block_until_ready(out)
@@ -241,7 +296,8 @@ def main():
                        "t_ms": round(t * 1e3, 4),
                        "min_bytes": int(mb),
                        "gbps": round(mb / t / 1e9, 1) if t > 0 else 0.0,
-                       "n_eff": n_eff,
+                       "n_eff": n_eff, "source": source,
+                       "valid": t >= 0.6 * sol,
                        "elapsed_s": round(time.time() - t0, 1),
                        "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
             except Exception as e:  # noqa: BLE001

@@ -173,6 +173,72 @@ def _build(stage: str, loop: int = LOOP):
             pow_re, pow_im)
         return disp, loop * scan_flops, "vpu"
 
+    if stage == "scanpass_prescale":
+        # candidate intra-8 combine: scale rows by λ^{-(k mod 8)}, run
+        # the 3 doubling passes as PURE ADDS (2 flops/elem instead of
+        # the 8-flop complex MAC), then scale by λ^{k mod 8} — same
+        # shifts, ~40% fewer VPU flops. Numerically valid only when
+        # |λ|^-7 is small (flagship init: |λ| >= 0.95); this stage only
+        # measures the speed question.
+        lam_np = lr_np + 1j * li_np
+        idx = np.arange(8)
+        pre = (lam_np[None, :] ** (-idx[:, None]))[None]     # (1,8,N)
+        post = (lam_np[None, :] ** (idx[:, None]))[None]
+        fold = (lam_np[None, :] ** (idx[:, None] + 1))[None]  # λ^{k+1}
+        cvt = lambda a: jnp.asarray(np.ascontiguousarray(a)
+                                    .astype(np.complex64))
+        pre_r = jnp.asarray(pre.real.astype(np.float32))
+        pre_i = jnp.asarray(pre.imag.astype(np.float32))
+        post_r = jnp.asarray(post.real.astype(np.float32))
+        post_i = jnp.asarray(post.imag.astype(np.float32))
+        fold_r = jnp.asarray(fold.real.astype(np.float32))
+        fold_i = jnp.asarray(fold.imag.astype(np.float32))
+        del cvt
+
+        def kernel(xr_ref, xi_ref, pr_ref, pi_ref, prer, prei,
+                   postr, posti, foldr, foldi, o_ref):
+            def prescale_scan(xr, xi):
+                x3r = xr.reshape(T // 8, 8, N)
+                x3i = xi.reshape(T // 8, 8, N)
+                pr_, pi_ = prer[...], prei[...]
+                ar = x3r * pr_ - x3i * pi_
+                ai = x3r * pi_ + x3i * pr_
+                for k in range(3):        # pure-add doubling passes
+                    d = 1 << k
+                    pad = jnp.zeros((T // 8, d, N), ar.dtype)
+                    ar = ar + jnp.concatenate([pad, ar[:, : 8 - d]],
+                                              axis=1)
+                    ai = ai + jnp.concatenate([pad, ai[:, : 8 - d]],
+                                              axis=1)
+                qr_, qi_ = postr[...], posti[...]
+                x3r = ar * qr_ - ai * qi_
+                x3i = ar * qi_ + ai * qr_
+                # cross-sub: plain tree on the (T/8, N) sub totals
+                cr, ci = _block_scan(x3r[:, 7, :], x3i[:, 7, :],
+                                     pr_ref, pi_ref, T // 8, 3)
+                zp = jnp.zeros((1, N), xr.dtype)
+                cer = jnp.concatenate([zp, cr[:-1]], axis=0)[:, None, :]
+                cei = jnp.concatenate([zp, ci[:-1]], axis=0)[:, None, :]
+                fr_, fi_ = foldr[...], foldi[...]
+                x3r = x3r + (fr_ * cer - fi_ * cei)
+                x3i = x3i + (fr_ * cei + fi_ * cer)
+                return x3r.reshape(T, N), x3i.reshape(T, N)
+
+            def body(_, c):
+                xr, xi = c
+                return prescale_scan(xr * 1e-3, xi * 1e-3)
+            xr, xi = jax.lax.fori_loop(
+                0, loop, body, (xr_ref[...], xi_ref[...]))
+            o_ref[...] = xr + xi
+        fn = jax.jit(lambda *a: call(kernel, a, ((T, N), jnp.float32)))
+        xr0 = jnp.asarray(np.random.RandomState(2).randn(T, N),
+                          jnp.float32)
+        disp = lambda prev: fn(
+            xr0 if prev is None else xr0 + 1e-20 * prev, xr0 * 0.5,
+            pow_re, pow_im, pre_r, pre_i, post_r, post_i,
+            fold_r, fold_i)
+        return disp, loop * scan_flops, "vpu"
+
     if stage in ("dot_then_scan", "dot_scan_fine"):
         fine = stage == "dot_scan_fine"
 
