@@ -581,7 +581,7 @@ def bench_mode(mode, peaks, batch=8, seq_len=3751, d_io=257,
 
 
 def _build_engine(batch, seq_len, d_io, mxu16=False, route="auto",
-                  block_t=None, row_pair=False):
+                  block_t=None, row_pair=False, recipe="w8a16"):
     import numpy as np
 
     from __graft_entry__ import _flagship_model
@@ -589,12 +589,16 @@ def _build_engine(batch, seq_len, d_io, mxu16=False, route="auto",
     from sparsernns_tpu.quantize.config import quantization_recipes
     from sparsernns_tpu.quantize.engine import W8A16Engine
 
-    cfg = quantization_recipes["w8a16"](static_quant=True, calibrating=False)
+    cfg = quantization_recipes[recipe](static_quant=True, calibrating=False)
     # mxu16 needs the frozen activation grids (quant_input/quant_ut/...)
     # in params — build the statically-quantized flagship so eval_shape
     # materializes the scale leaves (random positive values: the grids'
     # VALUES are irrelevant for throughput, only the dot shapes matter)
-    model = _flagship_model(training=False, q_config=cfg if mxu16 else None)
+    # mxu16 needs the frozen grids; w8a8 needs them too (its int8 dots
+    # and int8 stream come from the calibrated 8-bit in_scales/requants)
+    want_grids = mxu16 or recipe != "w8a16"
+    model = _flagship_model(training=False,
+                            q_config=cfg if want_grids else None)
     x = jnp.zeros((batch, seq_len, d_io), jnp.float32)
     # Engine packing reads weights on the HOST — build the parameter tree
     # with numpy from eval_shape (no device round-trips; some TPU
@@ -621,7 +625,8 @@ def _build_engine(batch, seq_len, d_io, mxu16=False, route="auto",
 def bench_w8a16_engine(peaks, batch=8, seq_len=3751, d_io=257,
                        iters=ITERS_FWD, n_fill=0, reserve_gb=None,
                        mxu16=False, io_bf16=False, name="w8a16-engine",
-                       route="auto", block_t=None, row_pair=False):
+                       route="auto", block_t=None, row_pair=False,
+                       recipe="w8a16"):
     """The north-star config: w8a16 quantized serving engine
     (int8-stored weights, bf16 activations, fused Pallas mixer).
 
@@ -639,7 +644,7 @@ def bench_w8a16_engine(peaks, batch=8, seq_len=3751, d_io=257,
                                                 model_padded_flops)
     engine, variables, x = _build_engine(batch, seq_len, d_io, mxu16=mxu16,
                                          route=route, block_t=block_t,
-                                         row_pair=row_pair)
+                                         row_pair=row_pair, recipe=recipe)
     if io_bf16:
         x = x.astype(jnp.bfloat16)
     n_layers, h, p, _ = _model_dims(variables["params"])
@@ -1123,11 +1128,27 @@ def _recs_from_drain_workers(emit=None, probe_table=None,
             _log(f"drain worker {name}: timed out ({timeout:.0f}s) — "
                  "probing device health")
             if budget_fn() < BENCH_MIN_MODE_S:
-                _log("budget spent — skipping the health probe, stopping")
+                # same budget-cut reheat as the pre-launch check: a
+                # slow-transport phase must degrade to LABELED cached
+                # measurements, not to the bare roofline (observed
+                # 2026-08-21: first worker ate the budget in warm-up and
+                # the summary fell to roofline with a full cache on disk)
+                _log("budget spent — skipping the health probe, "
+                     "reheating remaining modes from cache")
+                for rest in order[order.index(name):]:
+                    if rest not in merged:
+                        _reheat(rest, allow_valid=True)
+                if merged and emit is not None:
+                    emit(merged)
                 break
             if not _probe_device_exec():
                 _log("device wedged (health probe hung) — stopping the "
                      "drain loop, keeping records measured so far")
+                for rest in order[order.index(name):]:
+                    if rest not in merged:
+                        _reheat(rest)
+                if merged and emit is not None:
+                    emit(merged)
                 break
             continue
         sys.stderr.write(proc.stderr[-4000:])

@@ -637,3 +637,37 @@ def test_summary_crosschecks_headline_against_sweep(tmp_path, monkeypatch):
     rec2 = dict(rec, frames_per_sec=7.0e7)
     out2 = b.summarize({"w8a16-engine-b32": rec2}, (197e12, 819e9), "tpu")
     assert out2["sweep_crosscheck"]["agree_3pct"] is False
+
+
+def test_drain_worker_timeout_with_spent_budget_reheats_cache(
+        monkeypatch, tmp_path):
+    """Round-5 regression: when a WORKER TIMEOUT eats the remaining wall
+    budget, the loop must reheat the cached records (labeled
+    cached=True) before stopping — observed live: the first worker's
+    warm-up consumed the budget in a slow-transport phase and the
+    summary fell to the bare roofline with a full measurement cache
+    sitting on disk."""
+    import json as _json
+    import subprocess
+
+    cache_path = tmp_path / "cache.json"
+    cached = {
+        "w8a16-engine-b32": {"name": "w8a16-engine-b32", "valid": True,
+                             "frames_per_sec": 6.27e7},
+        "associative": {"name": "associative", "valid": True,
+                        "frames_per_sec": 4.7e6},
+    }
+    cache_path.write_text(_json.dumps(cached))
+    monkeypatch.setattr(bench, "_RECS_CACHE_PATH", str(cache_path))
+
+    budget = iter([1e9, 10.0])  # pre-launch check passes; post-timeout: spent
+
+    def fake_run(argv, env=None, timeout=None, **kw):
+        raise subprocess.TimeoutExpired(argv, timeout)
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    recs = bench._recs_from_drain_workers(
+        probe_table={}, budget_fn=lambda: next(budget))
+    assert recs["w8a16-engine-b32"]["cached"] is True
+    assert recs["w8a16-engine-b32"]["valid"] is True
+    assert recs["associative"]["cached"] is True
